@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query (the reference's most
+complex path — the DetectAnomalies feature pipeline, SURVEY.md §3.2 —
+re-expressed as one distributed plan). ``queries()`` / ``oracle_sql()``
+expose the full corpus from azure_serverless_etl_pipeline_spark.plans.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    g08: scan -> groupBy(user, day) -> date-spine densify -> rolling-7
+    window + dow — the reference's anomaly feature frame
+    (ml_forecast_anomaly.py:193-212) as a single Catalyst plan.
+    """
+    return all_queries()["g08_rolling_features"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (G1..G10) plus
+    the north-star extensions (x..) and ML scorers (m.., rows-only)."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query; engine-hash-dependent
+    ops (minhash/simhash/LSH/fingerprint) and model scorers are omitted ->
+    rows-only check, covered by pytest against pure-Python references."""
+    return all_oracles()

@@ -1,0 +1,105 @@
+"""Scalar/column helpers shared across operators.
+
+These cover the reference's scalar-function surface (SURVEY.md §2.8) plus
+the vector math the north-star extension operators need. Everything here is
+built from ``pyspark.sql.functions`` — JVM-side, codegen-eligible; no Python
+row UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Dates / time (reference F-5..F-8, W-2)
+# ---------------------------------------------------------------------------
+
+
+def to_date_ddmmyyyy(col: Column | str) -> Column:
+    """Parse the reference's ``dd-mm-yyyy`` date strings.
+
+    The reference double-parses (``ml_forecast_anomaly.py:123`` infers
+    mm-dd-yyyy for days <= 12, then :125 re-parses as a no-op). We implement
+    the single correct parse everywhere — SURVEY.md §4.4.1.
+    """
+    return F.to_date(F.col(col) if isinstance(col, str) else col, "dd-MM-yyyy")
+
+
+def weekday_mon0(col: Column | str) -> Column:
+    """Day of week, Monday=0 .. Sunday=6 — pandas ``.dt.dayofweek`` semantics
+    (``ml_forecast_anomaly.py:212``). Spark's ``dayofweek`` is Sunday=1, so we
+    use ``weekday`` which matches pandas directly.
+    """
+    return F.weekday(F.col(col) if isinstance(col, str) else col)
+
+
+# ---------------------------------------------------------------------------
+# Casts (reference F-2/F-3): error -> NULL, matching Python's
+# float()/int()-with-except-None in blobToCosmos.py:62-70.
+# ---------------------------------------------------------------------------
+
+
+def try_double(col: Column | str) -> Column:
+    return F.try_cast(F.col(col) if isinstance(col, str) else col, "double")
+
+
+def try_int(col: Column | str) -> Column:
+    return F.try_cast(F.col(col) if isinstance(col, str) else col, "int")
+
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float>/array<double> embedding columns.
+#
+# Computed as a sequential double-precision fold so the result is
+# bit-identical to the DuckDB oracle's equivalent expression (both engines
+# cast each element to double, multiply pairwise, then left-fold the sum).
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Text helpers (north-star text analysis)
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of non-empty tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (token n-grams) as an array<string>.
+
+    Built with transform over token indices — stays JVM-side; no UDF.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))  # valid only when size >= n
+    shingled = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    # CASE WHEN evaluates only the taken branch, so the descending-sequence
+    # pitfall (sequence(0, -1) == [0, -1]) never fires for short docs.
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,153 @@
+"""Text analysis operators (north-star extension).
+
+Language ID (stopword-marker heuristic), quality scoring, token counting,
+and document fingerprinting over the ``documents`` table. All arithmetic
+is ratios of integers -> bit-exact across engines, so text_stats /
+quality_score / lang_profile carry full SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+_SEED = 42
+
+# Deterministic English-ish stopword markers (subset present in the
+# synthetic corpus vocabulary). Shared with the DuckDB oracle.
+STOPWORDS = ("the", "a", "of", "and", "or", "in", "on", "to", "is")
+
+# Tiny marker lexicons for the language-ID heuristic. With the synthetic
+# corpus (English-vocab text + a lang column) this exercises the plumbing;
+# swap the lexicons for real per-language n-gram tables in production.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "了", "是", "我", "在"),
+}
+
+
+def _stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token/char statistics (token counting operator).
+
+    n_tokens: whitespace tokens; avg_token_len: (chars minus whitespace) /
+    n_tokens; alpha_ratio: share of [a-z] chars. Integer-ratio doubles ->
+    oracle-exact.
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    non_ws = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-z]", ""))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_actual"),
+        F.round(non_ws / n_tokens, 6).alias("avg_token_len"),
+        F.round(alpha / n_chars, 6).alias("alpha_ratio"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_len: int = 500,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: content-word share + length score.
+
+    score = 0.5*(1 - stopword_ratio) + 0.5*min(n_chars/target_len, 1).
+    Mirrors the classic pre-training quality filters (length, stopword
+    density); deterministic and oracle-exact.
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_ratio = _stopword_count(toks) / n_tokens
+    len_score = F.least(F.length(F.col(text_col)) / F.lit(float(target_len)), F.lit(1.0))
+    score = F.lit(0.5) * (F.lit(1.0) - stop_ratio) + F.lit(0.5) * len_score
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality"),
+        (score >= F.lit(threshold)).alias("is_high_quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits.
+
+    Returns (id, predicted_lang, marker_hits). Ties resolve to the
+    lexicographically smallest language code (deterministic).
+    """
+    toks = tokens(F.col(text_col))
+
+    def marker_hits(markers: tuple[str, ...]):
+        # closure (not a default arg) — a 2-arg lambda would be treated as
+        # the (value, index) higher-order-function form by PySpark
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    # struct comparison is field-order lexicographic: hits desc via array_max,
+    # ties broken toward the smallest lang code via the negated index field.
+    scores = F.array(
+        *[
+            F.struct(
+                marker_hits(markers).alias("hits"),
+                F.lit(-i).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def lang_profile(df: DataFrame) -> DataFrame:
+    """Corpus profile per declared language: doc count, char stats, sources."""
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max xxhash over word
+    8-grams plus full-text hash. Used for fast exact/near-exact lookup
+    keys at ingest; engine-specific hashes -> rows-only correctness.
+    """
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), k - 1)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.lit(_SEED),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
+                ),
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.lit(_SEED), F.col(text_col))))
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(F.lit(_SEED), F.col(text_col)).alias("exact_hash"),
+        F.array_min(grams).alias("min_gram_hash"),
+        F.array_max(grams).alias("max_gram_hash"),
+    )

@@ -1,0 +1,332 @@
+"""DuckDB oracle SQL twins for plans/queries.py.
+
+Every aggregate/computed column is aliased to the same name as the Spark
+side, and numeric conventions match exactly (see queries.py docstring):
+decimal-exact sums cast to double, double division for means, sequential
+double folds for cosine, integer-ratio doubles for Jaccard/text stats.
+
+Queries with engine-specific hashing (minhash/simhash/fingerprint/LSH) or
+model scoring have no oracle — the driver records a rows-only check and
+pytest covers them against pure-Python references.
+"""
+
+from __future__ import annotations
+
+
+# DuckDB's direct DECIMAL->DOUBLE cast is not correctly rounded (int128 *
+# 10^-scale in float math, off by 1 ULP); routing through VARCHAR uses
+# strtod, which is correctly rounded and bit-matches Spark's
+# BigDecimal.doubleValue.
+def _dec2dbl(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+def _dsum(col: str, alias: str) -> str:
+    return f"{_dec2dbl(f'SUM(CAST({col} AS DECIMAL(18,4)))')} AS {alias}"
+
+
+def _davg(col: str, alias: str) -> str:
+    return (
+        f"{_dec2dbl(f'SUM(CAST({col} AS DECIMAL(18,4)))')} / COUNT({col}) AS {alias}"
+    )
+
+
+_REVENUE = _dec2dbl(
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    """Sequential double fold — bit-identical to functions.cosine."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({x})), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+_TOKENS = "list_filter(string_split_regex(trim({t}), '\\s+'), x -> x <> '')"
+
+_STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'or', 'in', 'on', 'to', 'is')"
+
+
+ORACLES: dict[str, str] = {}
+
+
+ORACLES["g01_scan_filter"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+ORACLES["g02_groupby_sum"] = f"""
+SELECT l_returnflag, {_dsum('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["g03_multikey_agg"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity', 'sum_qty')},
+       {_REVENUE} AS revenue,
+       {_davg('l_discount', 'avg_disc')},
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["g04_global_kpis"] = f"""
+SELECT {_dsum('l_quantity', 'total_qty')},
+       {_REVENUE} AS revenue,
+       {_davg('l_extendedprice', 'avg_price')},
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+"""
+
+ORACLES["g05_topk"] = f"""
+SELECT l_partkey, {_REVENUE} AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY revenue DESC, l_partkey ASC LIMIT 5
+"""
+
+ORACLES["g06_join_global_avg"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey, o_orderpriority, {_dsum('o_totalprice', 'cust_total')}
+  FROM orders GROUP BY o_custkey, o_orderpriority
+), gavg AS (
+  SELECT o_orderpriority, {_davg('o_totalprice', 'global_avg')}
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT p.o_custkey, p.o_orderpriority, p.cust_total, g.global_avg,
+       p.cust_total > g.global_avg AS above_avg
+FROM per_cust p JOIN gavg g USING (o_orderpriority)
+"""
+
+ORACLES["g07_date_spine"] = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, {_dsum('value', 'total_value')}
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), bounds AS (
+  SELECT user_id, MIN(date) AS lo, MAX(date) AS hi FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date
+  FROM bounds
+)
+SELECT s.user_id, CAST(s.date AS TIMESTAMP) AS date,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.date = d.date
+"""
+
+ORACLES["g08_rolling_features"] = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, {_dsum('value', 'total_value')}
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), bounds AS (
+  SELECT user_id, MIN(date) AS lo, MAX(date) AS hi FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date
+  FROM bounds
+), dense AS (
+  SELECT s.user_id, s.date, COALESCE(d.total_value, 0.0) AS total_value
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.date = d.date
+)
+SELECT user_id, CAST(date AS TIMESTAMP) AS date, total_value,
+       ROUND(AVG(total_value) OVER (
+         PARTITION BY user_id ORDER BY date
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_7_mean,
+       CAST(isodow(date) - 1 AS INTEGER) AS dow
+FROM dense
+"""
+
+ORACLES["g09_grouping_sets"] = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       {_dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLES["g10_ingest_validation"] = """
+SELECT COUNT(*) AS total_rows,
+       COUNT(*) FILTER (
+         WHERE value BETWEEN 0 AND 400
+           AND CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+           AND event_type IS NOT NULL) AS valid_rows,
+       COUNT(*) - COUNT(*) FILTER (
+         WHERE value BETWEEN 0 AND 400
+           AND CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+           AND event_type IS NOT NULL) AS skipped_rows
+FROM events
+"""
+
+ORACLES["x01_dedup_exact"] = """
+SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM idx
+)
+"""
+
+ORACLES["x02_dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+"""
+
+ORACLES["x05_embedding_near_dup"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       {_cos('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.25
+"""
+
+ORACLES["x06_ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_cos('q.qv', 'c.cv')} AS cos_sim
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["x07_text_stats"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS.format(t='text')} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len(toks), 6) AS avg_token_len,
+       ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio
+FROM t
+"""
+
+ORACLES["x08_text_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS.format(t='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                       / len(toks))
+         + 0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS score
+  FROM t
+)
+SELECT doc_id, ROUND(score, 6) AS quality, score >= 0.5 AS is_high_quality FROM s
+"""
+
+ORACLES["x09_lang_profile"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+ORACLES["x10_sessionize"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {_dsum('value', 'total_value')}
+FROM sess GROUP BY user_id, session_id
+"""
+
+ORACLES["x11_event_hourly"] = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {_dsum('value', 'total_value')},
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+ORACLES["x12_ann_ivf_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS cell
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cell FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.cell, {_cos('q.qv', 'c.cv')} AS cos_sim
+  FROM c JOIN q USING (cell) WHERE c.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cell, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+# x14_lang_id: argmax of marker hits, alphabetical tie-break (matches
+# operators.text.lang_id).
+_HITS = {
+    "de": "('der', 'die', 'und', 'das', 'ist')",
+    "en": "('the', 'and', 'of', 'to', 'is')",
+    "es": "('el', 'la', 'de', 'que', 'y')",
+    "fr": "('le', 'la', 'et', 'les', 'des')",
+    "zh": "('的', '了', '是', '我', '在')",
+}
+_HIT_COLS = ",\n         ".join(
+    f"CAST(len(list_filter(toks, x -> x IN {m})) AS INTEGER) AS hits_{lang}"
+    for lang, m in sorted(_HITS.items())
+)
+_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in sorted(_HITS)) + ")"
+_PICK = "CASE " + " ".join(
+    f"WHEN hits_{lang} = {_BEST} THEN '{lang}'" for lang in sorted(_HITS)
+) + " END"
+
+ORACLES["x14_lang_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS.format(t='text')} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         {_HIT_COLS}
+  FROM t
+)
+SELECT doc_id, {_PICK} AS predicted_lang, {_BEST} AS marker_hits FROM h
+"""
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

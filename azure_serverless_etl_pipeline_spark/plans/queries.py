@@ -1,0 +1,365 @@
+"""The named query corpus (driver contract: ``__spark_entry__.queries``).
+
+G1..G10 re-express the reference's complete query surface (SURVEY.md §7);
+x01.. are the north-star LLM-data-pipeline operators; m01.. are the ML
+scorers (rows-only — no SQL oracle).
+
+Cross-engine exactness conventions (shared with plans/oracles.py):
+- Sums of doubles are aggregated as DECIMAL(18,4) then cast back to double:
+  decimal addition is associative, so Spark's partial-aggregate tree and
+  DuckDB's parallel sum produce bit-identical results regardless of row
+  order. Plain double sums would differ in late ULPs and can flip a
+  round().
+- Averages are sum(decimal)/count computed as double division of
+  bit-identical operands.
+- Ratios of integers (Jaccard, token stats) are exact doubles — safe to
+  threshold and round.
+- Cosine similarity is a sequential double fold in both engines (see
+  functions.dot / oracles.COSINE_SQL).
+- Every computed column is aliased identically on both sides; the driver
+  sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import weekday_mon0
+from ..operators import dedup, similarity, text
+from ..operators.timeseries import densify_daily, rolling_features
+from ..sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Order-independent sum of a double column (decimal-exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def davg(col: str, alias: str) -> Column:
+    """Order-independent mean: decimal-exact sum / count, double division."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,4)")).cast("double") / F.count(F.col(col))
+    ).alias(alias)
+
+
+def drevenue(alias: str = "revenue") -> Column:
+    """sum(extendedprice * (1 - discount)) with decimal-exact arithmetic."""
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    return F.sum(price * disc).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# G1..G10 — the reference surface (SURVEY.md §7 canonical set)
+# ---------------------------------------------------------------------------
+
+
+@query("g01_scan_filter")
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + projection + pushed-down predicates (P-1/P-6/P-8).
+
+    The reference pushes only the HomeID equality to the store and filters
+    the date range client-side (``ml_forecast_anomaly.py:162-187``); here
+    both predicates reach the parquet scan (PushedFilters).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+@query("g02_groupby_sum")
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by sum per category (A-1/A-2 — per-appliance totals analog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(dsum("l_quantity", "sum_qty"))
+
+
+@query("g03_multikey_agg")
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key agg with named outputs + distinct count (A-4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        drevenue("revenue"),
+        davg("l_discount", "avg_disc"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("g04_global_kpis")
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar KPIs, no grouping keys (A-5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_quantity", "total_qty"),
+        drevenue("revenue"),
+        davg("l_extendedprice", "avg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query("g05_topk")
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by revenue (O-1). Revenue is decimal-exact, so the
+    ranking is deterministic; id tiebreak guards equal revenues. Spark
+    plans TakeOrderedAndProject — true top-k, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(drevenue("revenue"))
+    return agg.orderBy(F.desc("revenue"), F.asc("l_partkey")).limit(5)
+
+
+@query("g06_join_global_avg")
+def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity totals joined to global per-category averages (J-1).
+
+    The global-average side is tiny -> broadcast hash join (no shuffle of
+    the fact side beyond its own groupBy)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey", "o_orderpriority").agg(
+        dsum("o_totalprice", "cust_total")
+    )
+    global_avg = o.groupBy("o_orderpriority").agg(davg("o_totalprice", "global_avg"))
+    joined = per_cust.join(F.broadcast(global_avg), "o_orderpriority")
+    return joined.select(
+        "o_custkey",
+        "o_orderpriority",
+        "cust_total",
+        "global_avg",
+        (F.col("cust_total") > F.col("global_avg")).alias("above_avg"),
+    )
+
+
+@query("g07_date_spine")
+def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key daily densification with zero-fill (W-3/W-4) — replaces the
+    reference's per-home Python reindex loop with one distributed plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        dsum("value", "total_value")
+    )
+    dense = densify_daily(daily, "date", ["user_id"], ["total_value"])
+    # date emitted as timestamp: Spark DateType maps to pandas object
+    # (datetime.date) while DuckDB DATE maps to datetime64 — timestamps
+    # render identically in both engines (cf. g01 l_shipdate).
+    return dense.select(
+        "user_id", F.col("date").cast("timestamp").alias("date"), "total_value"
+    )
+
+
+@query("g08_rolling_features")
+def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-7 mean + Monday=0 day-of-week over the densified series
+    (W-1/W-2 — the anomaly-detection feature frame)."""
+    daily = g07(spark, sf_dir)  # date already cast to timestamp (midnight)
+    feats = rolling_features(daily, "date", "total_value", ["user_id"])
+    return feats.select(
+        "user_id",
+        "date",
+        "total_value",
+        F.round("rolling_7_mean", 4).alias("rolling_7_mean"),
+        F.col("dow").cast("int").alias("dow"),
+    )
+
+
+@query("g09_grouping_sets")
+def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS consolidating the dashboard's per-category/global
+    aggregates into one pass (SURVEY.md §2.4 'absent' note)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query("g10_ingest_validation")
+def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-split ingest counters (P-9/A-6/T-4): total vs valid vs
+    skipped, computed in one pass over the source (the reference tallies
+    these per-row in Python — ``blobToCosmos.py:49-81``)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    valid = (
+        F.col("value").between(0, 400)
+        & k.isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(valid, 1)).alias("valid_rows"),
+    )
+    return agg.select(
+        "total_rows",
+        "valid_rows",
+        (F.col("total_rows") - F.col("valid_rows")).alias("skipped_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x01.. — north-star extension operators
+# ---------------------------------------------------------------------------
+
+
+@query("x01_dedup_exact")
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("x02_dedup_ngram_jaccard")
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@query("x03_dedup_minhash_lsh")
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@query("x04_dedup_simhash")
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query("x05_embedding_near_dup")
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(emb, threshold=0.25, block_col="label")
+    return out.select("id_a", "id_b", "label", "cos_sim")
+
+
+@query("x06_ann_cosine_topk")
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("x07_text_stats")
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("x08_text_quality")
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query("x09_lang_profile")
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_profile(load_table(spark, sf_dir, "documents"))
+
+
+@query("x10_sessionize")
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — lag + running sum,
+    the batch analog of streaming session windows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value", "total_value"),
+    )
+
+
+@query("x11_event_hourly")
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation (batch form of the streaming
+    windowed agg; same plan shape as readStream + window())."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query("x12_ann_ivf_topk")
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("x13_doc_fingerprint")
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("x14_lang_id")
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query("x15_ann_lsh_topk")
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# m01.. — ML scoring (rows-only: model-dependent, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+@query("m01_anomaly_scores")
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.scoring import score_anomalies
+
+    return score_anomalies(g08(spark, sf_dir))
+
+
+@query("m02_forecast")
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.forecast import forecast_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(dsum("value", "total_value"))
+    dense = densify_daily(daily, "date", [], ["total_value"])
+    return forecast_daily(dense, periods=14)
+
+
+# Re-exported for __spark_entry__
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+__all__ = ["QUERIES", "all_queries", "dsum", "davg", "drevenue", "weekday_mon0"]

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local test/bench runs use ``local[N]``; the same config block is what we'd
+ship to a real cluster (AQE on, sensible shuffle partitioning, Arrow on,
+UTC session time zone so results compare bit-for-bit against the DuckDB
+oracle, which is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "azure_serverless_etl_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster ``master``/memory come from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]`` and size shuffle partitions to
+    the core count — the default 200 over-parallelizes small local runs and
+    under-parallelizes 100 TB ones (there, AQE coalescing + a high initial
+    partition count is the right setting; see bench.py).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as long and convert in the catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

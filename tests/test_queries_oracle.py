@@ -1,0 +1,87 @@
+"""Replicates the driver's correctness gate: every query with an oracle is
+run on Spark and DuckDB and compared on row count + schema (column names)
++ order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # dates come back as datetime.date from both engines
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _assert_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f":
+            both_nan = sv.isna() & dv.isna()
+            close = pd.Series(
+                [
+                    (a == b) or (isinstance(a, float) and isinstance(b, float)
+                                 and math.isclose(a, b, rel_tol=0, abs_tol=0))
+                    for a, b in zip(sv, dv)
+                ]
+            )
+            ok = (both_nan | close).all()
+        else:
+            ok = sv.equals(dv)
+        assert ok, f"{name}: column {c} differs\nspark:\n{sv.head(20)}\nduck:\n{dv.head(20)}"
+
+
+def _oracle_names():
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles
+
+    return sorted(all_oracles())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, duck, name):
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries
+
+    sdf = all_queries()[name](spark, SF_ORACLE).toPandas()
+    ddf = duck.execute(all_oracles()[name]).df()
+    _assert_match(sdf, ddf, name)
+
+
+def test_every_oracle_has_query():
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries
+
+    missing = set(all_oracles()) - set(all_queries())
+    assert not missing, f"oracles without queries: {missing}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle must still run and return a stable schema."""
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries
+
+    for name, fn in all_queries().items():
+        if name in all_oracles():
+            continue
+        df = fn(spark, SF_ORACLE)
+        assert df.columns, name
+        assert df.count() >= 0, name
