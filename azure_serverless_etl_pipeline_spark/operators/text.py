@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import tokens
+from ..functions import tokens, word_shingles
 
 _SEED = 42
 
@@ -130,20 +130,10 @@ def fingerprint(
     8-grams plus full-text hash. Used for fast exact/near-exact lookup
     keys at ingest; engine-specific hashes -> rows-only correctness.
     """
-    toks = tokens(F.col(text_col))
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), k - 1)
+    shingles = word_shingles(F.col(text_col), n)
     grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                F.lit(_SEED),
-                F.concat_ws(
-                    " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-                ),
-            ),
-        ),
+        F.size(shingles) > 0,
+        F.transform(shingles, lambda s: F.xxhash64(F.lit(_SEED), s)),
     ).otherwise(F.array(F.xxhash64(F.lit(_SEED), F.col(text_col))))
     return df.select(
         F.col(id_col),

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: median_sec, ...}, "sf": ...}.
+
+Per BASELINE.md: sec/query = median of >=3 timed runs after 1 warm-up.
+Override runs with SPARK_GRAFT_BENCH_RUNS. Each timed run executes the
+full plan to completion (count() action) — results stay distributed, no
+driver materialization cost in the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Headline set: every reference-surface query (G1-G10) + the north-star
+# operators that dominate a training-data pipeline's cost profile.
+HEADLINE = [
+    "g01_scan_filter",
+    "g02_groupby_sum",
+    "g03_multikey_agg",
+    "g04_global_kpis",
+    "g05_topk",
+    "g06_join_global_avg",
+    "g07_date_spine",
+    "g08_rolling_features",
+    "g09_grouping_sets",
+    "g10_ingest_validation",
+    "x01_dedup_exact",
+    "x02_dedup_ngram_jaccard",
+    "x03_dedup_minhash_lsh",
+    "x05_embedding_near_dup",
+    "x06_ann_cosine_topk",
+    "x10_sessionize",
+    "x11_event_hourly",
+    "m01_anomaly_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+    from azure_serverless_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, sf_dir).count()  # warm-up (JIT, file listing, codegen)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "runs": runs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
