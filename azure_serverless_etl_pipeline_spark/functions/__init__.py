@@ -41,11 +41,11 @@ def weekday_mon0(col: Column | str) -> Column:
 
 
 def try_double(col: Column | str) -> Column:
-    return F.try_cast(F.col(col) if isinstance(col, str) else col, "double")
+    return (F.col(col) if isinstance(col, str) else col).try_cast("double")
 
 
 def try_int(col: Column | str) -> Column:
-    return F.try_cast(F.col(col) if isinstance(col, str) else col, "int")
+    return (F.col(col) if isinstance(col, str) else col).try_cast("int")
 
 
 # ---------------------------------------------------------------------------

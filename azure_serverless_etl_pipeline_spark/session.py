@@ -44,6 +44,9 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # partition directories must not re-type string keys ("101" -> int):
+        # HomeID is a string end-to-end (reference compares it as string)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -1,0 +1,62 @@
+"""Sinks: partitioned columnar writes + upsert emulation.
+
+The reference's write surface is per-row document inserts/upserts into
+Cosmos (S-6/S-7 — ``blobToCosmos.py:77``, ``blob_to_cosmosdb.py:32-38``),
+RU-throttled to ~40-80 writes/s. The Spark-native equivalents are bulk
+partitioned parquet writes and a MERGE-style upsert.
+
+Scale notes:
+- ``write_partitioned`` partitions by the reference's partition key
+  (HomeID analog): equality predicates prune partitions at read, the
+  same role Cosmos's ``/HomeID`` partition key plays.
+- Without Delta in this image, ``upsert_parquet`` emulates MERGE with
+  anti-join + union + full rewrite; on a Delta/Iceberg deployment this
+  function body is one ``MERGE INTO`` (noted inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("HomeID",),
+    mode: str = "append",
+) -> None:
+    """Bulk partitioned write — replaces the per-row create_item loop."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str = "id",
+) -> None:
+    """Idempotent upsert by key (reference T-3: ``upsert_item`` makes
+    re-delivered blob triggers safe).
+
+    Emulation of ``MERGE INTO target USING updates ON t.key = s.key WHEN
+    MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` for plain
+    parquet: keep target rows whose key is absent from updates
+    (left_anti), union the updates, rewrite. On Delta/Iceberg, replace
+    the body with the real MERGE (transactional, no full rewrite).
+    """
+    try:
+        target = spark.read.parquet(path)
+        keep = target.join(updates.select(key).distinct(), key, "left_anti")
+        merged = keep.unionByName(updates)
+    except Exception:  # first write: no target yet
+        merged = updates
+    # materialize before overwrite (lazy plans must not read the path
+    # they're overwriting)
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(path)
+
+
+def write_json_records(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON records sink (S-5, ``process_etl.py:14-17``)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

@@ -1,0 +1,144 @@
+"""Dedup + text operators on handcrafted corpora with known ground truth
+(the synthetic documents table has no near-dups by construction, so the
+interesting cases are built here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    # 0 and 1: identical
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    # 2: near-dup of 0 (one word changed)
+    (2, "the quick brown fox leaps over the lazy dog again and again"),
+    # 3: unrelated
+    (3, "completely different content about spark query engines and shuffles"),
+    # 4: short doc (< shingle width)
+    (4, "tiny doc"),
+    # 5: another near-dup pair with 6
+    (5, "data pipelines need dedup quality filters and token counts for training"),
+    (6, "data pipelines need dedup quality filters and token counts for pretraining"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs).toPandas()
+    assert len(out) == 6  # 7 docs, one exact pair
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0]["doc_id"] == 0  # min-id representative
+
+
+def test_jaccard_pairs_ground_truth(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy().tolist()))
+    assert (0, 1) in got  # identical -> jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # one-word edit
+    assert (5, 6) in got
+    assert not any(3 in p or 4 in p for p in got)
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_prefix_method_equals_inverted(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    inv = ngram_jaccard_pairs(docs, threshold=0.5, method="inverted").toPandas()
+    pre = ngram_jaccard_pairs(docs, threshold=0.5, method="prefix").toPandas()
+    key = ["id_a", "id_b"]
+    assert inv.sort_values(key, ignore_index=True).equals(
+        pre.sort_values(key, ignore_index=True)
+    )
+
+
+def test_minhash_finds_true_pairs(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    truth = set(
+        map(
+            tuple,
+            ngram_jaccard_pairs(docs, threshold=0.5)
+            .toPandas()[["id_a", "id_b"]]
+            .to_numpy()
+            .tolist(),
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            minhash_lsh_pairs(docs, threshold=0.5)
+            .toPandas()[["id_a", "id_b"]]
+            .to_numpy()
+            .tolist(),
+        )
+    )
+    assert got <= truth  # precision 1.0 (verified candidates)
+    assert len(got) >= len(truth) - 1  # recall allows the rare LSH miss
+
+
+def test_simhash_identical_zero_distance(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, max_hamming=3).toPandas()
+    z = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(z) == 1 and z.iloc[0]["hamming"] == 0
+
+
+def test_embedding_near_dup_blocking(spark):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import embedding_near_dup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0, 0.0], 0),   # near-dup of 1, same block
+        (3, [1.0, 0.0, 0.0, 0.0], 1),      # identical to 1 but other block
+        (4, [0.0, 1.0, 0.0, 0.0], 0),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_near_dup(df, threshold=0.95, block_col="label").toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy().tolist()))
+    assert got == {(1, 2)}  # blocked: (1,3) never compared; (1,4) below threshold
+
+
+def test_lang_id_markers(spark):
+    from azure_serverless_etl_pipeline_spark.operators.text import lang_id
+
+    rows = [
+        (1, "the cat and the dog of the house is to be found"),
+        (2, "el la de que y el la de"),
+        (3, "der die und das ist der die"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lang_id(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "predicted_lang"] == "en"
+    assert out.loc[2, "predicted_lang"] == "es"
+    assert out.loc[3, "predicted_lang"] == "de"
+
+
+def test_quality_score_bounds(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.text import quality_score
+
+    out = quality_score(docs).toPandas()
+    assert out["quality"].between(0, 1).all()
+
+
+def test_fingerprint_exact_dup_same_hash(spark, docs):
+    from azure_serverless_etl_pipeline_spark.operators.text import fingerprint
+
+    fp = fingerprint(docs).toPandas().set_index("doc_id")
+    assert fp.loc[0, "exact_hash"] == fp.loc[1, "exact_hash"]
+    assert fp.loc[0, "exact_hash"] != fp.loc[3, "exact_hash"]
+    # short doc falls back to whole-text hash without error
+    assert fp.loc[4].notna().all()

@@ -1,0 +1,93 @@
+"""Streaming file ingest: batch parity, exactly-once re-run, quarantine."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from tests.energy_fixtures import write_clean_csv, write_dirty_csv
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "landing": tmp_path / "landing",
+        "valid": tmp_path / "valid",
+        "quarantine": tmp_path / "quarantine",
+        "checkpoint": tmp_path / "checkpoint",
+    }
+    d["landing"].mkdir()
+    return d
+
+
+def _run_stream(spark, d, counters=None):
+    from azure_serverless_etl_pipeline_spark.streaming import start_energy_file_ingest
+
+    q = start_energy_file_ingest(
+        spark,
+        str(d["landing"]),
+        str(d["valid"]),
+        str(d["quarantine"]),
+        str(d["checkpoint"]),
+        counters=counters,
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_matches_batch(spark, dirs):
+    from azure_serverless_etl_pipeline_spark.operators.ingest import ingest_energy_csv
+    from azure_serverless_etl_pipeline_spark.streaming.file_ingest import IngestCounters
+
+    write_clean_csv(dirs["landing"] / "a.csv", n=300, seed=1)
+    write_dirty_csv(dirs["landing"] / "b.csv", n=200, seed=2)
+
+    counters = IngestCounters()
+    _run_stream(spark, dirs, counters)
+
+    batch = ingest_energy_csv(spark, str(dirs["landing"] / "*.csv"))
+    stream_valid = spark.read.parquet(str(dirs["valid"]))
+    assert stream_valid.count() == batch.valid.count()
+    assert spark.read.parquet(str(dirs["quarantine"])).count() == (
+        batch.quarantine.count()
+    )
+    assert counters.transformed == 500
+    assert counters.inserted == stream_valid.count()
+
+    # identical content modulo the synthetic uuid
+    b = batch.valid.drop("id").toPandas()
+    s = stream_valid.drop("id").select(*b.columns).toPandas()
+    cols = list(b.columns)
+    b = b.sort_values(cols, ignore_index=True)
+    s = s.sort_values(cols, ignore_index=True)
+    assert b.equals(s)
+
+
+def test_exactly_once_rerun(spark, dirs):
+    write_clean_csv(dirs["landing"] / "a.csv", n=100, seed=3)
+    _run_stream(spark, dirs)
+    n1 = spark.read.parquet(str(dirs["valid"])).count()
+
+    # re-run with the same checkpoint: no new files -> no new rows
+    _run_stream(spark, dirs)
+    assert spark.read.parquet(str(dirs["valid"])).count() == n1 == 100
+
+    # new file arrives -> only it is ingested
+    write_clean_csv(dirs["landing"] / "b.csv", n=50, seed=4)
+    _run_stream(spark, dirs)
+    assert spark.read.parquet(str(dirs["valid"])).count() == 150
+
+
+def test_quarantine_only_invalid(spark, dirs):
+    write_dirty_csv(dirs["landing"] / "d.csv", n=200, seed=5)
+    _run_stream(spark, dirs)
+    quar = spark.read.parquet(str(dirs["quarantine"]))
+    # every quarantined row violates the validation predicate
+    bad = quar.filter(
+        "HomeID IS NOT NULL AND HomeID != '' AND ApplianceType IS NOT NULL "
+        "AND ApplianceType != '' AND EnergyConsumption IS NOT NULL"
+    )
+    assert bad.count() == 0
+    assert quar.count() == 30
