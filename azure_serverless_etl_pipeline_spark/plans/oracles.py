@@ -328,5 +328,114 @@ SELECT doc_id, {_PICK} AS predicted_lang, {_BEST} AS marker_hits FROM h
 """
 
 
+ORACLES["x16_window_suite"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE), 4)
+         AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+ORACLES["x17_pivot_status"] = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["x18_set_ops"] = """
+(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+ORACLES["x19_asof_join"] = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts) AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+ORACLES["x20_topk_per_group"] = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_partkey, {_REVENUE} AS revenue
+  FROM lineitem GROUP BY l_returnflag, l_partkey
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey ASC) AS INTEGER) AS rk
+  FROM agg
+)
+SELECT l_returnflag, l_partkey, revenue, rk FROM ranked WHERE rk <= 3
+"""
+
+ORACLES["x21_price_histogram"] = f"""
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(FLOOR(o_totalprice / 50000.0) + 1 AS INTEGER) END AS INTEGER)
+         AS bucket,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice', 'bucket_total')}
+FROM orders
+GROUP BY 1
+"""
+
+ORACLES["x22_dedup_pipeline"] = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+), kept AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+), t AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         {_TOKENS.format(t='text')} AS toks
+  FROM kept
+), scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                       / len(toks))
+         + 0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS score
+  FROM t
+)
+SELECT doc_id, lang, source, n_chars, ROUND(score, 6) AS quality
+FROM scored WHERE score >= 0.5
+"""
+
+ORACLES["x23_corpus_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKENS.format(t='text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
+         0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                       / len(toks))
+         + 0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS score
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       COUNT(*) FILTER (WHERE score >= 0.5) AS n_high_quality
+FROM s GROUP BY source
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

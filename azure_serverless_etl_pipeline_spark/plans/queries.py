@@ -335,6 +335,149 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("x16_window_suite")
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/lead/lag/running-sum window suite over orders per customer
+    (operators absent from the reference — SURVEY.md §2.5 'absent' note)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double"),
+            4,
+        ).alias("running_total"),
+    )
+
+
+@query("x17_pivot_status")
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status. Manual CASE form — the
+    portable shape of df.groupBy().pivot() with fixed values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+    )
+
+
+@query("x18_set_ops")
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (SURVEY.md §2.7 — absent in reference, engine
+    built-ins): customers with both open and finished orders, excluding
+    any with pending ones."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    pend = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return open_.intersect(fin).exceptAll(pend.distinct())
+
+
+@query("x19_asof_join")
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each purchase event matched
+    to the user's latest click at-or-before it. One pass: RANGE-framed
+    running max over the interleaved event stream — no self-join, no
+    per-key driver work; DuckDB oracle uses a correlated subquery."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    # RANGE frame (not ROWS): ties on ts must all be visible, matching
+    # the oracle's c.ts <= p.ts semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+@query("x20_topk_per_group")
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each return flag — the window top-k
+    pattern (partial top-k per partition under codegen)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_partkey").agg(drevenue("revenue"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_returnflag", "l_partkey", "revenue", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query("x21_price_histogram")
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of order totals. Bucket formula is written
+    out (floor(x/width)+1 with clamps) so the oracle evaluates the exact
+    same double arithmetic — width_bucket internals differ per engine."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    b = (
+        F.when(x < 0.0, F.lit(0))
+        .when(x >= 600000.0, F.lit(13))
+        .otherwise((F.floor(x / 50000.0) + 1).cast("int"))
+    )
+    return o.groupBy(b.cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "bucket_total"),
+    )
+
+
+@query("x22_dedup_pipeline")
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus clean: drop near-duplicates (keep the
+    smaller doc_id of each Jaccard>=0.5 pair) then keep high-quality docs.
+    The canonical composition of the dedup + quality operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(dupes, "doc_id", "left_anti")
+    q = text.quality_score(kept)
+    return (
+        kept.join(q, "doc_id")
+        .filter(F.col("is_high_quality"))
+        .select("doc_id", "lang", "source", "n_chars", "quality")
+    )
+
+
+@query("x23_corpus_stats")
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count/quality rollup per source — the corpus accounting
+    query every training-data pipeline runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs)
+    q = text.quality_score(docs)
+    joined = docs.select("doc_id", "source").join(stats, "doc_id").join(q, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.count(F.when(F.col("is_high_quality"), 1)).alias("n_high_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # m01.. — ML scoring (rows-only: model-dependent, no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -345,6 +488,30 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.scoring import score_anomalies
 
     return score_anomalies(g08(spark, sf_dir))
+
+
+@query("m03_media_features")
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over the documents table: text bytes stand in
+    for media blobs (no binary column in testdata); decode-metadata +
+    feature extraction via mapInPandas. Rows-only (stub decode)."""
+    from ..operators.multimodal import decode_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    meta = decode_media(media).select("media_id", "width", "height", "decode_ok")
+    feats = extract_features(media)
+    return meta.join(feats, "media_id").select(
+        "media_id", "width", "height", "decode_ok", F.size("feature").alias("feature_dim")
+    )
 
 
 @query("m02_forecast")

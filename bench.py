@@ -43,6 +43,10 @@ HEADLINE = [
     "x06_ann_cosine_topk",
     "x10_sessionize",
     "x11_event_hourly",
+    "x16_window_suite",
+    "x19_asof_join",
+    "x20_topk_per_group",
+    "x22_dedup_pipeline",
     "m01_anomaly_scores",
 ]
 
