@@ -1,0 +1,99 @@
+"""Event-stream analytics: watermarked windows + custom stateful ops.
+
+The reference's only streaming construct is the per-file blob trigger
+(file_ingest.py covers it). A 100 TB event pipeline additionally needs
+event-time aggregation with late-data policy and custom stateful
+operators; both are expressed here on Structured Streaming and verified
+against their batch equivalents (x11/x10) in tests — the
+stream/batch-parity property Spark's unified model promises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time aggregation with a late-data watermark.
+
+    Works identically on a batch or streaming frame (unified API); in
+    streaming, the watermark bounds state: windows older than
+    max(event_time) - watermark are finalized and evicted. Output schema
+    matches x11 (hour, event_type, n_events, total_value, n_users).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users_approx",
+        )
+    )
+
+
+# --- custom stateful operator: running per-user spend with inactivity flush
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("running_total", T.DoubleType()),
+    ]
+)
+
+
+def _running_spend(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState body: accumulate (count, sum) per user and
+    emit the updated running totals each micro-batch. State survives
+    across batches; ProcessingTimeTimeout would flush idle users in a
+    continuous deployment."""
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "events_seen": [n], "running_total": [round(total, 4)]}
+    )
+
+
+def running_user_spend(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator over a stream grouped by user.
+
+    The Pandas-UDF-backed path for operators Spark's built-ins can't
+    express (north-star requirement): arbitrary per-key state machines
+    with Arrow-batched input.
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_spend,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,98 @@
+"""Stream/batch parity for event-time analytics, and the custom stateful
+operator. Streams are driven from the events parquet (re-written as a
+streaming source dir) with availableNow + memory sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """events table materialized as a streaming-readable dir with a
+    microsecond ts column (streaming needs an explicit schema)."""
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    d = tmp_path_factory.mktemp("stream_src")
+    ev = load_table(spark, SF_ORACLE, "events")
+    ev.write.mode("overwrite").parquet(str(d / "events"))
+    schema = spark.read.parquet(str(d / "events")).schema
+    return str(d / "events"), schema, ev
+
+
+def test_windowed_agg_stream_matches_batch(spark, event_source, tmp_path):
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        hourly_windowed_agg,
+    )
+
+    path, schema, ev = event_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        hourly_windowed_agg(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hourly_out").toPandas()
+
+    expected = hourly_windowed_agg(ev).toPandas()  # same fn, batch frame
+    key = ["hour", "event_type"]
+    got = got.sort_values(key, ignore_index=True)
+    expected = expected.sort_values(key, ignore_index=True)
+
+    # append mode emits only windows finalized by the watermark; with
+    # availableNow the final watermark is max(ts) - 2h, so the last
+    # window(s) may be withheld — everything emitted must match batch.
+    assert len(got) >= len(expected) - 4
+    merged = got.merge(expected, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["total_value_s"] == merged["total_value_b"]).all()
+
+
+def test_running_user_spend_state(spark, event_source, tmp_path):
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        running_user_spend,
+    )
+
+    path, schema, ev = event_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        running_user_spend(stream)
+        .writeStream.format("memory")
+        .queryName("spend_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, max_by(events_seen, events_seen) AS events_seen, "
+        "max_by(running_total, events_seen) AS running_total "
+        "FROM spend_out GROUP BY user_id"
+    ).toPandas()
+
+    expected = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.round(F.sum("value"), 4).alias("running_total"),
+        )
+        .toPandas()
+    )
+    key = "user_id"
+    got = got.sort_values(key, ignore_index=True)
+    expected = expected.sort_values(key, ignore_index=True)
+    assert (got["events_seen"].to_numpy() == expected["events_seen"].to_numpy()).all()
+    assert (
+        abs(got["running_total"].to_numpy() - expected["running_total"].to_numpy())
+        < 1e-6
+    ).all()

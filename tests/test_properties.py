@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): operators vs pure-Python references
+on randomized small inputs. max_examples kept low — each example is a
+Spark job; the value is in the random structure, not the count."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+VOCAB = ["spark", "data", "row", "scan", "join", "the", "fast", "key", "sort"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard_pairs(texts: list[str], tau: float) -> set[tuple[int, int]]:
+    sh = {i: _py_shingles(t) for i, t in enumerate(texts)}
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sh[i], sh[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                out.add((i, j))
+    return out
+
+
+@SETTINGS
+@given(texts=doc_strategy)
+def test_jaccard_matches_python_reference(spark, texts):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = set(
+        map(
+            tuple,
+            ngram_jaccard_pairs(df, threshold=0.5)
+            .toPandas()[["id_a", "id_b"]]
+            .to_numpy()
+            .tolist(),
+        )
+    )
+    assert got == _py_jaccard_pairs(texts, 0.5)
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.floats(min_value=0.1, max_value=9.9, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_densify_invariants(spark, data):
+    from azure_serverless_etl_pipeline_spark.operators.timeseries import densify_daily
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    rows = [(str(k), base + dt.timedelta(days=d), round(v, 2)) for k, d, v in data]
+    df = (
+        spark.createDataFrame(rows, "k string, date date, v double")
+        .groupBy("k", "date")
+        .agg(F.round(F.sum("v"), 4).alias("v"))
+    )
+    dense = densify_daily(df, "date", ["k"], ["v"]).toPandas()
+    src = df.toPandas()
+    for k, grp in src.groupby("k"):
+        dg = dense[dense.k == k]
+        span = (grp["date"].max() - grp["date"].min()).days + 1
+        # exactly one row per day in [min, max]
+        assert len(dg) == span
+        assert dg["date"].nunique() == span
+        # zero-fill preserves the total and introduces no NULLs
+        assert dg["v"].isna().sum() == 0
+        assert abs(dg["v"].sum() - grp["v"].sum()) < 1e-6
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_salted_join_property(spark, rows):
+    from azure_serverless_etl_pipeline_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(k, round(v, 3)) for k, v in rows] or [(None, None)], "k int, v double"
+    ).filter(F.col("k").isNotNull())
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k int, tag string"
+    )
+    plain = big.join(small, ["k"], "left").toPandas()
+    salted = salted_join(big, small, ["k"], how="left", salt_buckets=4).toPandas()
+    cols = list(plain.columns)
+    assert plain.sort_values(cols, ignore_index=True).equals(
+        salted[cols].sort_values(cols, ignore_index=True)
+    )
