@@ -490,6 +490,18 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_anomalies(g08(spark, sf_dir))
 
 
+@query("x24_ann_ivf_kmeans")
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a real k-means codebook (MLlib): build index, probe 3 of
+    8 cells per query. Rows-only (cluster assignment is engine-specific);
+    recall vs brute force is pytest-asserted in test_ann_index."""
+    from ..operators.ann_index import build_ivf_index, probe_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, k=8)
+    return probe_ivf(indexed, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=3)
+
+
 @query("m03_media_features")
 def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the documents table: text bytes stand in

@@ -1,0 +1,86 @@
+"""IVF index: build (KMeans codebook), persist partitionBy(cell), probe,
+and measure recall against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+def test_build_and_probe_recall(spark, corpus, tmp_path_factory):
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    indexed, centroids = build_ivf_index(corpus, k=8, index_path=path)
+    assert centroids.shape == (8, 64)
+    # every vector got a cell; cells partition the corpus
+    assert indexed.filter("cell IS NULL").count() == 0
+    assert indexed.count() == corpus.count()
+
+    queries = corpus.filter(F.col("vec_id") < 20)
+    approx = probe_ivf(indexed, queries, centroids, k=5, nprobe=3).toPandas()
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy().tolist()))
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy().tolist()))
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5  # random gaussian-ish corpus, 3/8 cells probed
+    # scored cosine values must be identical to the exact path's for hits
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
+
+    # the persisted index is partition-pruned on cell
+    back = spark.read.parquet(path)
+    plan = (
+        back.filter(F.col("cell") == 3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_probe_more_cells_more_recall(spark, corpus):
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    indexed, centroids = build_ivf_index(corpus, k=8)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(corpus, queries, k=5)
+            .toPandas()[["query_id", "neighbor_id"]]
+            .to_numpy()
+            .tolist(),
+        )
+    )
+
+    def recall(nprobe):
+        got = set(
+            map(
+                tuple,
+                probe_ivf(indexed, queries, centroids, k=5, nprobe=nprobe)
+                .toPandas()[["query_id", "neighbor_id"]]
+                .to_numpy()
+                .tolist(),
+            )
+        )
+        return len(got & exact) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 == 1.0  # probing all cells == exact
+    assert r1 <= r8
