@@ -34,9 +34,27 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation"})
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Settings correctness depends on, applied defensively: the caller
+    (e.g. the round driver) may hand us a session built without them.
+    All three are runtime SQL confs — safe to set on a live session."""
+    for k, v in (
+        # events.parquet stores TIMESTAMP(NANOS); the default reader errors
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # oracle comparisons assume UTC-naive timestamps (DuckDB semantics)
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.sources.partitionColumnTypeInference.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static/locked conf: keep going with the session's value
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; available: {TABLES}")
+    _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (session
     # config nanosAsLong) and floor-convert to a microsecond timestamp —
