@@ -437,5 +437,36 @@ FROM s GROUP BY source
 """
 
 
+ORACLES["x25_scalar_functions"] = """
+WITH parts AS (
+  SELECT p_partkey,
+         upper(p_name) AS name_upper,
+         substr(p_name, 1, 5) AS name_prefix,
+         CAST(length(p_name) AS INTEGER) AS name_len,
+         p_brand || '-' || p_type AS brand_type,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+         ROUND(abs(p_retailprice - 1000.0), 2) AS price_dist,
+         CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_bucket
+  FROM part
+), ym AS (
+  SELECT COUNT(*) AS n_year_months FROM (
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo
+    FROM orders GROUP BY 1, 2) t
+)
+SELECT parts.*, ym.n_year_months FROM parts, ym
+"""
+
+ORACLES["x26_json_extraction"] = f"""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+         AS k_mod,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
+       {_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -490,6 +490,45 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_anomalies(g08(spark, sf_dir))
 
 
+@query("x25_scalar_functions")
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/date scalar-function sampler (engine inherits the full
+    pyspark.sql.functions namespace — SURVEY.md §2.8 'absent' note); every
+    expression has an exact ANSI twin."""
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    parts = p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dist"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("long").alias("price_bucket"),
+    )
+    dates = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return parts.join(
+        F.broadcast(dates.agg(F.count(F.lit(1)).alias("n_year_months"))), how="cross"
+    )
+
+
+@query("x26_json_extraction")
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events props column (semi-structured
+    data handling the reference's schemaless Cosmos documents imply)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy(F.pmod(k, F.lit(10)).cast("int").alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        dsum("value", "total_value"),
+    )
+
+
 @query("x24_ann_ivf_kmeans")
 def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a real k-means codebook (MLlib): build index, probe 3 of
