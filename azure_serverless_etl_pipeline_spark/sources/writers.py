@@ -60,3 +60,26 @@ def write_json_records(df: DataFrame, path: str, single_file: bool = False) -> N
     """JSON records sink (S-5, ``process_etl.py:14-17``)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write: pre-shuffle the data ONCE at write time so
+    every later join/aggregation on ``bucket_by`` is exchange-free.
+
+    This is the 100 TB answer to "the same join key shuffles every
+    query": fact tables bucketed by their join key co-locate with each
+    other (bucket counts equal or multiples), and Spark elides both
+    Exchanges in the join plan. Requires saveAsTable (bucket metadata
+    lives in the catalog, not the files).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
