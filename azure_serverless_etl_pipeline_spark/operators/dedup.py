@@ -16,6 +16,9 @@ Scale notes (100 TB):
 - Signatures (minhash/simhash) are computed map-side with array
   expressions — zero shuffles until the candidate join, whose input is
   |docs| * n_bands tiny rows, not |docs|^2.
+- Candidate pruning follows the published similarity-join literature
+  (prefix filtering a la PPJoin; cf. PAPERS.md: compressed-index string
+  similarity join, ICDE 2022; top-k similarity search, EDBT 2020).
 - The inverted-index Jaccard join is quadratic in per-shingle frequency;
   ``max_shingle_freq`` drops ubiquitous shingles (stop-shingles), the
   standard guard against join skew at scale.

@@ -468,5 +468,50 @@ GROUP BY 1
 """
 
 
+_PD = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+ORACLES["x27_tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity', 'sum_qty')},
+       {_dsum('l_extendedprice', 'sum_base_price')},
+       {_dec2dbl(f'SUM({_PD})')} AS sum_disc_price,
+       {_dec2dbl(f'SUM({_PD} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))')}
+         AS sum_charge,
+       {_davg('l_quantity', 'avg_qty')},
+       {_davg('l_extendedprice', 'avg_price')},
+       {_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["x28_tpch_q3"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_dec2dbl(f'SUM({_PD})')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+ORACLES["x29_tpch_q6"] = f"""
+SELECT {_dec2dbl('SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)))')}
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -529,6 +529,83 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x27_tpch_q1")
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical OLAP agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    tax = F.lit(1).cast("decimal(18,4)") + F.col("l_tax").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query("x28_tpch_q3")
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join + agg + top-10."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    joined = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1996-01-01")
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(price * disc).cast("double").alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+@query("x29_tpch_q6")
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg —
+    the pushdown/codegen showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+@query("x30_approx_aggregates")
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct/quantile sketches — the 100 TB toolkit where
+    exact counts/sorts don't pay (rows-only: sketch internals are
+    engine-specific; accuracy asserted vs exact in pytest)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 @query("x24_ann_ivf_kmeans")
 def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a real k-means codebook (MLlib): build index, probe 3 of

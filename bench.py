@@ -47,6 +47,9 @@ HEADLINE = [
     "x19_asof_join",
     "x20_topk_per_group",
     "x22_dedup_pipeline",
+    "x27_tpch_q1",
+    "x28_tpch_q3",
+    "x29_tpch_q6",
     "m01_anomaly_scores",
 ]
 
