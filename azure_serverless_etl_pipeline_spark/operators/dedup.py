@@ -337,6 +337,64 @@ def simhash_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into transitive CLUSTERS: (doc_id, cluster_id)
+    where cluster_id is the min doc id reachable through any chain of
+    pairs. Pairwise dedup alone under-deletes (a~b, b~c but a!~c leaves
+    both b and c unless chains collapse).
+
+    Iterative min-label propagation (the standard connected-components
+    loop on Spark): each round joins every node's current label with its
+    neighbors' and keeps the min; converges in O(log n) rounds for real
+    dup-cluster shapes (chains are short). Each round is one shuffle on
+    a frame of |nodes| rows; the edge list is re-used via cache.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # fixpoint check: one tiny action per round (count of changed rows)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint: truncate the lineage so iteration depth doesn't
+        # compound the plan (the classic iterative-algorithm pitfall)
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,

@@ -513,5 +513,31 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+ORACLES["x31_dup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES.strip().lstrip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -606,6 +606,16 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x31_dup_clusters")
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: Jaccard pairs -> connected components
+    via iterative min-label propagation (the oracle is a recursive CTE —
+    same fixpoint, computed declaratively)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(pairs)
+
+
 @query("x24_ann_ivf_kmeans")
 def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a real k-means codebook (MLlib): build index, probe 3 of

@@ -142,3 +142,46 @@ def test_fingerprint_exact_dup_same_hash(spark, docs):
     assert fp.loc[0, "exact_hash"] != fp.loc[3, "exact_hash"]
     # short doc falls back to whole-text hash without error
     assert fp.loc[4].notna().all()
+
+
+def test_dup_clusters_transitive(spark):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import dup_clusters
+
+    # chain 1-2-3-4 (no direct 1~4 edge), pair 10-11, singleton edges 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    out = dup_clusters(pairs).toPandas().set_index("doc_id")["cluster_id"]
+    assert out[1] == out[2] == out[3] == out[4] == 1  # chain collapses to min
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == 20
+    assert len(out) == 8  # 4 chain + 2 + 2 nodes
+
+
+def test_dup_clusters_python_reference(spark):
+    import random
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(42)
+    edges = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(40)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dup_clusters(pairs).toPandas().set_index("doc_id")["cluster_id"].to_dict()
+
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
