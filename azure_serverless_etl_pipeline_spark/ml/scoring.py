@@ -76,3 +76,38 @@ def score_anomalies(
         F.round(F.col("_s.score"), 6).alias("score"),
         F.col("_s.anomaly").alias("anomaly"),
     )
+
+
+def score_anomalies_with_model(
+    feats: DataFrame,
+    model_bc,
+    value_col: str = "total_value",
+    rolling_col: str = "rolling_7_mean",
+    dow_col: str = "dow",
+) -> DataFrame:
+    """Score with a PRE-TRAINED broadcast artifact — the reference's exact
+    pattern (load once at cold start, score every request;
+    ``ml_forecast_anomaly.py:52-71,218-222``). ``model_bc`` is a
+    broadcast of ml.artifacts.ZScoreModel; executors read ``bc.value``
+    inside the Arrow batch loop, so the artifact ships once per executor
+    rather than per task. Identical output to score_anomalies when the
+    model was fit on the same frame.
+    """
+
+    @F.pandas_udf(_SCORE_SCHEMA)
+    def _score(value: pd.Series, rolling: pd.Series, dow: pd.Series) -> pd.DataFrame:
+        m = model_bc.value
+        mu = dow.astype(str).map(m.mu).astype(float)
+        sigma = dow.astype(str).map(m.sigma).astype(float)
+        sigma = sigma.where(sigma > 0, 1.0)
+        z = (value - rolling - mu) / sigma
+        return pd.DataFrame({"score": -z.abs(), "anomaly": z.abs() > m.threshold})
+
+    scored = feats.withColumn(
+        "_s", _score(F.col(value_col), F.col(rolling_col), F.col(dow_col))
+    )
+    return scored.select(
+        *[c for c in feats.columns],
+        F.round(F.col("_s.score"), 6).alias("score"),
+        F.col("_s.anomaly").alias("anomaly"),
+    )

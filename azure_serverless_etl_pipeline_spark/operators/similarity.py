@@ -102,14 +102,20 @@ def lsh_ann_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 4,
+    multiprobe: bool = True,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH bucket.
 
     With n_planes=4 (16 buckets), ~1/16 of the corpus is scored per query.
+    ``multiprobe`` additionally probes every bucket at Hamming distance 1
+    from the query's (flip one hyperplane sign) — the standard
+    multi-probe LSH recall knob: (1+n_planes)/2^n_planes of the corpus
+    scored instead of 1/2^n_planes, recovering the neighbors that fall
+    just across one hyperplane. Only the (tiny) query side fans out.
     Output schema matches cosine_topk; recall < 1 by design (rows-only
-    correctness check + recall assertion in tests).
+    correctness check + recall assertions in tests).
     """
     c = _prepped(corpus, id_col, vec_col, "neighbor_id", "c_vec").withColumn(
         "bucket", _hyperplane_bucket(F.col("c_vec"), dim, n_planes)
@@ -117,6 +123,18 @@ def lsh_ann_topk(
     q = _prepped(queries, id_col, vec_col, "query_id", "q_vec").withColumn(
         "bucket", _hyperplane_bucket(F.col("q_vec"), dim, n_planes)
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    # no dedup needed: a corpus vector lives in exactly one bucket and the
+    # probe buckets are pairwise distinct, so each (query, neighbor) pair
+    # appears at most once — keeping the plan shuffle-free up to the rank
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

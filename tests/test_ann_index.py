@@ -84,3 +84,37 @@ def test_probe_more_cells_more_recall(spark, corpus):
     r1, r8 = recall(1), recall(8)
     assert r8 == 1.0  # probing all cells == exact
     assert r1 <= r8
+
+
+def test_lsh_multiprobe_improves_recall(spark, corpus):
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 20)
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(corpus, queries, k=5)
+            .toPandas()[["query_id", "neighbor_id"]]
+            .to_numpy()
+            .tolist(),
+        )
+    )
+
+    def recall(multiprobe):
+        got = set(
+            map(
+                tuple,
+                lsh_ann_topk(corpus, queries, k=5, multiprobe=multiprobe)
+                .toPandas()[["query_id", "neighbor_id"]]
+                .to_numpy()
+                .tolist(),
+            )
+        )
+        return len(got & exact) / len(exact)
+
+    r_single, r_multi = recall(False), recall(True)
+    assert r_multi >= r_single
+    assert r_multi >= 0.3  # 5/16 of the corpus probed on gaussian-ish data

@@ -77,3 +77,47 @@ def test_skewed_group_sum_matches_plain(spark):
         .sort_values("l_returnflag", ignore_index=True)
     )
     assert (abs(plain["s"] - salted["s"]) < 1e-6).all()
+
+
+def test_pretrained_model_scoring_matches_online(spark):
+    """score_anomalies (online stats) == score_anomalies_with_model
+    (broadcast pre-trained artifact) when fit on the same frame."""
+    from azure_serverless_etl_pipeline_spark.ml.artifacts import (
+        broadcast_model,
+        fit_zscore_model,
+    )
+    from azure_serverless_etl_pipeline_spark.ml.scoring import (
+        score_anomalies,
+        score_anomalies_with_model,
+    )
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+
+    feats = all_queries()["g08_rolling_features"](spark, SF_ORACLE)
+    online = score_anomalies(feats).toPandas()
+    bc = broadcast_model(spark, fit_zscore_model(feats))
+    pretrained = score_anomalies_with_model(feats, bc).toPandas()
+    key = ["user_id", "date"]
+    a = online.sort_values(key, ignore_index=True)
+    b = pretrained.sort_values(key, ignore_index=True)
+    assert (a["score"] - b["score"]).abs().max() < 1e-9
+    assert (a["anomaly"] == b["anomaly"]).all()
+
+
+def test_compact_parquet(spark, tmp_path):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.sources.writers import compact_parquet
+
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, SF_ORACLE, "events")
+    # simulate streaming fragmentation: 20 tiny appends
+    for i in range(20):
+        ev.filter(f"event_id % 20 = {i}").write.mode("append").parquet(out)
+    import glob
+
+    before = len(glob.glob(out + "/*.parquet"))
+    n_rows = spark.read.parquet(out).count()
+    compact_parquet(spark, out, target_file_bytes=1 << 30)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert before >= 20
+    assert after < before
+    assert spark.read.parquet(out).count() == n_rows  # lossless
