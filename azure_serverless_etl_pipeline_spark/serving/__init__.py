@@ -45,6 +45,16 @@ def run_named_query(
     return df
 
 
+def run_sql(spark: SparkSession, sql: str, args: dict[str, object] | None = None) -> DataFrame:
+    """Parameterized SQL entry point (F-13): named parameters are bound by
+    the engine (``spark.sql(query, args=...)``, Spark >= 3.4), never
+    interpolated into the statement — the injection-safe replacement for
+    the reference's f-string WHERE clause (data_analytics_api.py:67).
+    Tables from the catalog must be registered first (register_views).
+    """
+    return spark.sql(sql, args=args or {})
+
+
 def to_json_response(df: DataFrame, max_rows: int = 10_000) -> str:
     """Serialize at the API edge (S-12). ``default=str`` mirrors the
     reference's date handling (``data_analytics_api.py:35``); max_rows

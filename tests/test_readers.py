@@ -31,3 +31,25 @@ def test_csv_inferred_vs_all_strings(spark, tmp_path):
     strings = read_csv(spark, str(p), all_strings=True)
     assert set(t for _, t in strings.dtypes) == {"string"}
     assert strings.count() == 2
+
+
+def test_run_sql_parameter_binding(spark):
+    from azure_serverless_etl_pipeline_spark.serving import run_sql
+    from azure_serverless_etl_pipeline_spark.sources import register_views
+    from tests.conftest import SF_ORACLE
+
+    register_views(spark, SF_ORACLE, "orders")
+    df = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority = :prio",
+        {"prio": "1-URGENT"},
+    )
+    n = df.collect()[0]["n"]
+    assert n > 0
+    # injection attempt stays a literal, not SQL
+    evil = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority = :prio",
+        {"prio": "x' OR '1'='1"},
+    )
+    assert evil.collect()[0]["n"] == 0
