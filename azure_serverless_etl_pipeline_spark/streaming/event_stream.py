@@ -97,3 +97,27 @@ def running_user_spend(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows via the native session_window function —
+    the streaming form of x10's batch sessionization (same semantics:
+    a session closes after ``gap`` of inactivity). Works on batch and
+    streaming frames; in streaming it needs a watermark on ts.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

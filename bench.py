@@ -65,15 +65,19 @@ def main() -> None:
     queries = all_queries()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
-        fn(spark, sf_dir).count()  # warm-up (JIT, file listing, codegen)
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        try:
+            fn(spark, sf_dir).count()  # warm-up (JIT, file listing, codegen)
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as e:  # one broken query must not sink the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -85,6 +89,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "runs": runs,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

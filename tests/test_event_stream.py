@@ -96,3 +96,57 @@ def test_running_user_spend_state(spark, event_source, tmp_path):
         abs(got["running_total"].to_numpy() - expected["running_total"].to_numpy())
         < 1e-6
     ).all()
+
+
+def test_session_window_matches_lag_sessionize(spark, event_source):
+    """Native session_window == the lag/cumsum sessionization (x10) on the
+    same data: same session count per user, same event totals."""
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        session_window_agg,
+    )
+
+    _, _, ev = event_source
+    native = session_window_agg(ev).toPandas()
+    lagged = all_queries()["x10_sessionize"](spark, SF_ORACLE).toPandas()
+
+    n_native = native.groupby("user_id").size().sort_index()
+    n_lagged = lagged.groupby("user_id").size().sort_index()
+    assert (n_native == n_lagged).all()
+    assert native["n_events"].sum() == lagged["n_events"].sum()
+    # session_window's end = last event + gap; starts must match exactly
+    a = native.sort_values(["user_id", "session_start"], ignore_index=True)
+    b = lagged.sort_values(["user_id", "session_start"], ignore_index=True)
+    assert (a["session_start"].to_numpy() == b["session_start"].to_numpy()).all()
+    assert (abs(a["total_value"] - b["total_value"]) < 1e-9).all()
+
+
+def test_session_window_streaming(spark, event_source, tmp_path):
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        session_window_agg,
+    )
+    from pyspark.sql import functions as F
+
+    path, schema, ev = event_source
+    stream = spark.readStream.schema(schema).parquet(path).withWatermark(
+        "ts", "2 hours"
+    )
+    q = (
+        session_window_agg(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_out").toPandas()
+    batch = session_window_agg(ev).toPandas()
+    # append emits watermark-finalized sessions; all must match batch rows
+    assert len(got) >= len(batch) - len(batch["user_id"].unique())
+    merged = got.merge(
+        batch, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
