@@ -539,5 +539,73 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+ORACLES["x32_session_window"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {_dsum('value', 'total_value')}
+FROM sess GROUP BY user_id, session_id
+"""
+
+ORACLES["x33_tpch_q5"] = f"""
+SELECT n_name, {_dec2dbl(f'SUM({_PD})')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+ORACLES["x34_tpch_q18"] = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {_dsum('l_quantity', 'sum_qty')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+ORACLES["x35_attribution_join"] = f"""
+SELECT a.event_id AS click_id, a.user_id, a.ts AS click_ts,
+       COUNT(b.buy_ts) AS n_purchases,
+       {_dsum('b.buy_value', 'attributed_value')}
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT user_id, ts AS buy_ts, value AS buy_value
+           FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.buy_ts > a.ts
+ AND b.buy_ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.event_id, a.user_id, a.ts
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -662,6 +662,101 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_daily(dense, periods=14)
 
 
+@query("x32_session_window")
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization over batch events — same gap
+    semantics as x10's lag/cumsum (a >=30min silence splits; end = last
+    event + gap). One shuffle on user_id; Spark merges sessions inside
+    the aggregation, no window-function second pass."""
+    from ..streaming.event_stream import session_window_agg
+
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query("x33_tpch_q5")
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join. region→nation
+    collapse to one broadcast dim; lineitem⋈orders shuffles on orderkey
+    (the only big-big join); supplier/customer broadcast under AQE."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    dims = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(drevenue()).orderBy(F.desc("revenue"))
+
+
+@query("x34_tpch_q18")
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customer): self-aggregated semi join —
+    lineitem aggregates once to find big orders, semi-joins orders (no
+    row blow-up), then the detail join + final agg reuse the orderkey
+    partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query("x35_attribution_join")
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event attribution via range join: purchases by the same user within
+    1 hour after each click. The user_id equi-key carries the shuffle (a
+    hash join, not a cartesian); the time-range predicate filters inside
+    the join. Left join keeps zero-purchase clicks (NULL-sum → NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") > F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        clicks.join(buys, cond, "left")
+        .groupBy("click_id", "user_id", "click_ts")
+        .agg(
+            F.count("buy_ts").alias("n_purchases"),
+            dsum("buy_value", "attributed_value"),
+        )
+    )
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

@@ -99,6 +99,26 @@ def running_user_spend(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the stream form of x01 (dropDuplicates).
+
+    dropDuplicatesWithinWatermark keeps per-key state only for the
+    watermark horizon, so state is bounded by (arrival rate × horizon)
+    instead of growing with the full key cardinality — the property that
+    makes at-least-once sources (reference's blob trigger re-fires,
+    SURVEY §2.9 T-3) safe to dedup at 100 TB. Duplicates arriving more
+    than ``watermark`` apart are NOT collapsed (by design: bounded
+    state); batch backfill dedup stays x01's dropDuplicates.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows via the native session_window function —
     the streaming form of x10's batch sessionization (same semantics:

@@ -50,6 +50,10 @@ HEADLINE = [
     "x27_tpch_q1",
     "x28_tpch_q3",
     "x29_tpch_q6",
+    "x32_session_window",
+    "x33_tpch_q5",
+    "x34_tpch_q18",
+    "x35_attribution_join",
     "m01_anomaly_scores",
 ]
 

@@ -150,3 +150,33 @@ def test_session_window_streaming(spark, event_source, tmp_path):
     )
     assert len(merged) == len(got)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_dedup_stream_within_watermark(spark, event_source, tmp_path):
+    """A re-delivered file (at-least-once source, SURVEY §2.9 T-3) must
+    not produce duplicate events downstream."""
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        dedup_stream,
+    )
+
+    path, schema, ev = event_source
+    # stage the same events twice = every row re-delivered once
+    src = tmp_path / "dup_src"
+    sample = ev.limit(2000)
+    sample.write.mode("overwrite").parquet(str(src / "a"))
+    sample.write.mode("append").parquet(str(src / "a"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "a"))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    n_distinct = sample.select("event_id").distinct().count()
+    assert len(got) == n_distinct
+    assert got["event_id"].is_unique
