@@ -1,0 +1,67 @@
+"""Deterministic sampling / dataset splitting (north-star extension).
+
+A training-data pipeline needs splits that are (a) stable across runs and
+engines (no RNG state), (b) computable per-row with no shuffle, and (c)
+stratifiable. All three come from hashing a stable key: md5 is identical
+everywhere, so bucket = int(md5(key)[:8], 16) % 100 reproduces in any
+engine (the DuckDB oracle folds the same hex digits). Unlike
+df.sample()/sampleBy() (seeded per-partition RNG -> resplits when
+partitioning changes), the hash split never moves a row between splits
+when data is repartitioned, backfilled, or appended — the property that
+matters when the split feeds a 100 TB training job incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable [0, buckets) assignment from the first 8 hex chars of md5."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 80,
+    val: int = 10,
+) -> DataFrame:
+    """Append a stable train/val/test label (train+val+test = 100%)."""
+    b = hash_bucket(F.col(id_col))
+    label = (
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("bucket", b).withColumn("split", label)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below the stratum's rate. Per-row predicate — no
+    shuffle, no driver-side sampling state; rates ship as a broadcast
+    1-row-per-stratum frame (not a Column literal) so the same plan
+    works when `rates` comes from a computed DataFrame."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, keep_rate double",
+    )
+    joined = df.join(F.broadcast(rate_df), strata_col, "left").na.fill(
+        {"keep_rate": default_rate}
+    )
+    return joined.filter(hash_bucket(F.col(id_col)) < F.col("keep_rate") * 100).drop(
+        "keep_rate"
+    )

@@ -141,3 +141,45 @@ def fingerprint(
         F.array_min(grams).alias("min_gram_hash"),
         F.array_max(grams).alias("max_gram_hash"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln(N/df)).
+
+    Fully distributed: explode tokens -> per-(doc,term) counts (one
+    shuffle, map-side partial agg), document frequency from that same
+    aggregate (second shuffle on term, output is vocabulary-sized), N as
+    a 1-row broadcast. Top-k per doc is a row_number window over the
+    doc_id partitioning the tf aggregate already established. Scores are
+    rounded to 6 decimals (ln is correctly-rounded in neither engine;
+    everything else is exact-integer arithmetic).
+    """
+    term = F.explode(tokens(F.col(text_col))).alias("term")
+    tf = df.select(F.col(id_col), term).groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf", "rank")
+    )

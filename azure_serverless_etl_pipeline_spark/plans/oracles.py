@@ -607,5 +607,78 @@ GROUP BY a.event_id, a.user_id, a.ts
 """
 
 
+def _hash_bucket(key: str) -> str:
+    """DuckDB twin of operators/sampling.hash_bucket: fold the first 8 hex
+    chars of md5 into a BIGINT, mod 100."""
+    return (
+        f"(list_reduce(list_transform("
+        f"string_split(substr(md5(CAST({key} AS VARCHAR)), 1, 8), ''), "
+        f"x -> CASE WHEN x BETWEEN '0' AND '9' THEN CAST(x AS BIGINT) "
+        f"ELSE 10 + ascii(x) - ascii('a') END), (a, b) -> a * 16 + b) % 100)"
+    )
+
+
+ORACLES["x36_tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+ORACLES["x37_deterministic_split"] = f"""
+WITH b AS (
+  SELECT n_chars, {_hash_bucket('doc_id')} AS bucket,
+         CASE WHEN {_hash_bucket('doc_id')} < 80 THEN 'train'
+              WHEN {_hash_bucket('doc_id')} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+       MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split
+"""
+
+ORACLES["x38_stratified_sample"] = f"""
+WITH rates AS (
+  SELECT * FROM (VALUES ('en', 0.25), ('de', 0.5), ('fr', 0.5),
+                        ('es', 1.0), ('zh', 1.0)) AS t(lang, keep_rate)
+)
+SELECT d.lang, COUNT(*) AS n_kept, COUNT(DISTINCT d.source) AS n_sources
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE {_hash_bucket('d.doc_id')} < r.keep_rate * 100
+GROUP BY d.lang
+"""
+
+ORACLES["x39_decile_stats"] = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(ntile(10) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       {_dsum('o_totalprice', 'total_price')}
+FROM ranked GROUP BY o_orderpriority, decile
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -757,6 +757,68 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x36_tfidf_top_terms")
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — distributed term weighting
+    (explode → tf agg → vocab-sized df agg broadcast → windowed top-k)."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query("x37_deterministic_split")
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test split via md5 bucketing: per-row
+    predicate, no shuffle, no RNG — rows never migrate between splits on
+    repartition/backfill. Output: per-split corpus profile."""
+    from ..operators.sampling import deterministic_split
+
+    docs = deterministic_split(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("bucket").alias("min_bucket"),
+        F.max("bucket").alias("max_bucket"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query("x38_stratified_sample")
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (rebalancing a skewed
+    corpus): keep-rate per stratum, md5-bucket predicate, broadcast rate
+    table. Output: surviving doc counts per language."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 1.0, "zh": 1.0}
+    kept = stratified_sample(docs, "lang", rates)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query("x39_decile_stats")
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value deciles per priority class: ntile(10) over a
+    per-priority range sort (keyed partitions — not a single global
+    sort), then per-decile distribution stats."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    decile = F.ntile(10).over(
+        W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    )
+    return (
+        o.withColumn("decile", decile)
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

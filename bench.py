@@ -54,6 +54,8 @@ HEADLINE = [
     "x33_tpch_q5",
     "x34_tpch_q18",
     "x35_attribution_join",
+    "x36_tfidf_top_terms",
+    "x37_deterministic_split",
     "m01_anomaly_scores",
 ]
 
