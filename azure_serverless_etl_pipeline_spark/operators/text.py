@@ -183,3 +183,73 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level bigram frequencies (LM-style n-gram count table).
+
+    All occurrences (not per-doc distinct): zip the token array with its
+    1-shifted self, explode, hash-aggregate. Map-side partial agg does
+    the heavy lifting; the shuffle moves only (bigram, partial-count)
+    pairs — vocabulary-squared bounded by total corpus tokens.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII redaction (emails, NANP-style phone numbers) with match
+    accounting — the scrubbing pass a training corpus runs before
+    anything else. Pure regexp_replace/regexp_count: JVM-side, fuses
+    into the scan's codegen span, no UDF.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return df.withColumn("n_emails", n_emails).withColumn(
+        "n_phones", n_phones
+    ).withColumn(text_col, redacted)
+
+
+def dup_ngram_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition/boilerplate score: fraction of bigram occurrences that
+    are duplicates of an earlier bigram in the same document (Gopher-rule
+    style duplicate-n-gram fraction). Integer-ratio double -> oracle-exact.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_bigrams"),
+        n_distinct.alias("n_distinct_bigrams"),
+        F.when(n_grams > 0, F.round(1 - n_distinct / n_grams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )

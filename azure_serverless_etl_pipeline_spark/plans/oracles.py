@@ -680,5 +680,61 @@ FROM ranked GROUP BY o_orderpriority, decile
 """
 
 
+ORACLES["x40_bigram_counts"] = (
+    "WITH t AS (SELECT "
+    + _TOKENS.format(t="text")
+    + """ AS toks FROM documents),
+pl AS (
+  SELECT list_transform(generate_series(1, len(toks) - 1),
+                        i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])) AS ps
+  FROM t WHERE len(toks) >= 2
+), pairs AS (SELECT unnest(ps) AS p FROM pl)
+SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2
+"""
+)
+
+# Same regexes as operators/text.redact_pii (Java regex and RE2 agree on
+# this subset: char classes, \\b, \\d, {m,n} quantifiers).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+ORACLES["x41_redact_pii"] = """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '__EMAIL__')) AS n_emails,
+       len(regexp_extract_all(text, '__PHONE__')) AS n_phones,
+       regexp_replace(regexp_replace(text, '__EMAIL__', '[EMAIL]', 'g'),
+                      '__PHONE__', '[PHONE]', 'g') AS text
+FROM planted
+""".replace("__EMAIL__", _EMAIL_RE).replace("__PHONE__", _PHONE_RE)
+
+ORACLES["x42_dup_ngram_ratio"] = (
+    "WITH t AS (SELECT doc_id, "
+    + _TOKENS.format(t="text")
+    + """ AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams) AS n_bigrams,
+       len(list_distinct(grams)) AS n_distinct_bigrams,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM g
+"""
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

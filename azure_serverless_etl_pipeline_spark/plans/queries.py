@@ -819,6 +819,42 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x40_bigram_counts")
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table (LM-style n-gram statistics): zip-shifted
+    token arrays, explode, map-side-combined hash agg."""
+    return text.bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query("x41_redact_pii")
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub with match accounting. The synthetic corpus has no
+    PII, so the query plants a deterministic email + phone per doc (from
+    doc_id) and redacts them — end-to-end proof the scrubber fires and
+    counts. All regexp_replace/extract: JVM codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return text.redact_pii(planted).select("doc_id", "n_emails", "n_phones", "text")
+
+
+@query("x42_dup_ngram_ratio")
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition score: duplicate-bigram fraction per doc —
+    the boilerplate/low-quality filter signal."""
+    return text.dup_ngram_ratio(load_table(spark, sf_dir, "documents"))
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

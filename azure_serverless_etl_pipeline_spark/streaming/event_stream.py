@@ -119,6 +119,40 @@ def dedup_stream(
     )
 
 
+def attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``horizon`` after
+    each click (the streaming twin of batch query x35).
+
+    Both sides are watermarked so Spark can bound join state: a buffered
+    click is dropped once the purchase-side watermark passes click_ts +
+    horizon, and vice versa — state is (rate × horizon), not unbounded.
+    Inner join (streaming left-outer needs the watermark to emit
+    nulls late; batch x35 covers the outer semantics).
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    b = purchases.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    ).withWatermark("buy_ts", watermark)
+    return c.join(
+        b,
+        F.expr(
+            f"user_id = b_user AND buy_ts > click_ts "
+            f"AND buy_ts <= click_ts + INTERVAL {horizon}"
+        ),
+    ).select("click_id", "user_id", "click_ts", "buy_ts", "buy_value")
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows via the native session_window function —
     the streaming form of x10's batch sessionization (same semantics:

@@ -56,6 +56,8 @@ HEADLINE = [
     "x35_attribution_join",
     "x36_tfidf_top_terms",
     "x37_deterministic_split",
+    "x40_bigram_counts",
+    "x42_dup_ngram_ratio",
     "m01_anomaly_scores",
 ]
 

@@ -180,3 +180,44 @@ def test_dedup_stream_within_watermark(spark, event_source, tmp_path):
     n_distinct = sample.select("event_id").distinct().count()
     assert len(got) == n_distinct
     assert got["event_id"].is_unique
+
+
+def test_attribution_stream_matches_batch(spark, event_source, tmp_path):
+    """Stream-stream interval join emits exactly the matched pairs the
+    batch range join (x35) finds."""
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        attribution_stream,
+    )
+
+    path, schema, ev = event_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    buys_s = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        attribution_stream(clicks_s, buys_s)
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attr_out").toPandas()
+
+    batch = attribution_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+    key = ["click_id", "buy_ts"]
+    got = got.sort_values(key, ignore_index=True)
+    batch = batch.sort_values(key, ignore_index=True)
+    assert len(got) == len(batch)
+    assert (got["click_id"].to_numpy() == batch["click_id"].to_numpy()).all()
+    assert (got["buy_value"].to_numpy() == batch["buy_value"].to_numpy()).all()
+
+    # pair count agrees with the batch oracle query x35's n_purchases sum
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+
+    x35 = all_queries()["x35_attribution_join"](spark, SF_ORACLE).toPandas()
+    assert int(x35["n_purchases"].sum()) == len(batch)

@@ -1,0 +1,64 @@
+"""Unit semantics for bigram/redaction/repetition operators (oracle parity
+is in test_queries_oracle; these pin the operator-level contracts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_redact_noop_on_clean_text(spark):
+    from azure_serverless_etl_pipeline_spark.operators.text import redact_pii
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = redact_pii(docs)
+    agg = out.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p")
+    ).collect()[0]
+    assert agg["e"] == 0 and agg["p"] == 0
+    # text untouched when nothing matches
+    diff = out.join(
+        docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    ).filter(F.col("text") != F.col("orig"))
+    assert diff.count() == 0
+
+
+def test_redact_counts_and_replaces(spark):
+    from azure_serverless_etl_pipeline_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d+x@e-f.org or 555-123-4567 twice 555-000-1111")],
+        "doc_id int, text string",
+    )
+    row = redact_pii(df).collect()[0]
+    assert row["n_emails"] == 2 and row["n_phones"] == 2
+    assert "[EMAIL]" in row["text"] and "[PHONE]" in row["text"]
+    assert "@" not in row["text"] and "555-" not in row["text"]
+
+
+def test_bigram_total_is_token_count_minus_docs(spark):
+    from azure_serverless_etl_pipeline_spark.operators.text import bigram_counts
+    from azure_serverless_etl_pipeline_spark.functions import tokens
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total_bigrams = bigram_counts(docs).agg(F.sum("n")).collect()[0][0]
+    per_doc = docs.select(
+        F.greatest(F.size(tokens(F.col("text"))) - 1, F.lit(0)).alias("m")
+    )
+    assert total_bigrams == per_doc.agg(F.sum("m")).collect()[0][0]
+
+
+def test_dup_ratio_extremes(spark):
+    from azure_serverless_etl_pipeline_spark.operators.text import dup_ngram_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "v w x y z"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_ratio(df).collect()}
+    assert got[1]["dup_ratio"] == 0.75  # 4 bigrams, 1 distinct
+    assert got[2]["dup_ratio"] == 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["dup_ratio"] == 0.0
