@@ -736,5 +736,30 @@ FROM g
 )
 
 
+ORACLES["x43_tpch_q10"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dec2dbl(f'SUM({_PD})')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["x44_tpch_q14"] = f"""
+SELECT 100.0 * {_dec2dbl(f"SUM(CASE WHEN p_type = 'PROMO' THEN {_PD} END)")}
+             / {_dec2dbl(f'SUM({_PD})')} AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -855,6 +855,53 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dup_ngram_ratio(load_table(spark, sf_dir, "documents"))
 
 
+@query("x43_tpch_q10")
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): 4-table join, quarter date
+    window, top-20 customers by lost revenue. nation broadcasts; the
+    date filter prunes orders before the lineitem join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(drevenue())
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query("x44_tpch_q14")
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): join + conditional-aggregate ratio.
+    One month of lineitem joins part on partkey; both sums share one
+    aggregation pass (no second scan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    rev = price * disc
+    # when() without otherwise: non-PROMO rows are NULL, which SUM skips —
+    # same decimal type as rev, no zero-literal type gymnastics
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

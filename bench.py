@@ -58,6 +58,8 @@ HEADLINE = [
     "x37_deterministic_split",
     "x40_bigram_counts",
     "x42_dup_ngram_ratio",
+    "x43_tpch_q10",
+    "x44_tpch_q14",
     "m01_anomaly_scores",
 ]
 
