@@ -761,5 +761,49 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01'
 """
 
 
+ORACLES["x45_incremental_dedup"] = """
+WITH existing AS (
+  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250
+), new_batch AS (
+  SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id >= 250
+)
+SELECT lang, COUNT(*) AS n_new_unique, MIN(doc_id) AS first_doc_id
+FROM new_batch n
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = n.fp)
+GROUP BY lang
+"""
+
+ORACLES["x46_quality_filter"] = (
+    "WITH t AS (SELECT doc_id, lang, text, "
+    + _TOKENS.format(t="text")
+    + """ AS toks FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         len(toks) BETWEEN 10 AND 1000 AS ok_length,
+         CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / len(text) >= 0.6 AS ok_alpha,
+         len(list_filter(toks, x -> x IN """
+    + _STOPWORDS_SQL
+    + """)) >= 1 AS ok_stopwords,
+         CASE WHEN len(toks) >= 2 THEN
+           1 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+             / (len(toks) - 1)
+         ELSE 0.0 END <= 0.5 AS ok_repetition
+  FROM t
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(ok_length AS INT)) AS BIGINT) AS pass_length,
+       CAST(SUM(CAST(ok_alpha AS INT)) AS BIGINT) AS pass_alpha,
+       CAST(SUM(CAST(ok_stopwords AS INT)) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(CAST(ok_repetition AS INT)) AS BIGINT) AS pass_repetition,
+       CAST(SUM(CAST((ok_length AND ok_alpha AND ok_stopwords
+                      AND ok_repetition) AS INT)) AS BIGINT) AS pass_all
+FROM r GROUP BY lang
+"""
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

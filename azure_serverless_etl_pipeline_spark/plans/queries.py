@@ -902,6 +902,71 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x45_incremental_dedup")
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a 'new batch' (doc_id >= 250) keeps only
+    docs whose content hash is unseen in the existing corpus (< 250) —
+    left_anti on md5(text). This is the per-batch arrival path of x01's
+    full-corpus dedup: the anti join touches the fingerprint index, not
+    the corpus bytes. Output: surviving new docs per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    existing = docs.filter(F.col("doc_id") < 250).select(fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") >= 250).withColumn("fp", fp)
+    survivors = new.join(existing, "fp", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new_unique"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+@query("x46_quality_filter")
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus quality gate (Gopher-rule style): token-count
+    band + alpha ratio + stopword presence + repetition ceiling, each
+    rule accounted separately so the drop reasons are auditable. One
+    map-side pass — the signals fuse into the scan's codegen span."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-z]", ""))
+    alpha_ratio = alpha / F.length(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_ratio = F.when(
+        F.size(grams) > 0, 1 - F.size(F.array_distinct(grams)) / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    rules = docs.select(
+        "doc_id",
+        "lang",
+        (n_tok.between(10, 1000)).alias("ok_length"),
+        (alpha_ratio >= 0.6).alias("ok_alpha"),
+        (n_stop >= 1).alias("ok_stopwords"),
+        (dup_ratio <= 0.5).alias("ok_repetition"),
+    )
+    return rules.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok_length").cast("int")).alias("pass_length"),
+        F.sum(F.col("ok_alpha").cast("int")).alias("pass_alpha"),
+        F.sum(F.col("ok_stopwords").cast("int")).alias("pass_stopwords"),
+        F.sum(F.col("ok_repetition").cast("int")).alias("pass_repetition"),
+        F.sum(
+            (
+                F.col("ok_length")
+                & F.col("ok_alpha")
+                & F.col("ok_stopwords")
+                & F.col("ok_repetition")
+            ).cast("int")
+        ).alias("pass_all"),
+    )
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

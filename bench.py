@@ -60,6 +60,8 @@ HEADLINE = [
     "x42_dup_ngram_ratio",
     "x43_tpch_q10",
     "x44_tpch_q14",
+    "x45_incremental_dedup",
+    "x46_quality_filter",
     "m01_anomaly_scores",
 ]
 
