@@ -85,3 +85,17 @@ def test_rows_only_queries_run(spark):
         df = fn(spark, SF_ORACLE)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_all_queries_run_at_smallest_scale(spark):
+    """Every registry query must execute at sf0.001 (tiny/empty-partition
+    edge cases: empty new-batch in x45, <k neighbors in ANN, single-row
+    groups) and return a stable schema."""
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, sf)
+        n = df.count()
+        assert n >= 0, name
+        assert len(df.columns) > 0, name
