@@ -119,3 +119,31 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str] | tuple[str, ...],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet write: repartitionByRange on the cluster
+    keys, then sort within each partition, so every output file covers a
+    narrow, non-overlapping key range.
+
+    This is what makes parquet min/max row-group statistics *selective*:
+    a range or equality predicate on the leading cluster key skips whole
+    files/row-groups instead of scanning them (Delta/Iceberg call the
+    same idea ZORDER/sort-clustering; single- or few-column clustering
+    needs no bit-interleaving). At 100 TB the difference is a scan of
+    ~1/files of the data for a point query vs all of it — before any
+    executor even runs, from footer stats alone.
+    """
+    cols = list(cluster_by)
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
