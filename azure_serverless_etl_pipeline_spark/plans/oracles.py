@@ -805,5 +805,35 @@ FROM r GROUP BY lang
 )
 
 
+ORACLES["x47_heavy_hitters"] = (
+    "WITH tok AS (SELECT doc_id, unnest("
+    + _TOKENS.format(t="text")
+    + """) AS token FROM documents)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+)
+
+ORACLES["x48_cross_source_overlap"] = (
+    "WITH toks AS (SELECT source, "
+    + _TOKENS.format(t="text")
+    + """ AS t FROM documents),
+idx AS (
+  SELECT source, t, UNNEST(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM idx
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_shingles
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

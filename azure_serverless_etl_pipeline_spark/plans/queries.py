@@ -967,6 +967,56 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x47_heavy_hitters")
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact top-20 tokens by occurrence + document
+    frequency. Map-side partial agg carries (token, count) — the shuffle
+    is vocabulary-sized; the top-k is TakeOrderedAndProject. (The sketch
+    alternative for unbounded vocabularies is x30's approx toolkit.)"""
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )
+
+
+@query("x48_cross_source_overlap")
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check: distinct 3-gram shingles shared between
+    source pairs (benchmark-leakage detection). Shingle sets are distinct
+    per source BEFORE the self-join, so the join input is
+    vocabulary-sized, not corpus-sized; the pair aggregation is
+    |sources|²-bounded."""
+    from ..functions import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.source") < F.col("b.source")),
+    )
+    return pairs.groupBy(
+        F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

@@ -62,6 +62,8 @@ HEADLINE = [
     "x44_tpch_q14",
     "x45_incremental_dedup",
     "x46_quality_filter",
+    "x47_heavy_hitters",
+    "x48_cross_source_overlap",
     "m01_anomaly_scores",
 ]
 
