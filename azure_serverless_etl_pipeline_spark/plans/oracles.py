@@ -835,5 +835,28 @@ GROUP BY a.source, b.source
 )
 
 
+ORACLES["x49_exact_percentiles"] = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["x50_user_adoption"] = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), daily_new AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT CAST(first_day AS TIMESTAMP) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1017,6 +1017,45 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_shared_shingles"))
 
 
+@query("x49_exact_percentiles")
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, bit-identical interpolation). The exact
+    variant pairs with x30's sketch-based percentile_approx — exact when
+    groups fit a sort, approx for unbounded streams."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("x50_user_adoption")
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative adoption curve: users by first-seen day, running total.
+    Two hash aggs (user -> first day, day -> new users) then a running
+    window over the tiny per-day frame — the heavy lifting is all
+    partial-aggregated; the unpartitioned window sees |days| rows, not
+    |events|."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily_new.select(
+        F.col("first_day").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

@@ -64,6 +64,8 @@ HEADLINE = [
     "x46_quality_filter",
     "x47_heavy_hitters",
     "x48_cross_source_overlap",
+    "x49_exact_percentiles",
+    "x50_user_adoption",
     "m01_anomaly_scores",
 ]
 
