@@ -858,5 +858,22 @@ FROM daily_new
 """
 
 
+ORACLES["x51_full_outer_reconcile"] = f"""
+WITH clicks AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY CAST(ts AS DATE)
+), buys AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases,
+         {_dsum('value', 'purchase_value')}
+  FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(COALESCE(c.day, b.day) AS TIMESTAMP) AS day,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(purchase_value, 0.0) AS purchase_value
+FROM clicks c FULL OUTER JOIN buys b ON c.day = b.day
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

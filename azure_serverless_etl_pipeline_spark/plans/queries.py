@@ -1056,6 +1056,35 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x51_full_outer_reconcile")
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily clicks-vs-purchases reconciliation via FULL OUTER join —
+    days present on either side survive, absent sides zero-fill
+    (completes the registry's join-type coverage: inner/left/semi/anti/
+    asof/range + full outer). Both inputs are day-level aggregates, so
+    the outer join runs on tiny frames after partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"), dsum("value", "purchase_value"))
+    )
+    return (
+        clicks.join(buys, "day", "full_outer")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
 # Re-exported for __spark_entry__
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

@@ -66,6 +66,7 @@ HEADLINE = [
     "x48_cross_source_overlap",
     "x49_exact_percentiles",
     "x50_user_adoption",
+    "x51_full_outer_reconcile",
     "m01_anomaly_scores",
 ]
 
