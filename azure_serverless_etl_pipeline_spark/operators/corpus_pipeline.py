@@ -21,34 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sampling import deterministic_split
-from .text import STOPWORDS
+from .text import quality_rules_all
 
 
 def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep docs passing the x46 composite rules (length band, alpha
-    ratio, stopword presence, repetition ceiling)."""
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-    )
-    n_tok = F.size(toks)
-    alpha_ratio = F.length(
-        F.regexp_replace(F.col(text_col), r"[^a-z]", "")
-    ) / F.length(F.col(text_col))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    grams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    dup_ratio = F.when(
-        F.size(grams) > 0, 1 - F.size(F.array_distinct(grams)) / F.size(grams)
-    ).otherwise(F.lit(0.0))
-    return docs.filter(
-        n_tok.between(10, 1000)
-        & (alpha_ratio >= 0.6)
-        & (n_stop >= 1)
-        & (dup_ratio <= 0.5)
-    )
+    """Keep docs passing the composite quality rules. The rule expressions
+    are text.quality_rules — the same columns x46 audits, so gate and
+    audit cannot drift."""
+    return docs.filter(quality_rules_all(text_col))
 
 
 def _ingest_batch(batch: DataFrame, store_dir: str) -> None:

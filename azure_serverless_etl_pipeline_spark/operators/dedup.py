@@ -59,6 +59,27 @@ def shingle_table(
     )
 
 
+def _verify_jaccard(
+    cand: DataFrame, base: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs: re-fetch
+    the two shingle arrays and intersect — the semi-join verify pattern
+    shared by the prefix/capped/minhash candidate generators."""
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -66,21 +87,39 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     method: str = "inverted",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """All pairs with word-n-gram Jaccard >= threshold (exact).
+    """All pairs with word-n-gram Jaccard >= threshold.
+
+    ``max_shingle_freq`` — the stop-shingle skew guard: shingles whose
+    document frequency exceeds the cap are dropped from CANDIDATE
+    GENERATION only (every surviving pair is still verified with exact
+    Jaccard over the FULL shingle sets, so no false positives and no
+    distorted scores). Without the cap, a boilerplate shingle shared by f
+    docs contributes O(f²) rows to the self-join — at corpus scale a
+    single 10⁶-doc shingle means 10¹² candidate pairs. The recall caveat
+    is narrow: only a pair whose ENTIRE shared-shingle set is ubiquitous
+    (every common shingle above the cap) can be missed — and two docs
+    sharing nothing but boilerplate are precisely the pairs a dedup
+    pipeline should not link. Unset (None) keeps the exact all-pairs
+    semantics for the oracle.
 
     method="inverted": inverted-index self-join + pair-count — the shingle
     table is computed once and cached (it feeds both join sides and the
     size table; recomputing the regex/array pipeline 3x dominates runtime
     otherwise). Intersection sizes come from the pair group-by, so no
-    per-pair array ops.
+    per-pair array ops. With ``max_shingle_freq`` set, the pair-count
+    shortcut is invalid (dropped shingles would undercount n_common), so
+    candidates switch to the exact-verify path instead.
 
     method="prefix": PPJoin-style prefix filter — join only on each doc's
     ``|S| - ceil(t*|S|) + 1`` globally-rarest shingles (zero false
-    negatives), then verify candidates by array intersection. Strictly
-    better when shingle frequencies are skewed (real corpora: stop-phrase
-    shingles with million-row posting lists); on uniform-frequency data
-    the prune rate is ~0 and "inverted" wins.
+    negatives when uncapped), then verify candidates by array
+    intersection. Strictly better when shingle frequencies are skewed
+    (real corpora: stop-phrase shingles with million-row posting lists);
+    on uniform-frequency data the prune rate is ~0 and "inverted" wins.
+    The cap composes: prefix shingles above it are dropped before the
+    self-join.
     """
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
@@ -93,14 +132,12 @@ def ngram_jaccard_pairs(
         ranked = sh.join(freq, "shingle").withColumn(
             "pos", F.row_number().over(W.partitionBy(id_col).orderBy("df", "shingle"))
         )
-        join_input = (
-            ranked.join(sizes, id_col)
-            .filter(
-                F.col("pos")
-                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-            )
-            .select(id_col, "shingle")
+        join_input = ranked.join(sizes, id_col).filter(
+            F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
+        if max_shingle_freq is not None:
+            join_input = join_input.filter(F.col("df") <= max_shingle_freq)
+        join_input = join_input.select(id_col, "shingle")
         a, b = join_input.alias("a"), join_input.alias("b")
         cand = (
             a.join(
@@ -113,19 +150,28 @@ def ngram_jaccard_pairs(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-        sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-        verified = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .withColumn(
-                "jaccard",
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-            )
-            .filter(F.col("jaccard") >= threshold)
+        return _verify_jaccard(cand, base, id_col, threshold)
+
+    if max_shingle_freq is not None:
+        # capped inverted index: bound every posting list, generate
+        # candidates from the surviving shingles, verify exactly
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        capped = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
         )
-        return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        a, b = capped.alias("a"), capped.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return _verify_jaccard(cand, base, id_col, threshold)
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -224,19 +270,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # verification re-fetches shingle arrays for the (few) candidates only
-    sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _verify_jaccard(cand, base, id_col, threshold)
 
 
 def simhash_pairs(
@@ -363,6 +397,7 @@ def dup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -392,6 +427,14 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # min-label propagation converges in O(component diameter) rounds;
+        # exiting early would silently return WRONG cluster labels for any
+        # component deeper than max_iter
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} rounds; "
+            "a duplicate-chain component has diameter > max_iter — raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

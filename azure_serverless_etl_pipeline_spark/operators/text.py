@@ -35,6 +35,46 @@ def _stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
 
 
+def quality_rules(text_col: str = "text") -> dict[str, Column]:
+    """The Gopher-style composite gate rules — SINGLE source of truth for
+    the x46 audit query and corpus_pipeline.quality_gate (one drift bug
+    away from gate != audit otherwise). Returns named boolean columns;
+    all integer-ratio arithmetic, oracle-exact, fused into the scan's
+    codegen span (map-side only).
+
+    Rules: token-count band 10..1000, [a-z] char ratio >= 0.6, >= 1
+    stopword, duplicate-bigram fraction <= 0.5.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-z]", ""))
+    alpha_ratio = alpha / F.length(F.col(text_col))
+    n_stop = _stopword_count(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_ratio = F.when(
+        F.size(grams) > 0, 1 - F.size(F.array_distinct(grams)) / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    return {
+        "ok_length": n_tok.between(10, 1000),
+        "ok_alpha": alpha_ratio >= 0.6,
+        "ok_stopwords": n_stop >= 1,
+        "ok_repetition": dup_ratio <= 0.5,
+    }
+
+
+def quality_rules_all(text_col: str = "text") -> Column:
+    """Conjunction of every quality_rules column (the pass/fail gate)."""
+    rules = list(quality_rules(text_col).values())
+    out = rules[0]
+    for r in rules[1:]:
+        out = out & r
+    return out
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token/char statistics (token counting operator).
 

@@ -1,4 +1,12 @@
-from .oracles import ORACLES, all_oracles
-from .queries import QUERIES, all_queries
+from .oracles import EXTRA_ORACLES, ORACLES, all_oracles, all_oracles_full
+from .queries import DRIVER_WINDOW, QUERIES, all_queries
 
-__all__ = ["QUERIES", "ORACLES", "all_queries", "all_oracles"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "EXTRA_ORACLES",
+    "DRIVER_WINDOW",
+    "all_queries",
+    "all_oracles",
+    "all_oracles_full",
+]

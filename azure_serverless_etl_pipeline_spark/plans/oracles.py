@@ -542,8 +542,12 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 ORACLES["x32_session_window"] = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
+         -- >= (not >): Spark's session_window end is EXCLUSIVE — an event
+         -- arriving exactly `gap` after the last one starts a NEW session.
+         -- x10's lag/cumsum splits only on gap > 30min; the two operators
+         -- deliberately differ on that boundary.
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -875,5 +879,26 @@ FROM clicks c FULL OUTER JOIN buys b ON c.day = b.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Demoted oracles (see queries.DRIVER_WINDOW): these queries sit past the
+# driver's 50-entry correctness window, so their oracles are asserted by
+# pytest (tests/test_queries_oracle.py, sf0.001) instead of the driver.
+# ``all_oracles()`` — the driver contract — returns only window oracles, so
+# every oracle the driver sees corresponds to a checked registry entry.
+# ---------------------------------------------------------------------------
+
+_DEMOTED = [
+    "x12_ann_ivf_topk", "x20_topk_per_group", "x23_corpus_stats",
+    "x25_scalar_functions", "x29_tpch_q6", "x32_session_window",
+]
+EXTRA_ORACLES: dict[str, str] = {n: ORACLES.pop(n) for n in _DEMOTED}
+
+
 def all_oracles() -> dict[str, str]:
+    """Driver-window oracles only (every key has a checked queries() slot)."""
     return dict(ORACLES)
+
+
+def all_oracles_full() -> dict[str, str]:
+    """Window + demoted oracles — the complete parity surface for pytest."""
+    return {**ORACLES, **EXTRA_ORACLES}

@@ -44,12 +44,22 @@ def upsert_parquet(
     (left_anti), union the updates, rewrite. On Delta/Iceberg, replace
     the body with the real MERGE (transactional, no full rewrite).
     """
+    from pyspark.errors import AnalysisException
+
     try:
         target = spark.read.parquet(path)
+    except AnalysisException as e:
+        # ONLY a missing path means "first write". Any other read failure
+        # (corrupt footer, permissions, transient IO) must propagate —
+        # falling through to mode("overwrite") would silently replace the
+        # whole existing dataset with just the updates.
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+        merged = updates
+    else:
         keep = target.join(updates.select(key).distinct(), key, "left_anti")
         merged = keep.unionByName(updates)
-    except Exception:  # first write: no target yet
-        merged = updates
     # materialize before overwrite (lazy plans must not read the path
     # they're overwriting)
     staged = merged.localCheckpoint(eager=True)

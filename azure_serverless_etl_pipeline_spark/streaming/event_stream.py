@@ -155,9 +155,12 @@ def attribution_stream(
 
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows via the native session_window function —
-    the streaming form of x10's batch sessionization (same semantics:
-    a session closes after ``gap`` of inactivity). Works on batch and
-    streaming frames; in streaming it needs a watermark on ts.
+    the streaming form of x10's batch sessionization (a session closes
+    after ``gap`` of inactivity). Boundary caveat: the window end is
+    EXCLUSIVE, so an event exactly ``gap`` after the previous one starts
+    a NEW session, whereas x10's lag/cumsum splits only on gap > 30min.
+    Works on batch and streaming frames; in streaming it needs a
+    watermark on ts.
     """
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

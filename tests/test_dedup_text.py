@@ -61,6 +61,56 @@ def test_prefix_method_equals_inverted(spark, docs):
     )
 
 
+def test_max_shingle_freq_noop_when_above_max_df(spark, docs):
+    """A cap above every shingle's document frequency must be a no-op for
+    both methods (this is the invariant that keeps x22/x31 oracle-exact
+    at test scales)."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    key = ["id_a", "id_b"]
+    base = ngram_jaccard_pairs(docs, threshold=0.5).toPandas().sort_values(
+        key, ignore_index=True
+    )
+    for method in ("inverted", "prefix"):
+        capped = (
+            ngram_jaccard_pairs(docs, threshold=0.5, method=method, max_shingle_freq=50)
+            .toPandas()
+            .sort_values(key, ignore_index=True)
+        )
+        assert base.equals(capped), method
+
+
+def test_max_shingle_freq_prunes_boilerplate(spark):
+    """Docs that share ONLY a ubiquitous boilerplate shingle must not pair
+    under the cap, while true near-dups (overlap beyond boilerplate)
+    survive with their exact Jaccard intact."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        # true near-dup pair: distinct body, shared boilerplate
+        (0, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (1, f"alpha beta gamma delta epsilon eta {boiler}"),
+    ] + [
+        # 20 unrelated docs sharing only the boilerplate tail
+        (i, f"unique{i} token{i} filler{i} words{i} here{i} {boiler}")
+        for i in range(2, 22)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # boilerplate shingles appear in all 22 docs -> df=22 > cap=10
+    capped = ngram_jaccard_pairs(df, threshold=0.3, max_shingle_freq=10).toPandas()
+    got = set(map(tuple, capped[["id_a", "id_b"]].to_numpy().tolist()))
+    assert (0, 1) in got
+    # boilerplate-only pairs (e.g. 2-3) must be pruned by the cap
+    assert all(p == (0, 1) for p in got), got
+    # the surviving pair's score is the exact full-set Jaccard (cap only
+    # gates candidate generation, never the verify arithmetic)
+    uncapped = ngram_jaccard_pairs(df, threshold=0.3).toPandas()
+    j_cap = capped.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    j_unc = uncapped.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    assert j_cap == j_unc
+
+
 def test_minhash_finds_true_pairs(spark, docs):
     from azure_serverless_etl_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,

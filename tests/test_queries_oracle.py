@@ -54,33 +54,69 @@ def _assert_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
 
 
 def _oracle_names():
-    from azure_serverless_etl_pipeline_spark.plans import all_oracles
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles_full
 
-    return sorted(all_oracles())
+    return sorted(all_oracles_full())
 
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, duck, name):
-    from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles_full, all_queries
 
     sdf = all_queries()[name](spark, SF_ORACLE).toPandas()
-    ddf = duck.execute(all_oracles()[name]).df()
+    ddf = duck.execute(all_oracles_full()[name]).df()
     _assert_match(sdf, ddf, name)
 
 
 def test_every_oracle_has_query():
-    from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles_full, all_queries
 
-    missing = set(all_oracles()) - set(all_queries())
+    missing = set(all_oracles_full()) - set(all_queries())
     assert not missing, f"oracles without queries: {missing}"
+
+
+def test_driver_window_contract():
+    """The driver checks exactly the first 50 queries() entries: every one of
+    those must be oracle-backed (except the deliberate rows-only x30), and
+    every driver-visible oracle must sit inside the window."""
+    from azure_serverless_etl_pipeline_spark.plans import (
+        DRIVER_WINDOW,
+        all_oracles,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    assert names[:50] == DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) == 50
+    window = set(DRIVER_WINDOW)
+    oracles = set(all_oracles())
+    assert window - oracles == {"x30_approx_aggregates"}
+    assert oracles <= window, f"oracles outside driver window: {oracles - window}"
+
+
+def test_no_array_columns_in_window_output(spark):
+    """The driver's rows-only canonicalizer cannot hash array/map cells
+    (round-1 x30 failure); no window query may emit one."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from azure_serverless_etl_pipeline_spark.plans import DRIVER_WINDOW, all_queries
+
+    q = all_queries()
+    for name in DRIVER_WINDOW:
+        schema = q[name](spark, SF_ORACLE).schema
+        bad = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        assert not bad, f"{name}: non-hashable columns {bad}"
 
 
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and return a stable schema."""
-    from azure_serverless_etl_pipeline_spark.plans import all_oracles, all_queries
+    from azure_serverless_etl_pipeline_spark.plans import all_oracles_full, all_queries
 
     for name, fn in all_queries().items():
-        if name in all_oracles():
+        if name in all_oracles_full():
             continue
         df = fn(spark, SF_ORACLE)
         assert df.columns, name
