@@ -8,8 +8,9 @@ builds that column the way a production vector store does:
    centroid cell, and write the corpus ``partitionBy(cell)`` so a probe
    touches only its cells' files.
 2. ``probe_ivf``: assign each query to its ``nprobe`` nearest centroids
-   (driver-side math on the tiny codebook), scan only those cells, score
-   cosine, top-k per query.
+   (broadcast-codebook crossJoin + per-query window — fully distributed,
+   no query collect), scan only those cells, score cosine, top-k per
+   query.
 
 Recall/cost trade is the standard IVF curve: nprobe cells of ~|corpus|/k
 vectors each, vs the full corpus for brute force.
@@ -22,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions import dot
 from .similarity import _cos_pair, _prepped
 
 _SEED = 42
@@ -69,24 +71,29 @@ def probe_ivf(
 ) -> DataFrame:
     """Top-k cosine within each query's nprobe nearest cells.
 
-    Query->cell assignment happens on the collected query set (queries
-    are small by definition; the codebook is tiny), producing a
-    (query, cell) probe list that broadcast-joins against the
-    cell-partitioned corpus — partition pruning does the rest when the
-    index is read from its partitionBy(cell) layout.
+    Query->cell assignment is DISTRIBUTED: the tiny codebook (k rows)
+    broadcasts, each query row cross-joins it map-side, and a per-query
+    window keeps the nprobe nearest centroids — no collect() of the
+    query frame, so probing scales to query *streams*, not just ad-hoc
+    sets. The (query, cell) probe list then joins the cell-partitioned
+    corpus — partition pruning does the rest when the index is read from
+    its partitionBy(cell) layout.
     """
     spark = indexed.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()
-    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probes = []
-    for r in qrows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        vn = v / (np.linalg.norm(v) or 1.0)
-        order = np.argsort(-(cnorm @ vn))[:nprobe]
-        probes.extend((int(r[id_col]), int(c)) for c in order)
-    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cent_vec array<double>",
+    ).withColumn("cent_vec_nrm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec"))))
 
     q = _prepped(queries, id_col, vec_col, "query_id", "q_vec")
+    wq = W.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("cell"))
+    probe_df = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", _cos_pair("q_vec", "cent_vec"))
+        .withColumn("cent_rank", F.row_number().over(wq))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("query_id", "cell")
+    )
     c = _prepped(indexed, id_col, vec_col, "neighbor_id", "c_vec",
                  extra={"cell": "cell"})
     scored = (

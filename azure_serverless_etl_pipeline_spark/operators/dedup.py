@@ -215,46 +215,58 @@ def minhash_lsh_pairs(
     then verified exactly, so precision is 1.0 by construction; output is
     LSH-recall-limited (hence no SQL oracle — driver does rows-only).
 
-    Signature layout: explode shingles once, compute the num_perm-member
-    hash family as FLAT columns, then one partial-aggregated groupBy with
-    num_perm min()s. Flat columns stay inside whole-stage codegen; a
-    nested transform/array_min formulation allocates num_perm arrays per
-    document and measures several times slower.
+    Signature layout: explode shingles once, hash each shingle STRING
+    exactly once (string hashing is length-proportional and dominated the
+    round-1 profile at num_perm hashes per shingle), derive the num_perm
+    family members as xxhash64 over the resulting 8-byte long — flat
+    columns inside whole-stage codegen — then one partial-aggregated
+    groupBy with num_perm min()s. A/B-measured alternatives both lose: a
+    nested transform/array_min map-side formulation allocates num_perm
+    arrays per document (~1.5x slower end-to-end despite zero signature
+    shuffle), and the map-side combine keeps the exchange tiny
+    (|docs|-bounded partial rows, not |shingles|).
     """
     r = num_perm // bands
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     ex = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    hashed = ex.select(
+    one_hash = ex.select(
+        id_col, F.xxhash64(F.lit(_SEED), F.col("shingle")).alias("h")
+    )
+    hashed = one_hash.select(
         id_col,
-        *[
-            F.xxhash64(F.lit(_SEED + i), F.col("shingle")).alias(f"h{i}")
-            for i in range(num_perm)
-        ],
+        *[F.xxhash64(F.lit(i), F.col("h")).alias(f"h{i}") for i in range(num_perm)],
     )
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
     )
 
     # band bucket = xxhash64 over the band's signature columns (variadic —
-    # no array allocation); only (id, band, bucket) enters the join
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{bi * r + j}") for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    # no array allocation); only (id, band, bucket) enters the join.
+    # Cached: it feeds BOTH sides of the candidate self-join, and the
+    # map-side signature pipeline has no Exchange for Spark to reuse —
+    # uncached, the whole shingle+hash pipeline would run twice.
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"m{bi * r + j}") for j in range(r)]
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .cache()
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
