@@ -124,6 +124,7 @@ def attribution_stream(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases within ``horizon`` after
     each click (the streaming twin of batch query x35).
@@ -131,9 +132,18 @@ def attribution_stream(
     Both sides are watermarked so Spark can bound join state: a buffered
     click is dropped once the purchase-side watermark passes click_ts +
     horizon, and vice versa — state is (rate × horizon), not unbounded.
-    Inner join (streaming left-outer needs the watermark to emit
-    nulls late; batch x35 covers the outer semantics).
+
+    how="leftOuter" completes parity with x35's outer semantics:
+    matched pairs emit as they join; a zero-purchase click emits its
+    null-padded row only once the watermark passes click_ts + horizon
+    (i.e. no purchase can still arrive) — Spark runs a no-data batch on
+    watermark advance to flush these, so with availableNow the outer
+    rows land for every click older than final_watermark - horizon;
+    clicks younger than that stay buffered awaiting possible matches
+    (deliberate: correctness over completeness on an open stream).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         "user_id",
@@ -150,6 +160,7 @@ def attribution_stream(
             f"user_id = b_user AND buy_ts > click_ts "
             f"AND buy_ts <= click_ts + INTERVAL {horizon}"
         ),
+        how,
     ).select("click_id", "user_id", "click_ts", "buy_ts", "buy_value")
 
 

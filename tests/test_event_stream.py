@@ -221,3 +221,71 @@ def test_attribution_stream_matches_batch(spark, event_source, tmp_path):
 
     x35 = all_queries()["x35_attribution_join"](spark, SF_ORACLE).toPandas()
     assert int(x35["n_purchases"].sum()) == len(batch)
+
+
+def test_attribution_stream_left_outer(spark, event_source, tmp_path):
+    """Watermarked left-outer stream-stream join: matched pairs equal the
+    inner join's; zero-purchase clicks emit null-padded rows once the
+    watermark passes click_ts + horizon (parity with batch x35's outer
+    semantics)."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        attribution_stream,
+    )
+
+    path, schema, ev = event_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        attribution_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            how="leftOuter",
+        )
+        .writeStream.format("memory")
+        .queryName("attr_outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attr_outer_out").toPandas()
+
+    # matched rows must be exactly the inner join's result
+    inner = attribution_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+    matched = got[got["buy_ts"].notna()]
+    key = ["click_id", "buy_ts"]
+    assert len(matched) == len(inner)
+    assert (
+        matched.sort_values(key, ignore_index=True)["click_id"].to_numpy()
+        == inner.sort_values(key, ignore_index=True)["click_id"].to_numpy()
+    ).all()
+
+    # null rows: exactly the zero-purchase clicks from batch x35, up to the
+    # watermark horizon (clicks too recent for the final watermark stay
+    # buffered by design)
+    x35 = all_queries()["x35_attribution_join"](spark, SF_ORACLE).toPandas()
+    zero = x35[x35["n_purchases"] == 0]
+    nulls = got[got["buy_ts"].isna()]
+    assert set(nulls["click_id"]) <= set(zero["click_id"])
+    # completeness below the emission frontier: final watermark = min side
+    # max ts - 2h; a zero-purchase click older than frontier - horizon MUST
+    # have been flushed
+    maxes = (
+        ev.groupBy("event_type").agg(F.max("ts").alias("m")).toPandas()
+        .set_index("event_type")["m"]
+    )
+    frontier = (
+        min(maxes["click"], maxes["purchase"])
+        - pd.Timedelta(hours=2)   # watermark
+        - pd.Timedelta(hours=1)   # horizon
+        - pd.Timedelta(minutes=5) # slack
+    )
+    must_emit = zero[zero["click_ts"] < frontier]
+    assert set(must_emit["click_id"]) <= set(nulls["click_id"])
+    assert len(must_emit) > 0  # the assertion above must not be vacuous
