@@ -892,6 +892,9 @@ _DEMOTED = [
     "x25_scalar_functions", "x29_tpch_q6", "x32_session_window",
 ]
 EXTRA_ORACLES: dict[str, str] = {n: ORACLES.pop(n) for n in _DEMOTED}
+# bucketed-layout variant computes the same result as x34 (only the
+# physical layout differs); pytest asserts it against the same SQL
+EXTRA_ORACLES["x34_bucketed_q18"] = ORACLES["x34_tpch_q18"]
 
 
 def all_oracles() -> dict[str, str]:

@@ -53,6 +53,7 @@ HEADLINE = [
     "x32_session_window",
     "x33_tpch_q5",
     "x34_tpch_q18",
+    "x34_bucketed_q18",
     "x35_attribution_join",
     "x36_tfidf_top_terms",
     "x37_deterministic_split",

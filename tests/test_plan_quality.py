@@ -86,6 +86,24 @@ def test_topk_avoids_global_sort(spark, queries):
         assert "TakeOrderedAndProject" in plan, name
 
 
+def test_bucketed_q18_no_orderkey_exchange(spark, queries):
+    """x34_bucketed_q18 reads the bucketBy(16, orderkey) layout: the
+    lineitem self-agg, the orders semi-join, the detail join and the
+    final agg must all reuse the bucket partitioning — zero Exchange on
+    orderkey anywhere in the plan (the plain x34 has several). This is
+    the write-once-join-forever property PLANS.md claims for 100 TB fact
+    tables."""
+    import re
+
+    plan = plan_of(queries["x34_bucketed_q18"](spark, SF_ORACLE))
+    assert not re.search(r"Exchange hashpartitioning\((?:l|o)_orderkey", plan), plan
+    # the layout must save at least one shuffle vs the plain variant on
+    # the same data (at tiny scale broadcasts elide the join exchanges,
+    # but the final agg still reuses only the bucket partitioning)
+    plain = plan_of(queries["x34_tpch_q18"](spark, SF_ORACLE))
+    assert plan.count("Exchange") < plain.count("Exchange")
+
+
 def test_mapside_ops_have_no_exchange(spark, queries):
     """x42 (dup-ngram) and the split/sample predicates are pure map-side:
     any Exchange would mean an accidental shuffle crept in."""
