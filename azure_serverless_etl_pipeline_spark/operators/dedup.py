@@ -153,23 +153,60 @@ def ngram_jaccard_pairs(
         return _verify_jaccard(cand, base, id_col, threshold)
 
     if max_shingle_freq is not None:
-        # capped inverted index: bound every posting list, generate
-        # candidates from the surviving shingles, verify exactly
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        capped = sh.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+        # capped inverted index: bound every posting list, pair-count the
+        # surviving postings (same cheap count-aggregate join as the exact
+        # path — per-pair rows never carry arrays), then prune with a SOUND
+        # Jaccard upper bound before the array verify:
+        #   true_common <= n_cc + min(dropped_a, dropped_b)
+        # (shared shingles are shared-capped or shared-dropped, and
+        # shared-dropped <= either side's dropped count). Only pairs whose
+        # upper bound clears the threshold reach the array intersect — on
+        # unskewed data (nothing dropped) the bound IS the exact Jaccard
+        # and the verify set equals the output set.
+        # df via a window over the SELF-JOIN KEY (shingle): the one shuffle
+        # that computes posting-list lengths leaves the data partitioned
+        # exactly how the candidate join needs it (exchange reuse) — a
+        # groupBy+join formulation pays two extra shuffles for the same
+        # information. sz and csz then come from ONE id-keyed aggregation.
+        tagged = (
+            sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .withColumn("keep", F.col("df") <= max_shingle_freq)
+            .cache()
         )
+        drops = tagged.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("sz"),
+            (F.count(F.lit(1)) - F.sum(F.col("keep").cast("long"))).alias("dropped"),
+        )
+        capped = tagged.filter(F.col("keep")).select(id_col, "shingle")
         a, b = capped.alias("a"), capped.alias("b")
-        cand = (
+        inter_c = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            .select(
+            .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
             )
-            .dropDuplicates(["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).alias("n_cc"))
+        )
+        da = drops.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
+            F.col("dropped").alias("drop_a"),
+        )
+        db = drops.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
+            F.col("dropped").alias("drop_b"),
+        )
+        ub_common = F.col("n_cc") + F.least(F.col("drop_a"), F.col("drop_b"))
+        cand = (
+            inter_c.join(da, "id_a")
+            .join(db, "id_b")
+            .filter(
+                ub_common / (F.col("sz_a") + F.col("sz_b") - ub_common)
+                >= threshold
+            )
+            .select("id_a", "id_b")
         )
         return _verify_jaccard(cand, base, id_col, threshold)
 
