@@ -1137,6 +1137,523 @@ def x34_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x52.. — the rest of the TPC-H suite, adapted to the trimmed testdata
+# schema (no partsupp table, no commit/receipt dates, no comment/phone
+# columns — predicates on the missing columns are substituted with
+# equivalent-shape predicates on existing ones; each docstring notes the
+# substitution). Registered past the driver window: oracle parity runs in
+# pytest (EXTRA_ORACLES, sf0.001) like the other demoted entries.
+# ---------------------------------------------------------------------------
+
+
+@query("x52_tpch_q4")
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: the EXISTS correlation
+    "l_commitdate < l_receiptdate" becomes "shipped >60 days after order"
+    (the schema has no commit/receipt dates). Physical shape preserved:
+    orders filtered by quarter, EXISTS -> left-semi join on orderkey with
+    the extra non-equi predicate, then a tiny priority rollup."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("x53_tpch_q7")
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) between NATION_1 and NATION_2, faithful.
+    lineitem⋈orders is the only big-big shuffle; supplier/customer joins
+    broadcast under AQE; the two nation lookups are explicit broadcasts.
+    The nation-pair disjunction is applied after both names are bound."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(drevenue())
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query("x54_tpch_q8")
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted: part filter is
+    p_type = 'ECONOMY' (schema has no p_mfgr). Share of NATION_5 suppliers
+    in AMERICA-customer revenue by order year. The share is a double
+    division of two decimal-exact sums (numerator CASE inside the sum),
+    so it is bit-stable across engines and partitionings."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation")
+    cust_nations = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        cust_nations, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    joined = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query("x55_tpch_q12")
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: the schema has no
+    l_shipmode, so lines are bucketed by ship delay (days from order to
+    ship: <=30 FAST, <=90 NORMAL, else SLOW) — same conditional-count
+    shape over the orders⋈lineitem join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@query("x56_tpch_q13")
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), adapted: the anti-predicate on
+    o_comment becomes o_orderpriority <> '5-LOW' (no comment column).
+    customer LEFT JOIN orders with the predicate in the join condition
+    (not a pre-filter of customers), then the two-level count rollup."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query("x57_tpch_q15")
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return the
+    supplier(s) at the max. The scalar max is a 1-row broadcast crossJoin
+    (no second scan of lineitem); the equality comparison happens in the
+    exact DECIMAL domain, cast to double only for output."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(price * disc).alias("rev_dec"))
+    top = rev.agg(F.max("rev_dec").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query("x58_tpch_q17")
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: part filter is
+    p_brand = 'Brand#23' (schema has no p_container). The correlated
+    per-part AVG subquery becomes a window over the already-joined frame
+    (one shuffle on partkey serves both the avg and the filter); the avg
+    is the exact decimal-sum / count double division on both engines."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    joined = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query("x59_tpch_q19")
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates), adapted:
+    the shipmode/container legs become (brand, size, quantity) branches.
+    The part side of each branch is pushed to the broadcast part scan via
+    the OR of the part-only conjuncts; the mixed branches apply post-join
+    — the same split Catalyst does for the real Q19."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(drevenue())
+    )
+
+
+@query("x60_tpch_q21")
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: with no
+    commit/receipt dates, the "blamed" supplier is the strictly-last
+    shipper in a multi-supplier finalized order. EXISTS -> left-semi,
+    NOT EXISTS -> left-anti, both on orderkey equality plus non-equi
+    side predicates (suppkey inequality / later shipdate)."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    blamed = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey"))
+        & (F.col("l3_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query("x61_tpch_q22")
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the phone-prefix
+    filter becomes a mktsegment filter, and "has no orders" becomes "no
+    orders since 2000-01-01" (the testdata has no order-less customers).
+    Scalar avg subquery -> 1-row broadcast crossJoin; NOT EXISTS ->
+    left-anti against the date-filtered orders."""
+    segs = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _supplier_part(li: DataFrame) -> DataFrame:
+    """The supplier-part relation derived from lineitem (the testdata has
+    no partsupp table): one row per observed (l_partkey, l_suppkey) with
+    the min observed unit price as the supply-cost stand-in. MIN over
+    doubles is order-independent, so the derived relation is exact."""
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+
+
+@query("x62_tpch_q2")
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier), adapted: partsupp is the
+    lineitem-derived supplier-part relation (_supplier_part) and
+    ps_supplycost its min observed unit price. The correlated min
+    subquery (min cost among EUROPE suppliers for the part) becomes a
+    window min over the EUROPE-filtered relation — one shuffle on
+    partkey serves both the min and the equality filter."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        eur, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    sp = _supplier_part(li).join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = sp.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(15, 25, 35)
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query("x63_tpch_q9")
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: supply cost is
+    0.6 × p_retailprice per unit (no ps_supplycost). Revenue and cost are
+    summed as SEPARATE decimal-exact aggregates and subtracted as doubles
+    — a single decimal subtraction of (38,8) and (26,5) would overflow
+    38-digit precision and round differently per engine."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,4)")
+        * F.lit(0.6).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(rev).cast("double") - F.sum(cost).cast("double")).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query("x64_tpch_q11")
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important inventory), adapted: per-part value held by
+    NATION_3 suppliers = decimal sum of l_extendedprice over the nation's
+    lineitems; "important" = value > 2× the average part value (the real
+    query's fixed fraction goes empty as the part count grows with SF —
+    the average-relative threshold is scale-free). The scalar (total, n)
+    is a 1-row broadcast crossJoin; the comparison runs on doubles both
+    engines derive identically from the exact decimal sums."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        s, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("val_dec")
+    )
+    total = per_part.agg(
+        F.sum("val_dec").cast("double").alias("tot"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("val_dec").cast("double") * F.col("n_parts")
+            > 2.0 * F.col("tot")
+        )
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query("x65_tpch_q16")
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationship counts), adapted: the
+    supplier-part pairs come from DISTINCT lineitem (no partsupp); the
+    excluded-supplier NOT IN subquery (complaint comments in the real
+    query) becomes s_acctbal < 1000 -> left-anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        sp.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query("x66_tpch_q20")
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (suppliers with excess stock), adapted: NATION_9
+    suppliers who shipped MORE THAN HALF of some bolt-part's total 1996
+    volume (the 0.5 × sum correlated subquery of the real query, with
+    lineitem volume standing in for partsupp availqty). The half
+    comparison is 2×sq > total in the exact DECIMAL domain."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    vol = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"))
+    )
+    tot = vol.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        vol.join(tot.withColumnRenamed("l_partkey", "t_partkey"),
+                 F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order), so the registry is reordered:
 # every oracle-backed query (49) plus x30 (the rows-only sketch op, which

@@ -116,3 +116,35 @@ def test_mapside_ops_have_no_exchange(spark, queries):
     docs = load_table(spark, SF_ORACLE, "documents")
     assert "Exchange" not in plan_of(dup_ngram_ratio(docs))
     assert "Exchange" not in plan_of(deterministic_split(docs))
+
+
+def test_tpch_suite_semi_anti_shapes(spark, queries):
+    """The EXISTS/NOT EXISTS adaptations must compile to semi/anti joins
+    (not row-multiplying inner joins + dedup): q4 EXISTS -> LeftSemi,
+    q21 EXISTS+NOT EXISTS -> LeftSemi and LeftAnti, q22/q16 NOT IN/NOT
+    EXISTS -> LeftAnti. None of the 15 new TPC-H plans may contain a
+    cartesian product (the 1-row scalar-subquery crossJoins must stay
+    broadcast)."""
+    plan_q4 = plan_of(queries["x52_tpch_q4"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan_q4
+    plan_q21 = plan_of(queries["x60_tpch_q21"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan_q21 and "LeftAnti" in plan_q21
+    for name in ("x61_tpch_q22", "x65_tpch_q16"):
+        assert "LeftAnti" in plan_of(queries[name](spark, SF_ORACLE)), name
+    for name in (
+        "x52_tpch_q4", "x53_tpch_q7", "x54_tpch_q8", "x55_tpch_q12",
+        "x56_tpch_q13", "x57_tpch_q15", "x58_tpch_q17", "x59_tpch_q19",
+        "x60_tpch_q21", "x61_tpch_q22", "x62_tpch_q2", "x63_tpch_q9",
+        "x64_tpch_q11", "x65_tpch_q16", "x66_tpch_q20",
+    ):
+        assert "CartesianProduct" not in plan_of(queries[name](spark, SF_ORACLE)), name
+
+
+def test_tpch_scalar_subqueries_broadcast(spark, queries):
+    """q15's max-revenue and q22's avg-balance scalar subqueries are 1-row
+    frames crossJoined in: they must broadcast (BroadcastExchange /
+    BroadcastNestedLoopJoin over ONE row is the right plan; a shuffled
+    join or cartesian over the big side is not)."""
+    for name in ("x57_tpch_q15", "x61_tpch_q22", "x64_tpch_q11"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "BroadcastExchange" in plan, name
