@@ -1174,6 +1174,80 @@ ORDER BY s_name
 """
 
 
+# md5 bucket with a parameterized modulus (twin of sampling.hash_bucket)
+def _hash_bucket_mod(key: str, buckets: int) -> str:
+    return (
+        f"(list_reduce(list_transform("
+        f"string_split(substr(md5(CAST({key} AS VARCHAR)), 1, 8), ''), "
+        f"x -> CASE WHEN x BETWEEN '0' AND '9' THEN CAST(x AS BIGINT) "
+        f"ELSE 10 + ascii(x) - ascii('a') END), (a, b) -> a * 16 + b) % {buckets})"
+    )
+
+
+EXTRA_ORACLES["x67_chunk_documents"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n_tokens FROM toks WHERE len(t) >= 1
+), exploded AS (
+  SELECT doc_id, n_tokens, t,
+         UNNEST(generate_series(0, n_tokens - 1, 24)) AS chunk_start
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       CAST(chunk_start / 24 AS INTEGER) AS chunk_id,
+       chunk_start,
+       len(t[chunk_start + 1 : chunk_start + 32]) AS chunk_len,
+       array_to_string(t[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+FROM exploded
+ORDER BY doc_id, chunk_id
+"""
+
+EXTRA_ORACLES["x68_pack_sequences"] = f"""
+WITH sharded AS (
+  SELECT doc_id,
+         {_hash_bucket_mod('doc_id', 8)} AS shard,
+         len({_TOKENS.format(t='text')}) AS n_tokens
+  FROM documents
+), offsets AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sharded
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(FLOOR(CAST(start_offset AS DOUBLE) / 256) AS BIGINT) AS seq_id
+FROM offsets
+ORDER BY doc_id
+"""
+
+EXTRA_ORACLES["x69_mixture_sample"] = f"""
+WITH targets (source, target_w) AS (
+  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+), counts AS (
+  SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+), j AS (
+  SELECT c.source, c.n_source, t.target_w
+  FROM counts c JOIN targets t ON c.source = t.source
+), scale AS (
+  SELECT MIN(CAST(n_source AS DOUBLE) / target_w) AS scale FROM j
+), rates AS (
+  SELECT source, n_source, target_w * scale.scale / n_source AS keep_rate
+  FROM j, scale
+)
+SELECT d.source, COUNT(*) AS n_kept,
+       ANY_VALUE(r.n_source) AS n_source,
+       ROUND(ANY_VALUE(r.keep_rate), 6) AS keep_rate
+FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE {_hash_bucket_mod('d.doc_id', 10000)} < r.keep_rate * 10000
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def all_oracles() -> dict[str, str]:
     """Driver-window oracles only (every key has a checked queries() slot)."""
     return dict(ORACLES)

@@ -1,0 +1,106 @@
+"""Semantics tests for operators/packing.py (chunking, sequence packing,
+mixture sampling) beyond the x67-x69 oracle parity: invariants and the
+partitioning-stability property the module docstring promises.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_serverless_etl_pipeline_spark.operators.packing import (
+    chunk_documents,
+    mixture_sample,
+    pack_sequences,
+)
+from azure_serverless_etl_pipeline_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_chunks_cover_every_token_and_respect_size(spark, docs):
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24).cache()
+    rows = chunks.collect()
+    assert all(r.chunk_len <= 32 for r in rows)
+    # stride walk: chunk c starts at 24·c, and every token index < n_tokens
+    # is inside at least one chunk (stride < chunk size -> full coverage)
+    assert all(r.chunk_start == 24 * r.chunk_id for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in per_doc.values():
+        covered = set()
+        for r in doc_rows:
+            covered.update(range(r.chunk_start, r.chunk_start + r.chunk_len))
+        assert covered == set(range(doc_rows[0].n_tokens))
+    # overlap reconstruction: dropping the first (32-24)=8 tokens of every
+    # non-first chunk and concatenating rebuilds the document exactly
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, doc_rows in per_doc.items():
+        doc_rows.sort(key=lambda r: r.chunk_id)
+        parts = [doc_rows[0].chunk_text.split()]
+        for r in doc_rows[1:]:
+            parts.append(r.chunk_text.split()[32 - 24:])
+        rebuilt = [t for p in parts for t in p]
+        assert rebuilt == texts[doc_id].split()
+
+
+def test_pack_sequences_budget_and_stability(spark, docs):
+    packed = pack_sequences(docs, budget_tokens=256, n_shards=8)
+    rows = packed.collect()
+    # seq assignment is exactly the start-offset bucket
+    assert all(r.seq_id == r.start_offset // 256 for r in rows)
+    # offsets are a per-shard exclusive prefix sum in doc_id order
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        acc = by_shard.get(r.shard, 0)
+        assert r.start_offset == acc
+        by_shard[r.shard] = acc + r.n_tokens
+    # partitioning stability: same assignment after a repartition
+    repart = pack_sequences(docs.repartition(7), budget_tokens=256, n_shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, repart.collect()))
+
+
+def test_mixture_sample_hits_target_and_is_stable(spark, docs):
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    kept = mixture_sample(docs, targets).cache()
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(targets)
+    # the bottleneck source keeps everything (largest w / equal counts)
+    n_src0_total = docs.filter(F.col("source") == "src0").count()
+    assert counts["src0"] == n_src0_total
+    # achieved mixture within hash-quantization of the target (rate has
+    # bucket resolution 1/10000, counts are small -> allow a few docs)
+    total = sum(counts.values())
+    for s, w in targets.items():
+        assert abs(counts[s] / total - w) < 0.1
+    # deterministic: repartitioned input keeps the same doc_ids
+    kept2 = mixture_sample(docs.repartition(5), targets)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in kept2.collect()
+    )
+
+
+def test_chunking_is_mapside_only(spark, docs):
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        chunk_documents(docs).explain("formatted")
+    assert "Exchange" not in plan.getvalue()
+
+
+def test_mixture_never_shuffles_the_corpus(spark, docs):
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        mixture_sample(docs, {"src0": 0.5, "src1": 0.5}).explain("formatted")
+    text = plan.getvalue()
+    # the corpus-side join must be broadcast; any sort-merge join would
+    # mean the full corpus shuffled on source
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
