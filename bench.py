@@ -6,8 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Per BASELINE.md: sec/query = median of >=3 timed runs after 1 warm-up.
 Override runs with SPARK_GRAFT_BENCH_RUNS. Each timed run executes the
-full plan to completion (count() action) — results stay distributed, no
-driver materialization cost in the measurement.
+full plan to completion through the `noop` sink — every output column is
+computed and the result stays distributed. (Rounds 1-2 used count(),
+which lets Catalyst prune unreferenced computed columns and
+under-measures map-side queries; BASELINE.md records the protocol
+change and fresh medians.)
 """
 
 from __future__ import annotations
@@ -69,6 +72,26 @@ HEADLINE = [
     "x50_user_adoption",
     "x51_full_outer_reconcile",
     "m01_anomaly_scores",
+    # TPC-H suite completion (round 2)
+    "x52_tpch_q4",
+    "x53_tpch_q7",
+    "x54_tpch_q8",
+    "x55_tpch_q12",
+    "x56_tpch_q13",
+    "x57_tpch_q15",
+    "x58_tpch_q17",
+    "x59_tpch_q19",
+    "x60_tpch_q21",
+    "x61_tpch_q22",
+    "x62_tpch_q2",
+    "x63_tpch_q9",
+    "x64_tpch_q11",
+    "x65_tpch_q16",
+    "x66_tpch_q20",
+    # training-sequence assembly (round 2)
+    "x67_chunk_documents",
+    "x68_pack_sequences",
+    "x69_mixture_sample",
 ]
 
 
@@ -87,11 +110,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         try:
-            fn(spark, sf_dir).count()  # warm-up (JIT, file listing, codegen)
+
+            def run() -> None:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            run()  # warm-up (JIT, file listing, codegen)
             samples = []
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                run()
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(samples), 4)
         except Exception as e:  # one broken query must not sink the bench
