@@ -1248,6 +1248,11 @@ ORDER BY d.source
 """
 
 
+# single-scan Q21 variant computes the same result as x60 (only the
+# physical plan differs); pytest asserts it against the same EXISTS SQL
+EXTRA_ORACLES["x70_tpch_q21_onescan"] = EXTRA_ORACLES["x60_tpch_q21"]
+
+
 def all_oracles() -> dict[str, str]:
     """Driver-window oracles only (every key has a checked queries() slot)."""
     return dict(ORACLES)

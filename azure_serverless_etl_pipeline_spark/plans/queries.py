@@ -1701,6 +1701,79 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x70_tpch_q21_onescan")
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21, single-scan variant (identical result set to x60 —
+    the same EXISTS-form DuckDB oracle pins both).
+
+    x60's textbook EXISTS/NOT-EXISTS plan scans lineitem three times and
+    shuffles it twice for the fact-to-fact semi/anti joins. This
+    formulation scans lineitem ONCE: aggregate to (order, supplier)
+    keeping max shipdate + the (small, order-bounded) sorted shipdate
+    list, window over the order for top-1 / tie-count / runner-up
+    supplier maxima, and derive
+        max_other = m1 if (mine < m1 or tie at m1) else m2
+    A lineitem qualifies iff its shipdate >= max_other, counted with an
+    array filter — no second scan, no fact-to-fact join. Locally x60 is
+    ~2× faster (codegen'd merge joins beat ObjectHashAggregate + window
+    constants when everything is in RAM); at IO-bound 100 TB scale the
+    single scan + single fact shuffle wins — PLANS.md quantifies the
+    trade."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max"),
+        F.sort_array(F.collect_list("l_shipdate")).alias("ships"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = (
+        per_os.withColumn("m1", F.max("supp_max").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "cnt_m1",
+            F.sum(
+                F.when(F.col("supp_max") == F.col("m1"), 1).otherwise(0)
+            ).over(w),
+        )
+        .withColumn(
+            "m2",
+            F.max(
+                F.when(F.col("supp_max") < F.col("m1"), F.col("supp_max"))
+            ).over(w),
+        )
+    )
+    max_other = F.when(
+        (F.col("supp_max") < F.col("m1")) | (F.col("cnt_m1") >= 2), F.col("m1")
+    ).otherwise(F.col("m2"))
+    qual = (
+        stats.filter(F.col("n_supp") >= 2)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .withColumn("mo", max_other)
+        .select(
+            "s_name",
+            F.size(
+                F.filter("ships", lambda x: x >= F.col("mo"))
+            ).alias("n_blamed"),
+        )
+    )
+    return (
+        qual.groupBy("s_name")
+        .agg(F.sum("n_blamed").alias("numwait"))
+        .filter(F.col("numwait") > 0)
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order), so the registry is reordered:

@@ -88,6 +88,7 @@ HEADLINE = [
     "x64_tpch_q11",
     "x65_tpch_q16",
     "x66_tpch_q20",
+    "x70_tpch_q21_onescan",
     # training-sequence assembly (round 2)
     "x67_chunk_documents",
     "x68_pack_sequences",

@@ -148,3 +148,16 @@ def test_tpch_scalar_subqueries_broadcast(spark, queries):
     for name in ("x57_tpch_q15", "x61_tpch_q22", "x64_tpch_q11"):
         plan = plan_of(queries[name](spark, SF_ORACLE))
         assert "BroadcastExchange" in plan, name
+
+
+def test_q21_single_lineitem_scan(spark, queries):
+    """x70 (the 100 TB-path Q21 variant) must scan lineitem exactly once
+    and contain no fact-to-fact anti join; x60 (the EXISTS form) scans
+    it three times — both shapes are pinned so neither silently morphs
+    into the other."""
+    plan = plan_of(queries["x70_tpch_q21_onescan"](spark, SF_ORACLE))
+    assert "LeftAnti" not in plan
+    # each scan node prints its Location once in the detail section
+    assert plan.count("lineitem.parquet") == 1, plan
+    exists_form = plan_of(queries["x60_tpch_q21"](spark, SF_ORACLE))
+    assert exists_form.count("lineitem.parquet") == 3
