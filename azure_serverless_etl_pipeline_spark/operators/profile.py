@@ -1,0 +1,67 @@
+"""Table profiling (data-quality summary) — one scan, one aggregate.
+
+A pipeline that ingests 100 TB needs a cheap answer to "what does this
+table look like": row count, per-column null counts, distinct
+cardinalities, and value ranges. ``profile_table`` computes every metric
+for every column in a SINGLE aggregate pass (Catalyst evaluates the
+~6·n_cols aggregate expressions in one partial+final hash aggregate over
+one scan), then unpivots with ``stack`` to one row per column — no join,
+no second scan, output is |columns| rows.
+
+Numeric columns report min/max values; timestamps report epoch
+microseconds (as double — engine-stable); strings report min/max LENGTH
+(value min/max of strings would hit engine-specific collation and float
+formatting). ``n_distinct`` is exact COUNT(DISTINCT) by default — at
+true 100 TB scale pass ``approx_distinct=True`` to swap in HLL
+(approx_count_distinct) and keep the aggregate single-pass streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _range_cols(field: T.StructField) -> tuple[Column, Column]:
+    c = F.col(field.name)
+    if isinstance(field.dataType, (T.NumericType,)):
+        return F.min(c).cast("double"), F.max(c).cast("double")
+    if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ has no unix_micros; the session runs UTC so the cast is the
+        # identity mapping and epoch-us matches DuckDB's epoch_us
+        us = F.unix_micros(c.cast("timestamp"))
+        return F.min(us).cast("double"), F.max(us).cast("double")
+    if isinstance(field.dataType, T.StringType):
+        ln = F.length(c)
+        return F.min(ln).cast("double"), F.max(ln).cast("double")
+    return F.lit(None).cast("double"), F.lit(None).cast("double")
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_val, max_val). Single scan, single aggregate, no join."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        nd = (
+            F.approx_count_distinct(c) if approx_distinct else F.count_distinct(c)
+        )
+        mn, mx = _range_cols(f)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__nulls_{f.name}"),
+            nd.alias(f"__nd_{f.name}"),
+            mn.alias(f"__min_{f.name}"),
+            mx.alias(f"__max_{f.name}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{f.name}', __rows, __nulls_{f.name}, __nd_{f.name}, "
+        f"__min_{f.name}, __max_{f.name}"
+        for f in df.schema.fields
+    )
+    n = len(df.schema.fields)
+    return one.selectExpr(
+        f"stack({n}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

@@ -1253,6 +1253,37 @@ ORDER BY d.source
 EXTRA_ORACLES["x70_tpch_q21_onescan"] = EXTRA_ORACLES["x60_tpch_q21"]
 
 
+def _profile_branch(col: str, kind: str) -> str:
+    """One UNION branch of the x71 table-profile oracle. kind: num |
+    str (length ranges) | ts (epoch-microsecond ranges)."""
+    rng = {
+        "num": (f"MIN({col})", f"MAX({col})"),
+        "str": (f"MIN(length({col}))", f"MAX(length({col}))"),
+        "ts": (f"MIN(epoch_us({col}))", f"MAX(epoch_us({col}))"),
+    }[kind]
+    return f"""
+  SELECT '{col}' AS "column", COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         COUNT(DISTINCT {col}) AS n_distinct,
+         CAST({rng[0]} AS DOUBLE) AS min_val,
+         CAST({rng[1]} AS DOUBLE) AS max_val
+  FROM lineitem"""
+
+
+_LINEITEM_KINDS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"), ("l_shipdate", "ts"),
+]
+
+EXTRA_ORACLES["x71_table_profile"] = (
+    "\nUNION ALL\n".join(_profile_branch(c, k) for c, k in _LINEITEM_KINDS)
+    + '\nORDER BY "column"'
+)
+
+
 def all_oracles() -> dict[str, str]:
     """Driver-window oracles only (every key has a checked queries() slot)."""
     return dict(ORACLES)

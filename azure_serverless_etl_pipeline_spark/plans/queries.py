@@ -1774,6 +1774,17 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query("x71_table_profile")
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of lineitem (operators/profile.py):
+    row count, nulls, exact distinct cardinality, value/length/epoch
+    ranges — all in ONE aggregate pass over one scan, unpivoted with
+    stack to |columns| rows."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "lineitem")).orderBy("column")
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order), so the registry is reordered:

@@ -93,6 +93,7 @@ HEADLINE = [
     "x67_chunk_documents",
     "x68_pack_sequences",
     "x69_mixture_sample",
+    "x71_table_profile",
 ]
 
 

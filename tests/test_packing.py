@@ -104,3 +104,25 @@ def test_mixture_never_shuffles_the_corpus(spark, docs):
     # mean the full corpus shuffled on source
     assert "SortMergeJoin" not in text
     assert "BroadcastHashJoin" in text
+
+
+def test_profile_table_semantics(spark, docs):
+    """profile_table on documents: exact metrics + approx mode sanity."""
+    from azure_serverless_etl_pipeline_spark.operators.profile import profile_table
+
+    prof = {r.column: r for r in profile_table(docs).collect()}
+    n = docs.count()
+    assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r.n_rows == n for r in prof.values())
+    assert prof["doc_id"].n_distinct == n and prof["doc_id"].n_nulls == 0
+    assert prof["lang"].n_distinct == 5
+    # string columns range over LENGTH
+    import pyspark.sql.functions as F
+
+    lens = docs.select(
+        F.min(F.length("text")), F.max(F.length("text"))
+    ).first()
+    assert (prof["text"].min_val, prof["text"].max_val) == tuple(map(float, lens))
+    # approx mode: same shape, HLL cardinalities within 5%
+    approx = {r.column: r for r in profile_table(docs, approx_distinct=True).collect()}
+    assert abs(approx["doc_id"].n_distinct - n) / n < 0.05

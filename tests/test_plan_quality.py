@@ -161,3 +161,11 @@ def test_q21_single_lineitem_scan(spark, queries):
     assert plan.count("lineitem.parquet") == 1, plan
     exists_form = plan_of(queries["x60_tpch_q21"](spark, SF_ORACLE))
     assert exists_form.count("lineitem.parquet") == 3
+
+
+def test_profile_single_scan_no_join(spark, queries):
+    """x71 computes every per-column metric in one aggregate over one
+    scan: no join nodes, exactly one lineitem scan."""
+    plan = plan_of(queries["x71_table_profile"](spark, SF_ORACLE))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Join" not in plan
