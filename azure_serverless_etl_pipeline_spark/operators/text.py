@@ -293,3 +293,51 @@ def dup_ngram_ratio(
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM quality score: per-document average negative log
+    probability under the corpus's own unigram distribution (the
+    perplexity proxy used to rank training documents — high = rare/noisy
+    vocabulary, low = stereotypical text).
+
+    Fully distributed and vocabulary-bounded like tfidf_top_terms:
+    explode -> per-(doc,term) counts (one shuffle), term frequencies from
+    the same aggregate (vocabulary-sized second shuffle, broadcast back),
+    corpus token total as a 1-row broadcast. Per-term contributions are
+    rounded to 8 decimals and decimal-summed so the per-doc total is
+    order-independent (float addition is not associative; ln itself
+    bit-matches across engines, per the x36 convention).
+    """
+    term = F.explode(tokens(F.col(text_col))).alias("term")
+    tf = df.select(F.col(id_col), term).groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = freq.agg(F.sum("c").alias("t_total"))
+    contrib = (
+        tf.join(F.broadcast(freq), "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "w",
+            F.round(
+                F.col("tf") * F.log(F.col("t_total") / F.col("c")), 8
+            ).cast("decimal(18,8)"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (F.sum("w").cast("double") / F.sum("tf")).alias("raw"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("raw"), 6).alias("avg_neg_logprob"),
+        )
+    )

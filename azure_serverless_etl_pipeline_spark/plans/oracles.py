@@ -1283,6 +1283,27 @@ EXTRA_ORACLES["x71_table_profile"] = (
     + '\nORDER BY "column"'
 )
 
+EXTRA_ORACLES["x72_unigram_logprob"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), freq AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM freq
+), contrib AS (
+  SELECT doc_id, tf.tf,
+         CAST(ROUND(tf.tf * ln(CAST(t_total AS DOUBLE) / c), 8)
+              AS DECIMAL(18,8)) AS w
+  FROM tf JOIN freq USING (term) CROSS JOIN total
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND({_dec2dbl("SUM(w)")} / CAST(SUM(tf) AS BIGINT), 6)
+         AS avg_neg_logprob
+FROM contrib GROUP BY doc_id ORDER BY doc_id
+"""
+
 
 def all_oracles() -> dict[str, str]:
     """Driver-window oracles only (every key has a checked queries() slot)."""

@@ -1785,6 +1785,15 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "lineitem")).orderBy("column")
 
 
+@query("x72_unigram_logprob")
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (text.unigram_logprob): avg negative log
+    probability per document under the corpus unigram distribution —
+    the perplexity-proxy ranking signal. Vocabulary-bounded shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order), so the registry is reordered:

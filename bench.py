@@ -94,6 +94,7 @@ HEADLINE = [
     "x68_pack_sequences",
     "x69_mixture_sample",
     "x71_table_profile",
+    "x72_unigram_logprob",
 ]
 
 

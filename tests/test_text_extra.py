@@ -62,3 +62,17 @@ def test_dup_ratio_extremes(spark):
     assert got[1]["dup_ratio"] == 0.75  # 4 bigrams, 1 distinct
     assert got[2]["dup_ratio"] == 0.0
     assert got[3]["n_bigrams"] == 0 and got[3]["dup_ratio"] == 0.0
+
+
+def test_unigram_logprob_ranks_rare_vocab(spark):
+    """A doc made of corpus-rare tokens must score higher (more
+    surprising) than a doc of corpus-common tokens."""
+    from azure_serverless_etl_pipeline_spark.operators.text import unigram_logprob
+
+    rows = [(i, "the common words appear here always") for i in range(20)]
+    rows.append((100, "zyx qwv jjkk zzz pqr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.avg_neg_logprob for r in unigram_logprob(df).collect()}
+    assert scores[100] > scores[0]
+    # common docs all score identically (same token multiset)
+    assert len({scores[i] for i in range(20)}) == 1
