@@ -108,3 +108,163 @@ def probe_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): vectors are L2-normalized,
+# split into m contiguous subspaces, and each subspace is vector-quantized
+# against its own k-centroid codebook. A 64-dim float32 vector (256 B)
+# becomes m=8 uint8 codes (8 B) — 32x memory compression, which is what lets
+# a 100 TB embedding corpus live in executor memory for scoring. Search is
+# asymmetric distance computation (ADC): per query, an m*k lookup table of
+# exact subspace dot products; a corpus vector's approximate cosine is the
+# sum of m table lookups. A shortlist survives ADC and is re-ranked with
+# exact cosine (the standard refine step) so recall approaches brute force.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    iters: int = 20,
+) -> np.ndarray:
+    """Fit per-subspace codebooks with seeded Lloyd iterations in numpy on
+    a bounded corpus sample (the faiss practice: codebooks train on a
+    ~100k sample regardless of corpus size — training cost must not grow
+    with the corpus). Returns (m, k, d/m) centroids.
+    """
+    n_total = corpus.count()
+    fraction = min(1.0, sample_cap / max(n_total, 1))
+    sample = (
+        corpus.sample(fraction=fraction, seed=_SEED).limit(sample_cap).select(vec_col)
+    )
+    x = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(_SEED)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                pts = xs[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        books[j] = cent
+    return books
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest-centroid code per subspace, computed
+    in one Arrow-batched pass (mapInPandas, numpy-vectorized argmin; no
+    shuffle). Codes are the ONLY per-vector state search needs.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    m, k, sub = codebooks.shape
+
+    def enc(batches):
+        books = bc.value
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                # ||x-c||^2 argmin == (x.c - ||c||^2/2) argmax, one GEMM
+                dots = xs @ books[j].T
+                codes[:, j] = (dots - 0.5 * (books[j] ** 2).sum(1)).argmax(1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def search_pq(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scan + exact re-rank: approximate scores prune the corpus to a
+    per-query shortlist (distributed window), then only shortlist rows
+    join back to their full vectors for exact cosine. Query vectors (the
+    small side by contract, as in x06 brute force) broadcast; the corpus
+    never shuffles until the shortlist — at which point it is |queries| *
+    shortlist rows, not |corpus|.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    m, kk, sub = codebooks.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # per-query LUT: luts[q, j, c] = <q_sub_j, centroid_jc>  (exact dots)
+    luts = np.stack(
+        [qmat[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)], axis=1
+    )
+    bq = spark.sparkContext.broadcast((qids, luts))
+
+    def adc(batches):
+        ids, tables = bq.value
+        for pdf in batches:
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            n = len(codes)
+            # scores[q, n] = sum_j tables[q, j, codes[n, j]]
+            scores = np.zeros((len(ids), n))
+            for j in range(m):
+                scores += tables[:, j, :][:, codes[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(ids)),
+                    "score_pq": scores.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = encoded.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, score_pq double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c = _prepped(corpus, id_col, vec_col, "neighbor_id", "c_vec")
+    q = _prepped(queries, id_col, vec_col, "query_id", "q_vec")
+    exact = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_sim", _cos_pair("q_vec", "c_vec"))
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

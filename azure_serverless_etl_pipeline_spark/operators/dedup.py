@@ -520,3 +520,72 @@ def embedding_near_dup(
         sim.alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 / RefinedWeb cleanup op):
+    any line that appears verbatim in >= ``min_docs`` DISTINCT documents
+    is boilerplate (nav bars, license banners, cookie notices) and is
+    removed from EVERY document; surviving lines are re-joined in their
+    original order.
+
+    ``sep`` is the line delimiter for real corpora (``"\\n"``). When
+    ``sep`` is None the unit is an aligned non-overlapping span of
+    ``chunk_tokens`` whitespace tokens — the span-granular variant for
+    single-line documents (and the mode the driver testdata exercises).
+
+    Scale shape (100 TB): explode is map-side; the duplicate-line table
+    is produced by one hash aggregation on the line text (at scale, key
+    by ``xxhash64(line)`` to shuffle 8-byte keys) and is *small* -- only
+    lines crossing the frequency threshold survive the HAVING -- so the
+    anti-join broadcasts and the only other shuffle is the per-document
+    regroup. Reference has no dedup surface (nearest: Cosmos upsert-by-id,
+    blob_to_cosmosdb.py:34); op mandated by the north star.
+    """
+    joiner = sep if sep is not None else " "
+    if sep is not None:
+        lines_arr = F.split(F.col(text_col), sep)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+        lines_arr = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        )
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
+    )
+    dup_lines = (
+        exploded.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = exploded.join(F.broadcast(dup_lines), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(lines_arr).cast("bigint").alias("n_lines"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_clean", F.lit("")).alias(text_col),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+    )

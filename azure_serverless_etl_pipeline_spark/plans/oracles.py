@@ -1304,6 +1304,53 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
 FROM contrib GROUP BY doc_id ORDER BY doc_id
 """
 
+# x73: corpus-level span dedup. The chunk list is built identically on both
+# sides (aligned non-overlapping 10-token spans, 1-based inclusive slices);
+# DuckDB zips unnest(chunks) with generate_subscripts for the position.
+EXTRA_ORACLES["x73_line_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), cl AS (
+  SELECT doc_id, list_transform(range(CAST(ceil(len(ts)/10.0) AS BIGINT)),
+         i -> array_to_string(ts[i*10+1 : i*10+10], ' ')) AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(chunks) AS line,
+         generate_subscripts(chunks, 1) - 1 AS pos
+  FROM cl
+), dup AS (
+  SELECT line FROM ex GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT e.doc_id, e.line, e.pos FROM ex e ANTI JOIN dup d USING (line)
+)
+SELECT c.doc_id,
+       COALESCE(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text,
+       CAST(len(c.chunks) AS BIGINT) AS n_lines,
+       CAST(len(c.chunks) - COUNT(k.line) AS BIGINT) AS n_removed
+FROM cl c LEFT JOIN kept k USING (doc_id)
+GROUP BY c.doc_id, len(c.chunks)
+"""
+
+# x74: connected components over the exact embedding-cosine pair list
+# (same recursive-CTE shape as x31, pairs from the x05 oracle SQL).
+EXTRA_ORACLES["x74_embedding_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.25
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
 
 def all_oracles() -> dict[str, str]:
     """Driver-window oracles only (every key has a checked queries() slot)."""

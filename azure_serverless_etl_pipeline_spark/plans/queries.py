@@ -1794,6 +1794,32 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(docs).orderBy("doc_id")
 
 
+@query("x73_line_dedup")
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4/RefinedWeb boilerplate removal,
+    dedup.line_dedup): spans appearing verbatim in >=2 distinct docs are
+    removed from every doc, survivors re-joined in original order. Span
+    mode (10-token aligned chunks) because the testdata documents are
+    single-line. Map-side explode -> one hash agg -> broadcast anti-join
+    -> per-doc regroup: two bounded shuffles at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup(docs, chunk_tokens=10, min_docs=2)
+
+
+@query("x74_embedding_dup_clusters")
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clusters over embedding-cosine near-dup pairs: x05's
+    blocked pair list resolved into connected components by the same
+    iterative min-label propagation as x31 (dedup.dup_clusters). The
+    semantic-dedup endgame: keep one representative per cluster, not per
+    pair. Oracle: recursive CTE over the exact pair SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup(emb, threshold=0.25, block_col="label")
+    return dedup.dup_clusters(pairs.select("id_a", "id_b")).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order), so the registry is reordered:

@@ -118,3 +118,66 @@ def test_lsh_multiprobe_improves_recall(spark, corpus):
     r_single, r_multi = recall(False), recall(True)
     assert r_multi >= r_single
     assert r_multi >= 0.3  # 5/16 of the corpus probed on gaussian-ish data
+
+
+def test_pq_roundtrip_and_recall(spark, corpus):
+    """PQ: codes have the right shape/range; ADC + exact re-rank recall vs
+    brute force is high (the refine step recovers ADC quantization loss);
+    encoding is deterministic across runs."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        encode_pq,
+        search_pq,
+        train_pq_codebooks,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    books = train_pq_codebooks(corpus, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    encoded = encode_pq(corpus, books).cache()
+    pdf = encoded.toPandas()
+    assert len(pdf) == corpus.count()
+    codes = np.vstack(pdf["codes"].to_numpy())
+    assert codes.shape[1] == 8 and codes.min() >= 0 and codes.max() < 16
+    # deterministic: re-encoding yields identical codes
+    pdf2 = encode_pq(corpus, books).toPandas()
+    merged = pdf.merge(pdf2, on="vec_id")
+    assert all((a == b).all() for a, b in zip(merged["codes_x"], merged["codes_y"]))
+
+    queries = corpus.filter("vec_id < 20")
+    approx = search_pq(encoded, corpus, queries, books, k=5, shortlist=50).toPandas()
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy().tolist()))
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy().tolist()))
+    assert len(a & e) / len(e) >= 0.8  # shortlist=10% of corpus + exact rerank
+    # exact-cosine scores on the overlap agree with brute force bit-for-bit
+    j = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_bf"))
+    assert (j["cos_sim_pq"] == j["cos_sim_bf"]).all()
+    encoded.unpersist()
+
+
+def test_pq_shortlist_grows_recall(spark, corpus):
+    """The ADC shortlist is the recall knob: widening it can only help."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        encode_pq,
+        search_pq,
+        train_pq_codebooks,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    books = train_pq_codebooks(corpus, m=8, k=16)
+    encoded = encode_pq(corpus, books).cache()
+    queries = corpus.filter("vec_id < 10")
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy().tolist()))
+
+    def recall(sl):
+        ap = search_pq(encoded, corpus, queries, books, k=5, shortlist=sl).toPandas()
+        a = set(map(tuple, ap[["query_id", "neighbor_id"]].to_numpy().tolist()))
+        return len(a & e) / len(e)
+
+    r_narrow, r_wide = recall(10), recall(100)
+    assert r_wide >= r_narrow
+    assert r_wide >= 0.9
+    encoded.unpersist()

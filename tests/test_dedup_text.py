@@ -235,3 +235,72 @@ def test_dup_clusters_python_reference(spark):
         union(a, b)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+def test_line_dedup_separator_mode(spark):
+    """\\n-separated docs: a line shared by >=2 docs is boilerplate and is
+    removed from every doc; unique lines survive in original order."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\ncookie notice\nunique beta"),
+            (2, "cookie notice\nother text"),
+            (3, "standalone doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, sep="\n", min_docs=2).collect()
+    }
+    assert out[1]["text"] == "unique alpha\nunique beta"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    assert out[2]["text"] == "other text"
+    assert out[3]["text"] == "standalone doc" and out[3]["n_removed"] == 0
+
+
+def test_line_dedup_full_removal_and_within_doc_repeat(spark):
+    """A doc made entirely of boilerplate becomes empty (not dropped); a
+    line repeated WITHIN one doc counts once toward the distinct-doc
+    threshold, so it is kept."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banner\nbanner\nbanner"),   # repeated within one doc only
+            (2, "shared line\nown text"),
+            (3, "shared line"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in line_dedup(docs, sep="\n", min_docs=2).collect()
+    }
+    # within-doc repetition is not corpus-level boilerplate
+    assert out[1]["text"] == "banner\nbanner\nbanner"
+    # doc 3 is nothing but the shared line -> empty string, still present
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+    assert out[2]["text"] == "own text"
+
+
+def test_line_dedup_chunk_mode_alignment(spark):
+    """Span mode: only ALIGNED identical 3-token chunks dedup; the final
+    partial chunk participates like any other line."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f tail"),      # chunks: "a b c","d e f","tail"
+            (2, "a b c x y z"),           # shares aligned chunk "a b c"
+            (3, "z a b c d e"),           # contains a-b-c but misaligned
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, chunk_tokens=3, min_docs=2).collect()
+    }
+    assert out[1]["text"] == "d e f tail"
+    assert out[2]["text"] == "x y z"
+    assert out[3]["text"] == "z a b c d e"  # misaligned -> untouched
