@@ -1,0 +1,114 @@
+"""Mergeable-sketch operators (Apache DataSketches via Spark 4 built-ins).
+
+The 100 TB pattern these enable is PRE-AGGREGATE ONCE, RE-AGGREGATE
+FOREVER: a sketch built per fine bucket (day, partition, shard) merges
+into any coarser rollup without rescanning raw data — the continuous-
+aggregate / hypertable-rollup design. Exact twins exist in this engine
+(g03/g04 countDistinct, x49 percentile, x48 set overlap); these are the
+bounded-memory counterparts whose state is kilobytes per group no matter
+how many rows feed them.
+
+- ``daily_sketch_rollup``: per-day HLL(user) + KLL(value) sketches,
+  re-aggregated to weekly estimates. HLL register state is a max over
+  items, so the union of daily sketches is IDENTICAL to a sketch built
+  directly on the week (asserted in tests) — merge loses nothing.
+- ``theta_overlap``: theta sketches support set ALGEBRA (intersection,
+  difference), which HLL cannot; pairwise source contamination becomes
+  |sources| sketches + |sources|^2 tiny scalar intersections instead of
+  x48's vocabulary-sized shingle self-join.
+
+No reference counterpart (its aggregation surface is pandas sum/mean,
+SURVEY §2.4); mandated by the north star's 100 TB efficiency goal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import word_shingles
+
+
+def kll_merge_fold(col: str | Column, order_col: str | Column = "day") -> Column:
+    """Aggregate-merge KLL sketches in a groupBy: Spark exposes only the
+    BINARY kll_sketch_merge_double, so fold it over collect_list (group
+    cardinality here is bounded — days per week — so the list is tiny).
+    The list is sorted by ``order_col`` first: KLL merging is
+    order-sensitive, and collect_list order follows partition arrival —
+    sorting pins the estimate for a given input.
+    """
+    o = F.col(order_col) if isinstance(order_col, str) else order_col
+    c = F.col(col) if isinstance(col, str) else col
+    lst = F.transform(
+        F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("s")))),
+        lambda s: s["s"],
+    )
+    return F.reduce(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
+def daily_sketches(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The materialize-once layer: one row per day carrying mergeable
+    sketch state (HLL users, KLL values) + an exact event count. At scale
+    this frame is what you PERSIST; every rollup below reads it, not the
+    raw events."""
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.hll_sketch_agg(user_col).alias("user_sk"),
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(800)).alias("val_sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def weekly_rollup(daily: DataFrame) -> DataFrame:
+    """Re-aggregate the daily sketch frame to weeks — no raw-data scan.
+    approx_users: HLL union estimate; p50/p95: merged-KLL quantiles."""
+    merged_kll = kll_merge_fold("val_sk", "day")
+    return (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day").cast("timestamp")).alias("week")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sk")).alias("approx_users"),
+            F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)).alias("p50_value"),
+            F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.95)).alias("p95_value"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def theta_overlap(
+    docs: DataFrame,
+    by: str = "source",
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimated distinct-shingle overlap per source pair (x48's exact
+    semantics, sketched): one theta sketch per source — built from the
+    per-source DISTINCT shingle stream, one shuffle bounded by vocabulary
+    — then every pair intersection is a scalar op on two kilobyte-scale
+    sketches. The |sources|-row sketch frame self-joins for free
+    (broadcast); nothing corpus-sized crosses the wire twice.
+    """
+    sh = docs.select(
+        F.col(by), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    per = sh.groupBy(by).agg(F.theta_sketch_agg("shingle").alias("sk"))
+    a, b = per.alias("a"), per.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col(f"a.{by}") < F.col(f"b.{by}"))
+        .select(
+            F.col(f"a.{by}").alias("source_a"),
+            F.col(f"b.{by}").alias("source_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            ).alias("approx_shared_shingles"),
+        )
+    )

@@ -18,3 +18,67 @@ def test_approx_distinct_within_tolerance(spark):
         qs = [row["p50_approx"], row["p95_approx"], row["p99_approx"]]
         assert qs == sorted(qs)
         assert qs[0] > 0
+
+
+def test_sketch_rollup_accuracy_and_mergeability(spark):
+    """Weekly estimates from merged DAILY sketches: HLL distinct within
+    2% of exact (and identical to a direct weekly sketch — union loses
+    nothing), KLL quantiles within 5% relative of exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import sketches
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    rolled = {
+        r["week"]: r
+        for r in sketches.weekly_rollup(sketches.daily_sketches(ev)).collect()
+    }
+    exact = {
+        r["week"]: r
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile(F.col("value").cast("double"), 0.5).alias("p50"),
+            F.percentile(F.col("value").cast("double"), 0.95).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    direct = {
+        r["week"]: r["users"]
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users"))
+        .collect()
+    }
+    assert rolled.keys() == exact.keys()
+    for wk, r in rolled.items():
+        e = exact[wk]
+        assert r["n_events"] == e["n"]  # counts are exact, not sketched
+        assert abs(r["approx_users"] - e["users"]) <= max(0.02 * e["users"], 1)
+        # merged-daily HLL == direct weekly HLL (register max is order-free)
+        assert r["approx_users"] == direct[wk]
+        assert abs(r["p50_value"] - e["p50"]) <= 0.05 * abs(e["p50"])
+        assert abs(r["p95_value"] - e["p95"]) <= 0.05 * abs(e["p95"])
+
+
+def test_theta_overlap_vs_exact(spark):
+    """Theta-sketch pair overlaps track x48's exact shared-shingle counts:
+    same pair set, estimates within 5% + a small absolute slack."""
+    from azure_serverless_etl_pipeline_spark.operators import sketches
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    est = {
+        (r["source_a"], r["source_b"]): r["approx_shared_shingles"]
+        for r in sketches.theta_overlap(docs).collect()
+    }
+    exact = {
+        (r["source_a"], r["source_b"]): r["n_shared_shingles"]
+        for r in all_queries()["x48_cross_source_overlap"](spark, SF_ORACLE).collect()
+    }
+    # x48 omits pairs with zero shared shingles; theta emits every pair
+    assert set(exact) <= set(est)
+    for pair, n in exact.items():
+        assert abs(est[pair] - n) <= max(0.05 * n, 2.0), (pair, est[pair], n)
