@@ -1864,22 +1864,32 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
-# ``queries()`` entries (insertion order), so the registry is reordered:
-# every oracle-backed query (49) plus x30 (the rows-only sketch op, which
-# must still complete the driver's canonicalize step) comes first.
+# ``queries()`` entries (insertion order). Round 3 rotates the window so the
+# 25 round-2 oracle-backed queries (the remaining TPC-H suite x52-x66, the
+# bucketed Q18 variant, packing x67-x69, Q21-onescan x70, profiling x71,
+# unigram-LM x72, line dedup x73, embedding clusters x74) earn driver
+# CORRECTNESS rows, and the rows-only x30 leaves the window so every slot is
+# hash-checkable (50/50 green target; r2 verdict items 1-2).
+#
+# Kept in the window: the 10 reference-surface gates g01-g10 plus one entry
+# per operator family with no other window representative (exact/jaccard/
+# embedding dedup, ANN, sessionization, window suite, as-of join,
+# attribution, TF-IDF, PII, incremental dedup, quality gate, heavy hitters,
+# contamination, exact percentiles).
 #
 # EXTRAS (positions 51+) stay in ``queries()`` — one entry per operator,
 # per the contract — but rely on the pytest oracle-parity/reference suite:
 #   rows-only by design ..... x03/x04/x13/x15/x24 (engine-specific
-#                             signatures), m01/m02/m03 (model scorers)
+#                             signatures), x30 (approx sketches, tolerance
+#                             checks in test_approx), x75-x77 (PQ-ANN /
+#                             sketch rollups), m01/m02/m03 (model scorers)
 #   oracle-backed, demoted .. redundant driver signal; each operator is
-#                             driver-green through another window entry:
-#                             x12→x06 (ANN oracle) + x24 recall suite,
-#                             x20→x36 (windowed top-k per group),
-#                             x23→x07+x08 (stats/quality rollup inputs),
-#                             x25→x26 + functions unit suite,
-#                             x29→x27/g01 (scan-filter-agg),
-#                             x32→x10 (same session semantics).
+#                             driver-green through another window entry or
+#                             was driver-green in CORRECTNESS_r02.json:
+#                             r1 demotions x12/x20/x23/x25/x29/x32, plus r3
+#                             demotions x07-x09/x11/x14/x17/x18/x21/x22/
+#                             x26-x28/x31/x33/x34/x37-x40/x42-x44/x50/x51
+#                             (all green in r2).
 #   Their oracles live on as EXTRA_ORACLES, asserted in pytest at sf0.001.
 # ---------------------------------------------------------------------------
 
@@ -1888,18 +1898,18 @@ DRIVER_WINDOW: list[str] = [
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
     "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x05_embedding_near_dup",
-    "x06_ann_cosine_topk", "x07_text_stats", "x08_text_quality",
-    "x09_lang_profile", "x10_sessionize", "x11_event_hourly", "x14_lang_id",
-    "x16_window_suite", "x17_pivot_status", "x18_set_ops", "x19_asof_join",
-    "x21_price_histogram", "x22_dedup_pipeline", "x26_json_extraction",
-    "x27_tpch_q1", "x28_tpch_q3", "x30_approx_aggregates", "x31_dup_clusters",
-    "x33_tpch_q5", "x34_tpch_q18", "x35_attribution_join",
-    "x36_tfidf_top_terms", "x37_deterministic_split", "x38_stratified_sample",
-    "x39_decile_stats", "x40_bigram_counts", "x41_redact_pii",
-    "x42_dup_ngram_ratio", "x43_tpch_q10", "x44_tpch_q14",
-    "x45_incremental_dedup", "x46_quality_filter", "x47_heavy_hitters",
-    "x48_cross_source_overlap", "x49_exact_percentiles", "x50_user_adoption",
-    "x51_full_outer_reconcile",
+    "x06_ann_cosine_topk", "x10_sessionize", "x16_window_suite",
+    "x19_asof_join", "x35_attribution_join", "x36_tfidf_top_terms",
+    "x41_redact_pii", "x45_incremental_dedup", "x46_quality_filter",
+    "x47_heavy_hitters", "x48_cross_source_overlap", "x49_exact_percentiles",
+    "x34_bucketed_q18",
+    "x52_tpch_q4", "x53_tpch_q7", "x54_tpch_q8", "x55_tpch_q12",
+    "x56_tpch_q13", "x57_tpch_q15", "x58_tpch_q17", "x59_tpch_q19",
+    "x60_tpch_q21", "x61_tpch_q22", "x62_tpch_q2", "x63_tpch_q9",
+    "x64_tpch_q11", "x65_tpch_q16", "x66_tpch_q20",
+    "x67_chunk_documents", "x68_pack_sequences", "x69_mixture_sample",
+    "x70_tpch_q21_onescan", "x71_table_profile", "x72_unigram_logprob",
+    "x73_line_dedup", "x74_embedding_dup_clusters",
 ]
 
 _extras = [n for n in QUERIES if n not in DRIVER_WINDOW]
