@@ -1352,6 +1352,20 @@ SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
+# queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting
+# x52..x74) automatically moves the matching SQL into the driver-visible
+# set — the two files cannot drift. Every window entry whose semantics are
+# SQL-expressible must have its SQL registered above (in either dict).
+# ---------------------------------------------------------------------------
+from .queries import DRIVER_WINDOW  # noqa: E402  (no cycle: queries has no oracle import)
+
+_ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
+ORACLES = {n: _ALL_ORACLES[n] for n in DRIVER_WINDOW if n in _ALL_ORACLES}
+EXTRA_ORACLES = {n: s for n, s in _ALL_ORACLES.items() if n not in ORACLES}
+
+
 def all_oracles() -> dict[str, str]:
     """Driver-window oracles only (every key has a checked queries() slot)."""
     return dict(ORACLES)

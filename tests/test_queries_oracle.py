@@ -77,8 +77,9 @@ def test_every_oracle_has_query():
 
 def test_driver_window_contract():
     """The driver checks exactly the first 50 queries() entries: every one of
-    those must be oracle-backed (except the deliberate rows-only x30), and
-    every driver-visible oracle must sit inside the window."""
+    those must be oracle-backed (round 3 rotated rows-only x30 out, so the
+    window is 50/50 hash-checkable), and every driver-visible oracle must
+    sit inside the window."""
     from azure_serverless_etl_pipeline_spark.plans import (
         DRIVER_WINDOW,
         all_oracles,
@@ -90,7 +91,7 @@ def test_driver_window_contract():
     assert len(DRIVER_WINDOW) == 50
     window = set(DRIVER_WINDOW)
     oracles = set(all_oracles())
-    assert window - oracles == {"x30_approx_aggregates"}
+    assert window - oracles == set(), f"window entries without oracle: {window - oracles}"
     assert oracles <= window, f"oracles outside driver window: {oracles - window}"
 
 
