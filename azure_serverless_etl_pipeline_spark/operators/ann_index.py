@@ -136,12 +136,19 @@ def train_pq_codebooks(
     ~100k sample regardless of corpus size — training cost must not grow
     with the corpus). Returns (m, k, d/m) centroids.
     """
-    n_total = corpus.count()
-    fraction = min(1.0, sample_cap / max(n_total, 1))
-    sample = (
-        corpus.sample(fraction=fraction, seed=_SEED).limit(sample_cap).select(vec_col)
-    )
+    # Single-pass bounded sample: limit(sample_cap) scans only as many
+    # partitions as needed (LocalLimit short-circuit) — no separate
+    # count() pass. The sample is the corpus prefix; on a hash- or
+    # arrival-ordered layout that is effectively random (the faiss
+    # practice — codebooks train on any ~100k sample). If the layout is
+    # sorted by a feature-correlated key, pass a pre-sampled frame.
+    sample = corpus.select(vec_col).limit(sample_cap)
     x = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(
+            f"PQ codebook training needs >= k={k} vectors per subspace; "
+            f"corpus sample has only {len(x)} rows. Lower k or grow the corpus."
+        )
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     d = x.shape[1]
     if d % m:
@@ -206,49 +213,89 @@ def search_pq(
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_batches: int | None = None,
 ) -> DataFrame:
-    """ADC scan + exact re-rank: approximate scores prune the corpus to a
-    per-query shortlist (distributed window), then only shortlist rows
-    join back to their full vectors for exact cosine. Query vectors (the
-    small side by contract, as in x06 brute force) broadcast; the corpus
-    never shuffles until the shortlist — at which point it is |queries| *
-    shortlist rows, not |corpus|.
+    """ADC scan + exact re-rank, fully distributed (no driver collect).
+
+    The encoded corpus is bucketed by id hash into ``n_batches`` groups
+    and cogrouped with an executor-side replicated query frame (one copy
+    of the query set per bucket — queries are the small side by contract,
+    as in x06 brute force). Each cogroup task builds the per-query LUTs
+    from the broadcast codebooks, scores its bucket's codes with m table
+    lookups, and keeps only the per-query top-``shortlist`` via
+    ``np.argpartition`` — so the ADC stage emits at most
+    |queries| * shortlist * n_batches rows, never |queries| * |corpus|.
+    A final per-query window merges bucket shortlists; only those rows
+    join back to their full vectors for exact cosine re-rank.
     """
     import pandas as pd
 
     spark = corpus.sparkSession
     m, kk, sub = codebooks.shape
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows])
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    # per-query LUT: luts[q, j, c] = <q_sub_j, centroid_jc>  (exact dots)
-    luts = np.stack(
-        [qmat[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)], axis=1
-    )
-    bq = spark.sparkContext.broadcast((qids, luts))
+    if n_batches is None:
+        n_batches = max(spark.sparkContext.defaultParallelism, 8)
+    bc = spark.sparkContext.broadcast(codebooks)
 
-    def adc(batches):
-        ids, tables = bq.value
-        for pdf in batches:
-            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
-            n = len(codes)
-            # scores[q, n] = sum_j tables[q, j, codes[n, j]]
-            scores = np.zeros((len(ids), n))
-            for j in range(m):
-                scores += tables[:, j, :][:, codes[:, j]]
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, n),
-                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(ids)),
-                    "score_pq": scores.ravel(),
-                }
+    enc_b = encoded.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches)).cast("int")
+    )
+    # Replicate the query set to every bucket executor-side (range x
+    # crossJoin — the query frame never touches the driver).
+    q_rep = (
+        spark.range(n_batches)
+        .select(F.col("id").cast("int").alias("__b"))
+        .crossJoin(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
             )
-            yield out[out["query_id"] != out["neighbor_id"]]
-
-    scored = encoded.mapInPandas(
-        adc, schema="query_id long, neighbor_id long, score_pq double"
+        )
     )
+
+    def adc(codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "score_pq": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(codes_pdf) or not len(q_pdf):
+            return empty
+        books = bc.value
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.vstack(q_pdf["q_vec"].to_numpy()).astype(np.float64)
+        qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        # per-query LUT: luts[q, j, c] = <q_sub_j, centroid_jc>  (exact dots)
+        luts = np.stack(
+            [qmat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+            axis=1,
+        )
+        codes = np.vstack(codes_pdf["codes"].to_numpy())  # (n, m)
+        nids = codes_pdf[id_col].to_numpy()
+        scores = np.zeros((len(qids), len(codes)))
+        for j in range(m):
+            scores += luts[:, j, :][:, codes[:, j]]
+        scores[qids[:, None] == nids[None, :]] = -np.inf  # drop self-matches
+        t = min(shortlist, scores.shape[1])
+        idx = np.argpartition(-scores, t - 1, axis=1)[:, :t] if t else None
+        if idx is None:
+            return empty
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, t),
+                "neighbor_id": nids[idx].ravel(),
+                "score_pq": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+        )
+        return out[np.isfinite(out["score_pq"])]
+
+    scored = (
+        enc_b.groupBy("__b")
+        .cogroup(q_rep.groupBy("__b"))
+        .applyInPandas(adc, schema="query_id long, neighbor_id long, score_pq double")
+    )
+    # Merge per-bucket shortlists: the window input is already bounded by
+    # |queries| * shortlist * n_batches rows.
     w = W.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("neighbor_id"))
     short = (
         scored.withColumn("adc_rank", F.row_number().over(w))

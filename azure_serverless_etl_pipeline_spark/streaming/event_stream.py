@@ -19,6 +19,27 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast event-time columns to TIMESTAMP (with-timezone) in place.
+
+    Parquet timestamps may arrive as TIMESTAMP_NTZ (round-3 testdata
+    regeneration), and Spark rejects NTZ columns for
+    ``withWatermark``/``session_window``
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The session runs UTC, so
+    the cast is the identity on the stored instant — same guard as
+    plans/queries.py x10 and operators/profile.py. Centralized here so
+    every watermark site in this module shares one fix and a future
+    testdata regeneration can't half-miss again. Columns already typed
+    TIMESTAMP are left untouched (no-op cast is elided by Catalyst).
+    """
+    out = df
+    for name in cols:
+        field = next((f for f in df.schema.fields if f.name == name), None)
+        if field is not None and isinstance(field.dataType, T.TimestampNTZType):
+            out = out.withColumn(name, F.col(name).cast("timestamp"))
+    return out
+
+
 def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour event-time aggregation with a late-data watermark.
 
@@ -28,7 +49,8 @@ def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFr
     matches x11 (hour, event_type, n_events, total_value, n_users).
     """
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -114,8 +136,10 @@ def dedup_stream(
     than ``watermark`` apart are NOT collapsed (by design: bounded
     state); batch backfill dedup stays x01's dropDuplicates.
     """
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        ensure_event_time(stream, "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 
@@ -144,15 +168,21 @@ def attribution_stream(
     """
     if how not in ("inner", "leftOuter"):
         raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
-    c = clicks.select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("ts").alias("click_ts"),
+    c = ensure_event_time(
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        ),
+        "click_ts",
     ).withWatermark("click_ts", watermark)
-    b = purchases.select(
-        F.col("user_id").alias("b_user"),
-        F.col("ts").alias("buy_ts"),
-        F.col("value").alias("buy_value"),
+    b = ensure_event_time(
+        purchases.select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        ),
+        "buy_ts",
     ).withWatermark("buy_ts", watermark)
     return c.join(
         b,
@@ -174,7 +204,8 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     watermark on ts.
     """
     return (
-        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        ensure_event_time(events, "ts")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(

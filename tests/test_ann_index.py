@@ -181,3 +181,17 @@ def test_pq_shortlist_grows_recall(spark, corpus):
     assert r_wide >= r_narrow
     assert r_wide >= 0.9
     encoded.unpersist()
+
+
+def test_pq_train_tiny_corpus_raises(spark, corpus):
+    """train_pq_codebooks must fail loudly (not with an opaque numpy
+    error) when the training sample is smaller than k."""
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        train_pq_codebooks,
+    )
+
+    tiny = corpus.filter("vec_id < 5")
+    with pytest.raises(ValueError, match="k=16"):
+        train_pq_codebooks(tiny, m=8, k=16)

@@ -23,6 +23,31 @@ def event_source(spark, tmp_path_factory):
     return str(d / "events"), schema, ev
 
 
+def test_ensure_event_time_ntz_guard(spark, event_source):
+    """Regression for the round-3 breakage: testdata regeneration turned
+    events.ts into TIMESTAMP_NTZ, which Spark rejects for watermarks
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Every watermark site must go
+    through ensure_event_time, and the helper must (a) rewrite NTZ to
+    TIMESTAMP, (b) leave TIMESTAMP untouched, (c) ignore absent columns."""
+    from pyspark.sql import types as T
+
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        ensure_event_time,
+    )
+
+    _, _, ev = event_source
+    ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    fixed = ensure_event_time(ntz, "ts")
+    assert isinstance(fixed.schema["ts"].dataType, T.TimestampType)
+    # identity on the stored instant (session is UTC)
+    a = ntz.select(F.max("ts").cast("timestamp").alias("m")).first()["m"]
+    b = fixed.select(F.max("ts").alias("m")).first()["m"]
+    assert a == b
+    # already-TIMESTAMP and missing columns are no-ops, not errors
+    again = ensure_event_time(fixed, "ts", "no_such_col")
+    assert isinstance(again.schema["ts"].dataType, T.TimestampType)
+
+
 def test_windowed_agg_stream_matches_batch(spark, event_source, tmp_path):
     from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
         hourly_windowed_agg,
@@ -123,14 +148,15 @@ def test_session_window_matches_lag_sessionize(spark, event_source):
 
 def test_session_window_streaming(spark, event_source, tmp_path):
     from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        ensure_event_time,
         session_window_agg,
     )
     from pyspark.sql import functions as F
 
     path, schema, ev = event_source
-    stream = spark.readStream.schema(schema).parquet(path).withWatermark(
-        "ts", "2 hours"
-    )
+    stream = ensure_event_time(
+        spark.readStream.schema(schema).parquet(path), "ts"
+    ).withWatermark("ts", "2 hours")
     q = (
         session_window_agg(stream)
         .writeStream.format("memory")
