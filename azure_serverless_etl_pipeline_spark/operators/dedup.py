@@ -544,14 +544,19 @@ def line_dedup(
     Scale shape (100 TB): explode is map-side; the duplicate-line table
     is produced by one hash aggregation on the line text (at scale, key
     by ``xxhash64(line)`` to shuffle 8-byte keys) and is *small* -- only
-    lines crossing the frequency threshold survive the HAVING -- so the
-    anti-join broadcasts and the only other shuffle is the per-document
-    regroup. Reference has no dedup surface (nearest: Cosmos upsert-by-id,
+    lines crossing the frequency threshold survive the HAVING -- so AQE
+    picks a broadcast anti-join at runtime (not forced: boilerplate-heavy
+    corpora can make it large) and the only other shuffle is the
+    per-document regroup. Reference has no dedup surface (nearest: Cosmos upsert-by-id,
     blob_to_cosmosdb.py:34); op mandated by the north star.
     """
     joiner = sep if sep is not None else " "
     if sep is not None:
-        lines_arr = F.split(F.col(text_col), sep)
+        # F.split takes a Java regex; the separator is a LITERAL joiner
+        # (sep="." must split on dots, not every char). \Q...\E-quote it,
+        # Pattern.quote-style (embedded \E is closed and reopened).
+        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        lines_arr = F.split(F.col(text_col), quoted)
     else:
         toks = F.split(F.col(text_col), " ")
         n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
@@ -571,7 +576,11 @@ def line_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .select("line")
     )
-    kept = exploded.join(F.broadcast(dup_lines), "line", "left_anti")
+    # No forced broadcast: dup_lines is usually small (only lines past the
+    # HAVING threshold) but its cardinality is data-dependent — at real
+    # boilerplate rates a mandatory BroadcastExchange is an OOM risk. Let
+    # AQE pick broadcast vs shuffle from the measured size at runtime.
+    kept = exploded.join(dup_lines, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

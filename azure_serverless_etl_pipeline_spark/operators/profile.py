@@ -11,9 +11,12 @@ no second scan, output is |columns| rows.
 Numeric columns report min/max values; timestamps report epoch
 microseconds (as double — engine-stable); strings report min/max LENGTH
 (value min/max of strings would hit engine-specific collation and float
-formatting). ``n_distinct`` is exact COUNT(DISTINCT) by default — at
-true 100 TB scale pass ``approx_distinct=True`` to swap in HLL
-(approx_count_distinct) and keep the aggregate single-pass streaming.
+formatting). ``n_distinct`` is HLL approx_count_distinct by DEFAULT:
+exact multi-column COUNT(DISTINCT) compiles to an Expand that multiplies
+the scan |columns|x (the one plan in this repo that flatly dies at 100
+TB — 11 distinct columns means 11 copies of every lineitem row through
+the shuffle). Pass ``approx_distinct=False`` only when exact
+cardinalities are worth that cost (e.g. the x71 oracle-parity twin).
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ def _range_cols(field: T.StructField) -> tuple[Column, Column]:
     return F.lit(None).cast("double"), F.lit(None).cast("double")
 
 
-def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
     """One row per column: (column, n_rows, n_nulls, n_distinct,
     min_val, max_val). Single scan, single aggregate, no join."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]

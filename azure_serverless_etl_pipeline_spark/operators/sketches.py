@@ -91,15 +91,17 @@ def theta_overlap(
     text_col: str = "text",
 ) -> DataFrame:
     """Estimated distinct-shingle overlap per source pair (x48's exact
-    semantics, sketched): one theta sketch per source — built from the
-    per-source DISTINCT shingle stream, one shuffle bounded by vocabulary
-    — then every pair intersection is a scalar op on two kilobyte-scale
-    sketches. The |sources|-row sketch frame self-joins for free
-    (broadcast); nothing corpus-sized crosses the wire twice.
+    semantics, sketched): one theta sketch per source, fed the raw
+    exploded shingle stream — theta sketches count distinct natively, so
+    no pre-distinct shuffle; the only shuffle is the |sources|-group
+    partial-aggregated sketch merge. Every pair intersection is then a
+    scalar op on two kilobyte-scale sketches. The |sources|-row sketch
+    frame self-joins for free (broadcast); nothing corpus-sized crosses
+    the wire at all.
     """
     sh = docs.select(
         F.col(by), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+    )
     per = sh.groupBy(by).agg(F.theta_sketch_agg("shingle").alias("sk"))
     a, b = per.alias("a"), per.alias("b")
     return (

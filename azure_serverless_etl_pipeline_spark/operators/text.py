@@ -206,7 +206,10 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized — unbounded on a real corpus, so the
+        # join strategy is AQE's runtime call, not a mandatory broadcast.
+        # n_docs is a literal 1-row frame; that hint is safe.
+        tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -320,7 +323,9 @@ def unigram_logprob(
     freq = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = freq.agg(F.sum("c").alias("t_total"))
     contrib = (
-        tf.join(F.broadcast(freq), "term")
+        # freq is vocabulary-sized (see tfidf_top_terms): no forced
+        # broadcast; total stays hinted (1 row).
+        tf.join(freq, "term")
         .join(F.broadcast(total))
         .withColumn(
             "w",

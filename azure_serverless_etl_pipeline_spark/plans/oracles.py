@@ -880,18 +880,15 @@ FROM clicks c FULL OUTER JOIN buys b ON c.day = b.day
 
 
 # ---------------------------------------------------------------------------
-# Demoted oracles (see queries.DRIVER_WINDOW): these queries sit past the
-# driver's 50-entry correctness window, so their oracles are asserted by
-# pytest (tests/test_queries_oracle.py, sf0.001) instead of the driver.
-# ``all_oracles()`` — the driver contract — returns only window oracles, so
-# every oracle the driver sees corresponds to a checked registry entry.
+# EXTRA_ORACLES: SQL for queries whose registry slot sits past the driver's
+# 50-entry correctness window; pytest (tests/test_queries_oracle.py,
+# sf0.001) asserts these instead of the driver. Which dict an oracle is
+# registered into here is cosmetic — the final block below re-partitions
+# ORACLES/EXTRA_ORACLES from queries.DRIVER_WINDOW, so the two files
+# cannot drift when the window rotates.
 # ---------------------------------------------------------------------------
 
-_DEMOTED = [
-    "x12_ann_ivf_topk", "x20_topk_per_group", "x23_corpus_stats",
-    "x25_scalar_functions", "x29_tpch_q6", "x32_session_window",
-]
-EXTRA_ORACLES: dict[str, str] = {n: ORACLES.pop(n) for n in _DEMOTED}
+EXTRA_ORACLES: dict[str, str] = {}
 # bucketed-layout variant computes the same result as x34 (only the
 # physical layout differs); pytest asserts it against the same SQL
 EXTRA_ORACLES["x34_bucketed_q18"] = ORACLES["x34_tpch_q18"]

@@ -1783,7 +1783,23 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of lineitem (operators/profile.py):
     row count, nulls, exact distinct cardinality, value/length/epoch
     ranges — all in ONE aggregate pass over one scan, unpivoted with
-    stack to |columns| rows."""
+    stack to |columns| rows. This is the EXACT oracle-parity twin
+    (COUNT(DISTINCT) Expand multiplies the scan |columns|x); the scale
+    default — and the bench headline entry — is x78's HLL variant."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "lineitem"), approx_distinct=False
+    ).orderBy("column")
+
+
+@query("x78_table_profile_approx")
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table's default (100 TB) path: HLL approx_count_distinct
+    keeps the profile a single partial+final hash aggregate over one scan
+    — no Expand, no |columns|x row multiplication. Rows-only (HLL
+    estimates are engine-specific); pytest pins the 5% tolerance and the
+    schema against the exact twin x71."""
     from ..operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "lineitem")).orderBy("column")

@@ -93,8 +93,18 @@ HEADLINE = [
     "x67_chunk_documents",
     "x68_pack_sequences",
     "x69_mixture_sample",
-    "x71_table_profile",
     "x72_unigram_logprob",
+    # x71 (exact COUNT(DISTINCT) profile) is the oracle-parity twin and
+    # stays out of the headline set; x78 (HLL) is the scale default.
+    "x78_table_profile_approx",
+    # round-3/4 operators (r2 verdict item 5: every registry family benched)
+    "x73_line_dedup",
+    "x74_embedding_dup_clusters",
+    "x75_ann_pq_topk",
+    "x76_sketch_rollup",
+    "x77_theta_overlap",
+    "m02_forecast",
+    "m03_media_features",
 ]
 
 

@@ -304,3 +304,30 @@ def test_line_dedup_chunk_mode_alignment(spark):
     assert out[1]["text"] == "d e f tail"
     assert out[2]["text"] == "x y z"
     assert out[3]["text"] == "z a b c d e"  # misaligned -> untouched
+
+
+def test_line_dedup_literal_separator_and_no_forced_broadcast(spark):
+    """sep is a LITERAL delimiter, not a regex: sep="." must split on dots
+    only (unquoted, "." is regex-any-char and shatters every document into
+    empty strings). And the anti-join must not carry a mandatory broadcast
+    hint — the duplicate-line table's size is data-dependent, so the
+    strategy is AQE's call at runtime."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha.cookie notice.unique beta"),
+            (2, "cookie notice.other text"),
+            (3, "standalone doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    result = line_dedup(docs, sep=".", min_docs=2)
+    out = {r["doc_id"]: r for r in result.collect()}
+    assert out[1]["text"] == "unique alpha.unique beta"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    assert out[2]["text"] == "other text"
+    assert out[3]["text"] == "standalone doc" and out[3]["n_removed"] == 0
+
+    analyzed = result._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere

@@ -107,10 +107,12 @@ def test_mixture_never_shuffles_the_corpus(spark, docs):
 
 
 def test_profile_table_semantics(spark, docs):
-    """profile_table on documents: exact metrics + approx mode sanity."""
+    """profile_table on documents: exact metrics + approx mode sanity.
+    Approx (HLL) is the DEFAULT — exact COUNT(DISTINCT) multiplies the
+    scan |columns|x via Expand, so it is opt-in for oracle parity."""
     from azure_serverless_etl_pipeline_spark.operators.profile import profile_table
 
-    prof = {r.column: r for r in profile_table(docs).collect()}
+    prof = {r.column: r for r in profile_table(docs, approx_distinct=False).collect()}
     n = docs.count()
     assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
     assert all(r.n_rows == n for r in prof.values())
@@ -123,6 +125,7 @@ def test_profile_table_semantics(spark, docs):
         F.min(F.length("text")), F.max(F.length("text"))
     ).first()
     assert (prof["text"].min_val, prof["text"].max_val) == tuple(map(float, lens))
-    # approx mode: same shape, HLL cardinalities within 5%
-    approx = {r.column: r for r in profile_table(docs, approx_distinct=True).collect()}
+    # approx mode (the default): same shape, HLL cardinalities within 5%
+    approx = {r.column: r for r in profile_table(docs).collect()}
+    assert set(approx) == set(prof)
     assert abs(approx["doc_id"].n_distinct - n) / n < 0.05

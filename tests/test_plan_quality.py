@@ -169,3 +169,15 @@ def test_profile_single_scan_no_join(spark, queries):
     plan = plan_of(queries["x71_table_profile"](spark, SF_ORACLE))
     assert plan.count("lineitem.parquet") == 1, plan
     assert "Join" not in plan
+
+
+def test_profile_approx_no_expand(spark, queries):
+    """x78 (the scale-default profile) must avoid the Expand node exact
+    multi-column COUNT(DISTINCT) compiles to — Expand multiplies every
+    scanned row |distinct columns|x, the one plan shape here that dies
+    at 100 TB. The exact twin x71 pays it knowingly."""
+    approx = plan_of(queries["x78_table_profile_approx"](spark, SF_ORACLE))
+    assert "Expand" not in approx, approx
+    assert approx.count("lineitem.parquet") == 1 and "Join" not in approx
+    exact = plan_of(queries["x71_table_profile"](spark, SF_ORACLE))
+    assert "Expand" in exact  # documents the trade the default avoids
