@@ -136,6 +136,15 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 4)
         except Exception as e:  # one broken query must not sink the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            # Isolate queries: cached frames are keyed by logical plan and
+            # survive across queries, so a 65-query session accumulates
+            # them until the storage memory manager starts evicting —
+            # which made cache-using queries' medians depend on session
+            # history (r3: x22 2.4x slower on unchanged code). Each query
+            # still benefits from its own warm-up-built cache during its
+            # timed runs.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

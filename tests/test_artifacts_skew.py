@@ -121,3 +121,37 @@ def test_compact_parquet(spark, tmp_path):
     assert before >= 20
     assert after < before
     assert spark.read.parquet(out).count() == n_rows  # lossless
+
+
+def test_m01_scoring_through_serialized_artifact(spark, tmp_path):
+    """The full S-11/M-3 lifecycle against the m01 registry output: fit ->
+    save to disk -> reload through the loader (dict-unwrap convention) ->
+    broadcast -> score. A user shipping a serialized model file must get
+    bit-identical scores to the registry's online m01 path."""
+    from azure_serverless_etl_pipeline_spark.ml.artifacts import (
+        ZScoreModel,
+        broadcast_model,
+        check_artifacts,
+        fit_zscore_model,
+    )
+    from azure_serverless_etl_pipeline_spark.ml.scoring import (
+        score_anomalies_with_model,
+    )
+    from azure_serverless_etl_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    feats = qs["g08_rolling_features"](spark, SF_ORACLE)
+    p = tmp_path / "anomaly_model.json"
+    fit_zscore_model(feats).save(p)
+    assert check_artifacts({"m": str(p)}) == {"m": True}  # S-11 smoke gate
+
+    bc = broadcast_model(spark, ZScoreModel.load(p))
+    from_artifact = score_anomalies_with_model(feats, bc).toPandas()
+    online = qs["m01_anomaly_scores"](spark, SF_ORACLE).toPandas()
+
+    key = ["user_id", "date"]
+    a = from_artifact.sort_values(key, ignore_index=True)
+    b = online.sort_values(key, ignore_index=True)
+    assert len(a) == len(b) > 0
+    assert (a["score"] - b["score"]).abs().max() < 1e-9
+    assert (a["anomaly"] == b["anomaly"]).all()
