@@ -435,10 +435,12 @@ def dup_clusters(
     dup-cluster shapes (chains are short). Each round is one shuffle on
     a frame of |nodes| rows; the edge list is re-used via cache.
     """
+    # No .distinct() on edges: min-aggregation is duplicate-insensitive,
+    # and deduping here costs a full shuffle of the edge list before the
+    # loop even starts (pair generators emit id_a < id_b unique anyway).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
         .cache()
     )
     labels = (
@@ -453,26 +455,28 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the previous label through the round so the fixpoint probe
+        # reads the CHECKPOINTED output instead of re-running the
+        # join+aggregate (the old shape executed every round's plan twice:
+        # once for the changed-count action, once for the eager
+        # checkpoint) and needs no extra old-vs-new join.
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
         )
-        # fixpoint check: one tiny action per round (count of changed rows)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
         # localCheckpoint: truncate the lineage so iteration depth doesn't
         # compound the plan (the classic iterative-algorithm pitfall)
-        labels = updated.localCheckpoint(eager=True)
+        ck = updated.localCheckpoint(eager=True)
+        changed = (
+            ck.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        )
+        labels = ck.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
