@@ -526,6 +526,53 @@ def embedding_near_dup(
     return out.filter(F.col("cos_sim") >= threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication of an embedding corpus
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public arXiv:2303.09540).
+
+    Pipeline, entirely from this repo's primitives: (1) k-means-partition
+    the embedding space with the same MLlib coarse quantizer the IVF
+    index uses (``build_ivf_index``); (2) compare pairs only WITHIN a
+    cell (``embedding_near_dup`` with ``block_col="cell"`` — O(Σ cell²),
+    never O(n²)); (3) resolve transitive duplicate groups
+    (``dup_clusters``); (4) keep ONE deterministic representative per
+    group (the min id, which IS the cluster label).
+
+    Returns one row per input vector: (id, cluster_id, kept).
+    Singletons are their own cluster and always kept. Cross-cell
+    near-dups are missed by design — the SemDeDup trade: semantic
+    duplicates embed close together and land in the same cell with high
+    probability, and that blocking is exactly what makes the op feasible
+    at 100 TB (per-cell self-joins, no global pair space). Reference has
+    no dedup surface (SURVEY §2.11 north-star op).
+    """
+    from .ann_index import build_ivf_index
+
+    indexed, _ = build_ivf_index(df, k=n_cells, vec_col=vec_col, id_col=id_col)
+    pairs = embedding_near_dup(
+        indexed, threshold, vec_col=vec_col, id_col=id_col, block_col="cell"
+    )
+    clusters = dup_clusters(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "doc_id", id_col
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("kept", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

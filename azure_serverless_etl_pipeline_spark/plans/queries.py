@@ -1857,6 +1857,19 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x79_semantic_dedup")
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.semantic_dedup): k-means
+    cells -> within-cell cosine pairs -> transitive clusters -> one
+    deterministic representative per cluster. Rows-only (k-means cell
+    assignment is engine-specific); cluster-consistency and
+    representative properties pytest-asserted in test_dedup_text."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.25, n_cells=8).orderBy("vec_id")
+
+
 @query("x76_sketch_rollup")
 def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (operators/sketches): daily HLL/KLL state

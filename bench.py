@@ -105,6 +105,7 @@ HEADLINE = [
     "x77_theta_overlap",
     "m02_forecast",
     "m03_media_features",
+    "x79_semantic_dedup",
 ]
 
 

@@ -331,3 +331,41 @@ def test_line_dedup_literal_separator_and_no_forced_broadcast(spark):
 
     analyzed = result._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere
+
+
+def test_semantic_dedup_properties(spark):
+    """SemDeDup composition invariants on the embeddings table: total
+    coverage (every vector appears once), representative = min id of its
+    cluster, kept count = cluster count, every within-cell near-dup pair
+    ends up in one cluster, and the whole op is deterministic."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        embedding_near_dup,
+        semantic_dedup,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    out = semantic_dedup(emb, threshold=0.25, n_cells=8).toPandas()
+
+    n = emb.count()
+    assert len(out) == n and out["vec_id"].is_unique
+    # representative is the min member and is kept; kept == one per cluster
+    g = out.groupby("cluster_id")["vec_id"]
+    assert (g.min() == g.min().index).all()
+    assert out["kept"].sum() == out["cluster_id"].nunique()
+    assert set(out.loc[out["kept"], "vec_id"]) == set(out["cluster_id"].unique())
+
+    # every within-cell pair the blocked cosine finds is clustered together
+    indexed, _ = build_ivf_index(emb, k=8)
+    pairs = embedding_near_dup(indexed, 0.25, block_col="cell").toPandas()
+    assert len(pairs) > 0  # non-vacuous at this threshold
+    lab = out.set_index("vec_id")["cluster_id"]
+    assert (lab[pairs["id_a"]].to_numpy() == lab[pairs["id_b"]].to_numpy()).all()
+
+    # deterministic end to end (seeded k-means, min-label clustering)
+    again = semantic_dedup(emb, threshold=0.25, n_cells=8).toPandas()
+    assert out.equals(again)
