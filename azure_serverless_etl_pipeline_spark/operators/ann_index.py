@@ -143,7 +143,18 @@ def train_pq_codebooks(
     # practice — codebooks train on any ~100k sample). If the layout is
     # sorted by a feature-correlated key, pass a pre-sampled frame.
     sample = corpus.select(vec_col).limit(sample_cap)
-    x = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    try:
+        # Arrow path: decode the list column from its flat values buffer
+        # (zero Python-object round trip) — row collect / to_pylist made
+        # the sample transfer, not Lloyd, dominate training time
+        arr = sample.toArrow().column(0).combine_chunks()
+        flat = np.asarray(arr.values.to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        # .copy(): the zero-copy view over the Arrow buffer is read-only,
+        # and normalization below mutates in place
+        x = flat.reshape(len(arr), -1).copy()
+    except AttributeError:  # pragma: no cover - pre-4.0 fallback
+        x = np.array([r[0] for r in sample.collect()], dtype=np.float64)
     if len(x) < k:
         raise ValueError(
             f"PQ codebook training needs >= k={k} vectors per subspace; "
@@ -160,8 +171,11 @@ def train_pq_codebooks(
         xs = x[:, j * sub : (j + 1) * sub]
         cent = xs[rng.choice(len(xs), size=k, replace=False)]
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
+            # ||x-c||^2 argmin == (x.c - ||c||^2/2) argmax: one (n,k) GEMM
+            # instead of materializing the (n,k,sub) difference tensor
+            # (the tensor version made Lloyd, not the sample transfer,
+            # dominate training time at the 100k sample cap)
+            assign = (xs @ cent.T - 0.5 * (cent**2).sum(1)).argmax(1)
             for c in range(k):
                 pts = xs[assign == c]
                 if len(pts):
