@@ -777,6 +777,11 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = n.fp)
 GROUP BY lang
 """
 
+# x80 routes the same anti-join through a Bloom prune + exact verify —
+# the output is contractually identical (no false negatives, false
+# positives removed by the verify join), so it shares x45's oracle.
+ORACLES["x80_bloom_incremental_dedup"] = ORACLES["x45_incremental_dedup"]
+
 ORACLES["x46_quality_filter"] = (
     "WITH t AS (SELECT doc_id, lang, text, "
     + _TOKENS.format(t="text")

@@ -1857,6 +1857,29 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x80_bloom_incremental_dedup")
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45's incremental ingest dedup routed through the Bloom prune
+    (dedup.bloom_incremental_dedup): a bloom_filter_agg over the seen
+    fingerprints broadcasts, arriving rows test might_contain map-side,
+    and only the bloom-positive slice pays the exact anti-join. Output
+    is bit-identical to the plain anti-join (no false negatives + exact
+    verify), so the oracle is the same SQL as x45's — the Bloom is a
+    physical optimization, not a semantics change."""
+    from ..operators.dedup import bloom_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    seen = docs.filter(F.col("doc_id") < 250).select(fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") >= 250).withColumn("fp", fp)
+    survivors = bloom_incremental_dedup(new, seen, key="fp",
+                                        expected_items=10_000)
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new_unique"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
 @query("x79_semantic_dedup")
 def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/dedup.semantic_dedup): k-means

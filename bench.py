@@ -106,6 +106,7 @@ HEADLINE = [
     "m02_forecast",
     "m03_media_features",
     "x79_semantic_dedup",
+    "x80_bloom_incremental_dedup",
 ]
 
 

@@ -369,3 +369,31 @@ def test_semantic_dedup_properties(spark):
     # deterministic end to end (seeded k-means, min-label clustering)
     again = semantic_dedup(emb, threshold=0.25, n_cells=8).toPandas()
     assert out.equals(again)
+
+
+def test_bloom_incremental_dedup_matches_anti_join(spark):
+    """The Bloom-pruned incremental dedup must be BIT-IDENTICAL to the
+    plain left_anti join for any fpp (false positives die in the verify
+    join, false negatives cannot exist), and at a punishing fpp the
+    provably-new path must still route most rows around the join."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        bloom_incremental_dedup,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fp = F.md5(F.col("text"))
+    seen = docs.filter(F.col("doc_id") < 250).select(fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") >= 250).withColumn("fp", fp)
+    expected = (
+        new.join(seen, "fp", "left_anti").select("doc_id").toPandas()["doc_id"]
+    )
+    for fpp in (0.01, 0.5):
+        got = (
+            bloom_incremental_dedup(new, seen, key="fp",
+                                    expected_items=1000, fpp=fpp)
+            .select("doc_id")
+            .toPandas()["doc_id"]
+        )
+        assert sorted(got) == sorted(expected), fpp

@@ -125,3 +125,38 @@ def test_salted_join_property(spark, rows):
     assert plain.sort_values(cols, ignore_index=True).equals(
         salted[cols].sort_values(cols, ignore_index=True)
     )
+
+
+SEP_ALPHABET = [".", "|", "*", "+", "?", "(", ")", "[", "]", "{", "}",
+                "^", "$", "\\", "/", "-", "#", "\t", "\n", "~"]
+
+
+@given(
+    sep=st.lists(st.sampled_from(SEP_ALPHABET), min_size=1, max_size=3).map(
+        "".join
+    ),
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=5).map("_".join),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@SETTINGS
+def test_line_dedup_separator_is_literal(spark, sep, docs):
+    """For ANY separator string — including regex metacharacters like
+    ".", "|", "(", "\\" — line_dedup must treat it as a literal: with
+    min_docs high enough that nothing is boilerplate, every document
+    must round-trip unchanged through split -> rebuild, and n_lines must
+    equal the literal-split count."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import line_dedup
+
+    rows = [(i, sep.join([d, f"u{i}"])) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, sep=sep, min_docs=len(docs) + 1).collect()
+    }
+    for i, (doc_id, text) in enumerate(rows):
+        assert out[doc_id]["text"] == text, (sep, text)
+        assert out[doc_id]["n_removed"] == 0
+        assert out[doc_id]["n_lines"] == len(text.split(sep))
