@@ -777,6 +777,49 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = n.fp)
 GROUP BY lang
 """
 
+# x81: SCD2 merge over the customer dimension. Update batch: every 7th
+# key gets +100.0 acctbal (every 14th re-sends identical attrs -> no-op),
+# every 50th key re-appears shifted +1e6 as an unseen key. Open rows with
+# changed attrs close at the update ts and re-open as a new version.
+ORACLES["x81_scd2_merge"] = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '1990-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 14 = 0 THEN c_acctbal
+              ELSE c_acctbal + 100.0 END AS c_acctbal,
+         c_mktsegment, TIMESTAMP '2024-01-01' AS ts
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment,
+         TIMESTAMP '2024-01-01'
+  FROM customer WHERE c_custkey % 50 = 0
+), changed AS (
+  SELECT cur.c_custkey
+  FROM cur JOIN upd USING (c_custkey)
+  WHERE NOT (cur.c_acctbal IS NOT DISTINCT FROM upd.c_acctbal
+         AND cur.c_mktsegment IS NOT DISTINCT FROM upd.c_mktsegment)
+)
+SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
+       CASE WHEN ch.c_custkey IS NOT NULL
+            THEN TIMESTAMP '2024-01-01' END AS valid_to
+FROM cur LEFT JOIN changed ch ON cur.c_custkey = ch.c_custkey
+UNION ALL
+SELECT upd.c_custkey, upd.c_acctbal, upd.c_mktsegment,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM upd JOIN changed USING (c_custkey)
+UNION ALL
+SELECT upd.c_custkey, upd.c_acctbal, upd.c_mktsegment,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM upd WHERE upd.c_custkey NOT IN (SELECT c_custkey FROM cur)
+ORDER BY c_custkey, valid_from
+"""
+
 # x80 routes the same anti-join through a Bloom prune + exact verify —
 # the output is contractually identical (no false negatives, false
 # positives removed by the verify join), so it shares x45's oracle.

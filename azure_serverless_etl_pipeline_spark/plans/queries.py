@@ -1880,6 +1880,50 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x81_scd2_merge")
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history-preserving merge (sources/writers.scd2_apply — the
+    audited variant of the reference's Cosmos upsert S-7): an update
+    batch against an all-open customer dimension closes changed rows at
+    the update timestamp, appends new versions, passes identical updates
+    through untouched (idempotent re-delivery), and inserts unseen keys.
+    Deterministic synthetic batch: every 7th key gets +100.00 acctbal
+    (every 14th re-sends IDENTICAL attrs -> must be a no-op), every 50th
+    key re-appears shifted +1,000,000 as a brand-new key."""
+    from ..sources.writers import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    t0 = F.lit("1990-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    current = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 14 == 0, F.col("c_acctbal")
+            ).otherwise(F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            "c_mktsegment",
+            t1.alias("ts"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_acctbal", "c_mktsegment", t1.alias("ts"),
+            )
+        )
+    )
+    out = scd2_apply(
+        current, updates, key="c_custkey", ts_col="ts",
+        attrs=["c_acctbal", "c_mktsegment"],
+    )
+    return out.orderBy("c_custkey", "valid_from")
+
+
 @query("x79_semantic_dedup")
 def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/dedup.semantic_dedup): k-means

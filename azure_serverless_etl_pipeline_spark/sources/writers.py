@@ -157,3 +157,97 @@ def write_clustered(
         else df.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: list[str] | tuple[str, ...] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: the history-preserving
+    variant of ``upsert_parquet``'s overwrite-by-key (reference S-7,
+    ``blob_to_cosmosdb.py:32-38`` — Cosmos upsert_item keeps only the
+    last version; SCD2 keeps them all with validity intervals).
+
+    ``current`` rows carry (key, attrs..., valid_from, valid_to) with
+    ``valid_to`` NULL marking the open version; ``updates`` carry
+    (key, attrs..., ts_col). Per key, only the LATEST update applies
+    (max ts, deterministic). Row fates:
+
+    - open row, update with CHANGED attrs  -> closed (valid_to = update
+      ts) and a new open row appended from the update;
+    - open row, update with IDENTICAL attrs -> untouched (no churn —
+      re-delivered updates are idempotent, the reference T-3 property);
+    - open row, no update                   -> untouched;
+    - already-closed rows                   -> untouched (history is
+      immutable);
+    - update for an unseen key              -> new open row.
+
+    Plan shape: one per-key window on the (small) update batch, one
+    equi-join of the OPEN slice against it (AQE broadcasts a small
+    batch), history rows pass through untouched — at 100 TB the closed
+    history is never rewritten, which is the entire point of SCD2 over
+    MERGE-overwrite. On Delta/Iceberg the same frame feeds MERGE WHEN
+    MATCHED/NOT MATCHED; on plain parquet pair it with upsert_parquet's
+    staged overwrite.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    attrs = list(attrs)
+    latest = (
+        updates.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(key).orderBy(F.col(ts_col).desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+
+    u = latest.select(
+        F.col(key),
+        F.col(ts_col).alias("__u_ts"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+    )
+    joined = open_rows.join(u, key, "left")
+    changed = F.col("__u_ts").isNotNull() & ~F.struct(
+        *[F.col(a) for a in attrs]
+    ).eqNullSafe(F.struct(*[F.col(f"__u_{a}") for a in attrs]))
+
+    kept_open = joined.filter(~changed).select(*current.columns)
+    closed_now = joined.filter(changed).select(
+        *[
+            F.col("__u_ts").alias(valid_to) if c == valid_to else F.col(c)
+            for c in current.columns
+        ]
+    )
+    new_versions = joined.filter(changed).select(
+        F.col(key),
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__u_ts").alias(valid_from),
+        F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to),
+    ).select(*current.columns)
+    inserts = (
+        latest.join(current.select(key).distinct(), key, "left_anti")
+        .select(
+            F.col(key),
+            *[F.col(a) for a in attrs],
+            F.col(ts_col).alias(valid_from),
+            F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to),
+        )
+        .select(*current.columns)
+    )
+    return (
+        closed_rows.unionByName(kept_open)
+        .unionByName(closed_now)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )

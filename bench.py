@@ -107,6 +107,7 @@ HEADLINE = [
     "m03_media_features",
     "x79_semantic_dedup",
     "x80_bloom_incremental_dedup",
+    "x81_scd2_merge",
 ]
 
 

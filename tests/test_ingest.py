@@ -108,3 +108,60 @@ def test_partitioned_write_and_upsert(spark, clean_csv, tmp_path):
     first.write.mode("overwrite").parquet(flat)
     upsert_parquet(spark, first, flat, key="id")
     assert spark.read.parquet(flat).count() == 500
+
+
+def test_scd2_apply_row_fates(spark):
+    """All five SCD2 row fates on a handcrafted dimension: closed history
+    is immutable, unchanged-open and no-update-open rows pass through,
+    changed rows close at the update ts and re-open as a new version,
+    identical re-delivery is a no-op, unseen keys insert; only the
+    latest update per key applies."""
+    import datetime as dt
+
+    from azure_serverless_etl_pipeline_spark.sources.writers import scd2_apply
+
+    T = dt.datetime
+    current = spark.createDataFrame(
+        [
+            # key 1: one closed historic version + one open (will change)
+            (1, 10.0, "A", T(2020, 1, 1), T(2022, 1, 1)),
+            (1, 11.0, "A", T(2022, 1, 1), None),
+            # key 2: open, update re-sends identical attrs -> no-op
+            (2, 20.0, "B", T(2020, 1, 1), None),
+            # key 3: open, no update -> untouched
+            (3, 30.0, "C", T(2020, 1, 1), None),
+        ],
+        "k long, bal double, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 12.0, "A", T(2023, 1, 1)),   # stale update (superseded)
+            (1, 13.0, "A", T(2024, 1, 1)),   # latest wins
+            (2, 20.0, "B", T(2024, 1, 1)),   # identical -> no-op
+            (9, 90.0, "Z", T(2024, 1, 1)),   # unseen key -> insert
+        ],
+        "k long, bal double, seg string, ts timestamp",
+    )
+    out = scd2_apply(
+        current, updates, key="k", ts_col="ts", attrs=["bal", "seg"]
+    ).toPandas()
+    rows = {
+        (r.k, r.bal, str(r.valid_from.date()),
+         None if r.valid_to is None or r.valid_to != r.valid_to
+         else str(r.valid_to.date()))
+        for r in out.itertuples()
+    }
+    assert rows == {
+        (1, 10.0, "2020-01-01", "2022-01-01"),  # history immutable
+        (1, 11.0, "2022-01-01", "2024-01-01"),  # closed at latest ts
+        (1, 13.0, "2024-01-01", None),          # new version (not 12.0)
+        (2, 20.0, "2020-01-01", None),          # identical -> untouched
+        (3, 30.0, "2020-01-01", None),          # no update -> untouched
+        (9, 90.0, "2024-01-01", None),          # insert
+    }
+    # idempotent re-delivery: applying the same batch again changes nothing
+    again = scd2_apply(
+        spark.createDataFrame(out), updates, key="k", ts_col="ts",
+        attrs=["bal", "seg"],
+    ).toPandas()
+    assert len(again) == len(out)
