@@ -646,6 +646,7 @@ def semantic_dedup(
     n_cells: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication of an embedding corpus
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -667,9 +668,15 @@ def semantic_dedup(
     at 100 TB (per-cell self-joins, no global pair space). Reference has
     no dedup surface (SURVEY §2.11 north-star op).
     """
-    from .ann_index import build_ivf_index
+    if indexed is None:
+        # The k-means fit is the expensive step; repeated dedup runs over
+        # a growing corpus should build the cell index once
+        # (build_ivf_index with index_path) and pass it via ``indexed``.
+        from .ann_index import build_ivf_index
 
-    indexed, _ = build_ivf_index(df, k=n_cells, vec_col=vec_col, id_col=id_col)
+        indexed, _ = build_ivf_index(
+            df, k=n_cells, vec_col=vec_col, id_col=id_col
+        )
     pairs = embedding_near_dup(
         indexed, threshold, vec_col=vec_col, id_col=id_col, block_col="cell"
     )

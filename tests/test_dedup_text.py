@@ -397,3 +397,22 @@ def test_bloom_incremental_dedup_matches_anti_join(spark):
             .toPandas()["doc_id"]
         )
         assert sorted(got) == sorted(expected), fpp
+
+
+def test_semantic_dedup_prebuilt_index(spark):
+    """Passing a prebuilt cell index (the amortized deployment path) must
+    give the identical result to the self-building path."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.dedup import semantic_dedup
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    auto = semantic_dedup(emb, threshold=0.25, n_cells=8).toPandas()
+    indexed, _ = build_ivf_index(emb, k=8)
+    pre = semantic_dedup(
+        emb, threshold=0.25, n_cells=8, indexed=indexed
+    ).toPandas()
+    assert auto.equals(pre)
