@@ -53,3 +53,44 @@ def test_run_sql_parameter_binding(spark):
         {"prio": "x' OR '1'='1"},
     )
     assert evil.collect()[0]["n"] == 0
+
+
+def test_testdata_schema_sentinel(spark):
+    """Early-warning gate for testdata regenerations (the round-3 pattern:
+    events.ts silently became TIMESTAMP_NTZ and broke every watermark
+    site). Pins the columns and type CLASSES each operator family
+    depends on, so a drift fails here with a readable message instead of
+    deep inside a query plan."""
+    from pyspark.sql import types as T
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    need = {
+        "lineitem": {"l_orderkey", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_shipdate", "l_returnflag"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderdate",
+                   "o_totalprice", "o_orderstatus"},
+        "customer": {"c_custkey", "c_acctbal", "c_mktsegment"},
+        "events": {"event_id", "user_id", "ts", "event_type", "value"},
+        "documents": {"doc_id", "text", "lang", "source"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    for table, cols in need.items():
+        df = load_table(spark, SF_ORACLE, table)
+        missing = cols - set(df.columns)
+        assert not missing, f"{table} lost columns {missing}"
+    ev = load_table(spark, SF_ORACLE, "events")
+    ts_type = ev.schema["ts"].dataType
+    # either tz or ntz timestamp is fine — every consumer guards via
+    # ensure_event_time / cast — but a non-timestamp type is a break
+    assert isinstance(
+        ts_type, (T.TimestampType, T.TimestampNTZType)
+    ), f"events.ts decoded as {ts_type} — update sources/catalog.py"
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    el = emb.schema["embedding"].dataType
+    assert isinstance(el, T.ArrayType) and isinstance(
+        el.elementType, (T.FloatType, T.DoubleType)
+    ), f"embeddings.embedding decoded as {el}"
+    doc = load_table(spark, SF_ORACLE, "documents")
+    assert isinstance(doc.schema["text"].dataType, T.StringType)
