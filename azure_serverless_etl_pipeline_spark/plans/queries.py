@@ -2004,11 +2004,13 @@ DRIVER_WINDOW: list[str] = [
     "x47_heavy_hitters", "x48_cross_source_overlap", "x49_exact_percentiles",
     "x34_bucketed_q18",
     # round 4 rotation: x80 (Bloom-pruned incremental dedup, oracle =
-    # x45's SQL) takes the slot of x52_tpch_q4 (driver-green in
-    # CORRECTNESS_r03.json, still pytest-oracle-checked) so the newest
-    # oracle-backed operator earns a hash-checked driver row.
+    # x45's SQL) and x81 (SCD2 merge, full CTE oracle) take the slots of
+    # x52_tpch_q4 and x53_tpch_q7 (both driver-green in
+    # CORRECTNESS_r03.json, still pytest-oracle-checked at sf0.001) so
+    # the newest oracle-backed operators earn hash-checked driver rows.
     "x80_bloom_incremental_dedup",
-    "x53_tpch_q7", "x54_tpch_q8", "x55_tpch_q12",
+    "x81_scd2_merge",
+    "x54_tpch_q8", "x55_tpch_q12",
     "x56_tpch_q13", "x57_tpch_q15", "x58_tpch_q17", "x59_tpch_q19",
     "x60_tpch_q21", "x61_tpch_q22", "x62_tpch_q2", "x63_tpch_q9",
     "x64_tpch_q11", "x65_tpch_q16", "x66_tpch_q20",
