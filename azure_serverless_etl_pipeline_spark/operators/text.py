@@ -346,3 +346,55 @@ def unigram_logprob(
             F.round(F.col("raw"), 6).alias("avg_neg_logprob"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information over adjacent
+    token pairs, PMI = ln(P(w1 w2) / (P(w1) P(w2))) — the classic
+    corpus-analysis signal for multiword expressions, computed as a sum
+    of logs (ln c_ab + 2 ln N_uni - ln N_bi - ln c_1 - ln c_2) so no
+    integer product can overflow at corpus scale and the arithmetic is
+    reproducible term-for-term in the SQL oracle.
+
+    Plan shape: the x40 bigram count table and the unigram count table
+    (both vocabulary-sized after map-side partial aggregation) join on
+    the two token columns — strategy left to AQE, same policy as
+    tfidf_top_terms — and the two 1-row totals broadcast. min_count
+    gates the long tail BEFORE the joins (low-count bigrams dominate the
+    table and their PMI is noise), top_k orders by (pmi desc, w1, w2)
+    for a deterministic cut.
+    """
+    toks = tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bi = bigram_counts(df, text_col)
+    n_bi = bi.agg(F.sum("n").alias("n_bi"))
+    scored = (
+        bi.filter(F.col("n") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log("n") + 2 * F.log("n_uni") - F.log("n_bi")
+                - F.log("c1") - F.log("c2"),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", F.col("n").alias("n_ab"), "pmi")
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -777,6 +777,36 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = n.fp)
 GROUP BY lang
 """
 
+# x82: PMI collocations. Sum-of-logs form matches text.bigram_pmi
+# term-for-term (ln of BIGINT counts is correctly-rounded double in both
+# engines, per the x36/x72 convention); (pmi desc, w1, w2) is a total
+# order so the LIMIT cut is deterministic.
+ORACLES["x82_bigram_pmi"] = (
+    "WITH t AS (SELECT "
+    + _TOKENS.format(t="text")
+    + """ AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+pl AS (
+  SELECT list_transform(generate_series(1, len(toks) - 1),
+                        i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])) AS ps
+  FROM t WHERE len(toks) >= 2
+), pairs AS (SELECT unnest(ps) AS p FROM pl),
+bc AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2),
+nb AS (SELECT CAST(SUM(n) AS BIGINT) AS n_bi FROM bc)
+SELECT w1, w2, n AS n_ab,
+       ROUND(ln(n) + 2 * ln(n_uni) - ln(n_bi) - ln(c1.c) - ln(c2.c), 6) AS pmi
+FROM bc
+JOIN uc c1 ON bc.w1 = c1.w
+JOIN uc c2 ON bc.w2 = c2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE n >= 3
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+)
+
 # x81: SCD2 merge over the customer dimension. Update batch: every 7th
 # key gets +100.0 acctbal (every 14th re-sends identical attrs -> no-op),
 # every 50th key re-appears shifted +1e6 as an unseen key. Open rows with

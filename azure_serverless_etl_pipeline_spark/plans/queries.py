@@ -1880,6 +1880,15 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x82_bigram_pmi")
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction (text.bigram_pmi): top-50 adjacent
+    token pairs by pointwise mutual information, min count 3 — the
+    multiword-expression signal, computed as a sum of logs mirrored
+    term-for-term in the oracle."""
+    return text.bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
 @query("x81_scd2_merge")
 def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history-preserving merge (sources/writers.scd2_apply — the

@@ -108,6 +108,7 @@ HEADLINE = [
     "x79_semantic_dedup",
     "x80_bloom_incremental_dedup",
     "x81_scd2_merge",
+    "x82_bigram_pmi",
 ]
 
 

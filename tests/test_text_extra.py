@@ -76,3 +76,27 @@ def test_unigram_logprob_ranks_rare_vocab(spark):
     assert scores[100] > scores[0]
     # common docs all score identically (same token multiset)
     assert len({scores[i] for i in range(20)}) == 1
+
+
+def test_bigram_pmi_planted_collocation(spark):
+    """A planted rigid collocation ("hong kong": always adjacent, its
+    words never appear apart) must out-rank pairs of independent
+    high-frequency words; PMI of an independent pair is near ln(1)=0."""
+    import math
+
+    from azure_serverless_etl_pipeline_spark.operators.text import bigram_pmi
+
+    rows = []
+    for i in range(60):
+        # "hong kong" appears once per doc; "the data" co-occur sometimes
+        # but both words are everywhere
+        rows.append((i, f"the data hong kong the data set u{i} the set"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_pmi(df, min_count=3, top_k=10).toPandas()
+    top = (out.iloc[0]["w1"], out.iloc[0]["w2"])
+    assert top == ("hong", "kong")
+    hk = out[(out.w1 == "hong") & (out.w2 == "kong")].iloc[0]
+    # exact: c_ab=c_a=c_b=60 -> pmi = ln(N_uni^2 / (N_bi * 60))
+    n_uni = 60 * 10
+    n_bi = 60 * 9
+    assert abs(hk["pmi"] - round(math.log(n_uni**2 / (n_bi * 60)), 6)) < 1e-9
