@@ -398,3 +398,35 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+# GPT-2-style pre-tokenizer pattern, simplified to the lookahead-free
+# subset Java regex and RE2 both support with identical leftmost-first
+# alternation semantics: contractions, optional-space letter runs,
+# optional-space digit runs, optional-space punctuation runs. The real
+# byte-level BPE merges AFTER this split; counting pre-tokens is the
+# standard cheap estimate of trained-tokenizer token counts.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def token_count_bpe(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts under BOTH tokenization regimes the
+    north-star asks for: whitespace tokens and BPE-ish pre-tokens
+    (``BPE_SPLIT_RE`` matches), plus chars-per-pre-token (the
+    compression-rate proxy used for budget planning before a real
+    tokenizer pass). All JVM-side regexp_count / length arithmetic —
+    map-side only, fused into the scan's codegen span.
+    """
+    n_ws = F.size(tokens(F.col(text_col)))
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE))
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_bpe > 0, F.length(F.col(text_col)) / n_bpe).otherwise(0.0),
+            6,
+        ).alias("chars_per_bpe_token"),
+    )

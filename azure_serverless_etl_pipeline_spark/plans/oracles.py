@@ -777,6 +777,27 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = n.fp)
 GROUP BY lang
 """
 
+# x83: dual-regime token counts. The BPE-ish pattern is the
+# lookahead-free subset both Java regex (Spark) and RE2 (DuckDB) run
+# with identical leftmost-first alternation; the SQL literal below must
+# stay in sync with operators/text.BPE_SPLIT_RE ('' = escaped quote).
+ORACLES["x83_token_counts"] = (
+    "WITH t AS (SELECT doc_id, text, "
+    + _TOKENS.format(t="text")
+    + r""" AS toks,
+  len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+'))
+    AS n_bpe
+  FROM documents)
+SELECT doc_id, CAST(len(toks) AS INT) AS n_ws_tokens,
+       CAST(n_bpe AS INT) AS n_bpe_tokens,
+       ROUND(CASE WHEN n_bpe > 0
+                  THEN CAST(len(text) AS DOUBLE) / n_bpe ELSE 0.0 END, 6)
+         AS chars_per_bpe_token
+FROM t ORDER BY doc_id
+"""
+)
+
 # x82: PMI collocations. Sum-of-logs form matches text.bigram_pmi
 # term-for-term (ln of BIGINT counts is correctly-rounded double in both
 # engines, per the x36/x72 convention); (pmi desc, w1, w2) is a total

@@ -1880,6 +1880,17 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x83_token_counts")
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-regime token counting (text.token_count_bpe): whitespace
+    tokens + GPT-2-style BPE pre-tokens + chars-per-pre-token, the
+    budget-planning signal a packing pipeline needs before a real
+    tokenizer pass. Map-side only."""
+    return text.token_count_bpe(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 @query("x82_bigram_pmi")
 def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation extraction (text.bigram_pmi): top-50 adjacent

@@ -109,6 +109,7 @@ HEADLINE = [
     "x80_bloom_incremental_dedup",
     "x81_scd2_merge",
     "x82_bigram_pmi",
+    "x83_token_counts",
 ]
 
 

@@ -100,3 +100,29 @@ def test_bigram_pmi_planted_collocation(spark):
     n_uni = 60 * 10
     n_bi = 60 * 9
     assert abs(hk["pmi"] - round(math.log(n_uni**2 / (n_bi * 60)), 6)) < 1e-9
+
+
+def test_token_count_bpe_matches_python_re(spark):
+    """The BPE-ish pre-token count must equal Python re.findall with the
+    same pattern (Java regex, RE2, and Python agree on this
+    lookahead-free subset) on contraction/punctuation/digit-heavy text."""
+    import re
+
+    from azure_serverless_etl_pipeline_spark.operators.text import (
+        BPE_SPLIT_RE,
+        token_count_bpe,
+    )
+
+    rows = [
+        (0, "it's the 42nd test-case, isn't it?"),
+        (1, "we'll've seen 1,000 tokens... maybe 2000!"),
+        (2, "plain words only here"),
+        (3, "!!!"),
+        (4, "don't"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_count_bpe(df).toPandas().set_index("doc_id")
+    for doc_id, text in rows:
+        expect = len(re.findall(BPE_SPLIT_RE, text))
+        assert out.loc[doc_id, "n_bpe_tokens"] == expect, (doc_id, text)
+        assert out.loc[doc_id, "n_ws_tokens"] == len(text.split())
