@@ -220,3 +220,31 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | tuple[str, ...] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: look up dimension attributes for
+    every streaming event (the per-event equivalent of the reference's
+    point-read against Cosmos during request handling,
+    data_analytics_api.py:68). Spark natively supports joining a stream
+    against a static frame per micro-batch with no state store — the
+    static side is re-read each batch, so a dimension updated between
+    batches (e.g. by scd2_foreach_batch) is picked up automatically.
+
+    ``broadcast_dim=True`` (default) hints the dimension broadcast —
+    correct for genuinely small dims (the reference's device/home
+    metadata class); pass False for large dimensions and let AQE decide
+    per batch. Only inner/left joins are stream-static-supported on the
+    stream side; this helper keeps the stream on the left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(d, keys, how)

@@ -315,3 +315,39 @@ def test_attribution_stream_left_outer(spark, event_source, tmp_path):
     must_emit = zero[zero["click_ts"] < frontier]
     assert set(must_emit["click_id"]) <= set(nulls["click_id"])
     assert len(must_emit) > 0  # the assertion above must not be vacuous
+
+
+def test_enrich_stream_matches_batch_join(spark, event_source, tmp_path):
+    """Stream-static enrichment: joining the event stream against a small
+    user-dimension frame must yield exactly the batch join's rows, and
+    unmatched events survive a left enrich with NULL attributes."""
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        enrich_stream,
+    )
+
+    path, schema, ev = event_source
+    dim = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users have metadata
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold")
+                    .otherwise("silver"))
+    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        enrich_stream(stream, dim, on="user_id", how="left")
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_out").toPandas()
+    want = ev.join(F.broadcast(dim), "user_id", "left").toPandas()
+    assert len(got) == len(want) == ev.count()  # left: no event lost
+    key = ["event_id"]
+    g = got.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    assert g["tier"].isna().sum() == w["tier"].isna().sum() > 0
+    assert (g["tier"].fillna("-") == w["tier"].fillna("-")).all()
