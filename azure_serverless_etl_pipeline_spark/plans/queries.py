@@ -1033,11 +1033,21 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant pairs with x30's sketch-based percentile_approx — exact when
     groups fit a sort, approx for unbounded streams."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    # one percentile aggregate with an array of percentages: a single
+    # per-group value buffer + one sort instead of three (3x less agg
+    # state; same interpolation, bit-identical results)
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("ps"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return pcts.select(
+        "l_returnflag",
+        F.col("ps")[0].alias("p50"),
+        F.col("ps")[1].alias("p90"),
+        F.col("ps")[2].alias("p99"),
+        "n",
     )
 
 
