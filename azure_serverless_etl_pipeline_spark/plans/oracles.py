@@ -204,7 +204,7 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
 
 ORACLES["x05_embedding_near_dup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-       {_cos('a.embedding', 'b.embedding')} AS cos_sim
+       ROUND({_cos('a.embedding', 'b.embedding')}, 12) AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cos('a.embedding', 'b.embedding')} >= 0.25
@@ -221,7 +221,8 @@ scored AS (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 12) AS cos_sim
+FROM ranked WHERE rank <= 5
 """
 
 ORACLES["x07_text_stats"] = f"""
@@ -296,7 +297,8 @@ scored AS (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, cell, rank, cos_sim FROM ranked WHERE rank <= 5
+SELECT query_id, neighbor_id, cell, rank, ROUND(cos_sim, 12) AS cos_sim
+FROM ranked WHERE rank <= 5
 """
 
 # x14_lang_id: argmax of marker hits, alphabetical tie-break (matches

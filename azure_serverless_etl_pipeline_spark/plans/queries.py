@@ -253,13 +253,19 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = dedup.embedding_near_dup(emb, threshold=0.25, block_col="label")
-    return out.select("id_a", "id_b", "label", "cos_sim")
+    # Round the emitted similarity (threshold + ordering stay full-precision)
+    # so the driver's value hash doesn't depend on bit-identical float fold
+    # order between Spark `aggregate` and DuckDB `list_reduce`.
+    return out.select(
+        "id_a", "id_b", "label", F.round("cos_sim", 12).alias("cos_sim")
+    )
 
 
 @query("x06_ann_cosine_topk")
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
 @query("x07_text_stats")
@@ -320,7 +326,8 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x12_ann_ivf_topk")
 def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
 @query("x13_doc_fingerprint")
