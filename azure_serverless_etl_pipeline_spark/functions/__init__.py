@@ -97,6 +97,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     the NULL, and array_compact drops the resulting tail entries, leaving
     exactly size-n+1 shingles. All JVM-side, no UDF.
     """
+    return F.array_distinct(word_grams(col, n))
+
+
+def word_grams(col: Column | str, n: int = 2) -> Column:
+    """Position-ordered (NON-distinct) n-word grams as an array<string>.
+
+    Same zip_with-chain construction as :func:`word_shingles` but without
+    the final array_distinct — one element per gram *position*, which the
+    repetition metrics (duplicate-gram fractions) need. A doc with k
+    tokens yields max(k - n + 1, 0) grams.
+    """
     toks = tokens(col)
     acc = toks
     for j in range(1, n):
@@ -104,4 +115,4 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
         )
         acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(F.array_compact(acc))
+    return F.array_compact(acc)

@@ -430,3 +430,119 @@ def token_count_bpe(
             6,
         ).alias("chars_per_bpe_token"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics, computed MAP-ONLY (zero shuffles).
+
+    Per document: the most frequent bigram (ties -> lexicographically
+    smallest), the fraction of bigram positions it occupies, and the
+    fraction of 5-gram positions whose gram occurs more than once in the
+    same document (the duplicate-n-gram rule from the Gopher quality
+    filters). Everything is integer-ratio arithmetic over token arrays via
+    higher-order functions — no explode, no groupBy, so at 100 TB this is
+    a pure scan: cost O(distinct_grams x grams) per row inside codegen,
+    and the operator scales linearly with input splits.
+    """
+    from ..functions import word_grams
+
+    # Sorted gram arrays: every repetition metric below is O(n log n) sort
+    # + O(n) adjacent-neighbor scans per row (an argmax via
+    # count-each-distinct-gram re-filtering is O(distinct x n) per row and
+    # measured ~5x slower at sf0.1).
+    base = df.select(
+        F.col(id_col),
+        F.array_sort(word_grams(F.col(text_col), 2)).alias("g2"),
+        F.array_sort(word_grams(F.col(text_col), 5)).alias("g5"),
+    )
+    g2, g5 = F.col("g2"), F.col("g5")
+
+    # Single fold over the SORTED bigrams tracking (prev gram, current run
+    # length, best count, best gram). Strict > keeps the FIRST gram that
+    # reaches the max run, which in sorted order is the lexicographically
+    # smallest — the same tie-break as ORDER BY c DESC, gram ASC.
+    best = F.aggregate(
+        g2,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("c"),
+            F.lit(None).cast("string").alias("g"),
+        ),
+        lambda acc, g: (
+            lambda run: F.struct(
+                g.alias("prev"),
+                run.alias("run"),
+                F.when(run > acc["c"], run).otherwise(acc["c"]).alias("c"),
+                F.when(run > acc["c"], g).otherwise(acc["g"]).alias("g"),
+            )
+        )(F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))),
+    )
+    n2 = F.size(g2)
+    n5 = F.size(g5)
+    # A 5-gram position is a duplicate iff it equals a sorted neighbor.
+    eq_next = F.zip_with(
+        g5,
+        F.slice(g5, 2, F.greatest(n5 - 1, F.lit(0))),
+        lambda a, b: F.coalesce(a == b, F.lit(False)),
+    )
+    eq_prev = F.concat(
+        F.array(F.lit(False)), F.slice(eq_next, 1, F.greatest(n5 - 1, F.lit(0)))
+    )
+    dup5 = F.size(
+        F.filter(F.zip_with(eq_next, eq_prev, lambda a, b: a | b), lambda x: x)
+    )
+    return base.select(
+        F.col(id_col),
+        n2.cast("long").alias("n_bigrams"),
+        best["g"].alias("top_bigram"),
+        best["c"].cast("long").alias("top_bigram_count"),
+        F.when(n2 > 0, F.round(best["c"] / n2, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(n5 > 0, F.round(dup5 / n5, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_5gram_frac"),
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed linear quality classifier (fasttext-style), fully JVM-side.
+
+    Each token hashes to a deterministic weight in [-1, 1]
+    (md5 first-8-hex fold mod 2001, shifted/scaled — the same stable-hash
+    convention as operators/sampling.hash_bucket, so the model is
+    reproducible on any engine with md5). The document logit is the MEAN
+    token weight via a sequential left fold; both Spark `aggregate` and
+    DuckDB `list_reduce` fold left-to-right from an exact-zero seed, so
+    the double result is bit-identical and safe to hash-check. The
+    sigmoid is deliberately omitted from the output: it is monotone, so
+    `label = logit >= 0` is the same decision boundary, and exp() is the
+    one primitive whose last ULP differs across engines.
+
+    In production the hash->weight table would come from a trained model
+    broadcast as a map literal; the scoring plan (scan -> transform ->
+    fold, zero shuffles) is identical.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+
+    def weight(t):
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 2001
+        )
+        return (bucket - 1000) / F.lit(1000.0)
+
+    n = F.size(F.col("toks"))
+    total = F.aggregate(F.col("toks"), F.lit(0.0), lambda acc, t: acc + weight(t))
+    logit = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        (logit >= 0).alias("label"),
+    )

@@ -1450,6 +1450,87 @@ SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# x84: benchmark decontamination — distinct 5-gram semi-join of the
+# training slice (doc_id % 10 <> 0) against the eval slice's gram set.
+EXTRA_ORACLES["x84_decontaminate"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i
+  FROM toks WHERE len(t) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+  FROM idx
+), ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0)
+SELECT s.doc_id, COUNT(*) AS n_shared_grams
+FROM sh s JOIN ev USING (gram)
+WHERE s.doc_id % 10 <> 0
+GROUP BY s.doc_id
+"""
+
+# x85: Gopher repetition suite. Relational twin of the map-only HOF
+# computation: top bigram by (count DESC, gram ASC), positional fraction,
+# and the duplicate-5-gram position fraction. Integer-ratio doubles.
+EXTRA_ORACLES["x85_repetition_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+), g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+), top2 AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT doc_id, gram, c, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c2
+  ) WHERE rn = 1
+), n2 AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams FROM g2 GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)
+), d5 AS (
+  SELECT doc_id, SUM(c) AS n5, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS ndup
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n2.n_bigrams, 0) AS n_bigrams,
+       top2.gram AS top_bigram,
+       COALESCE(top2.c, 0) AS top_bigram_count,
+       COALESCE(ROUND(CAST(top2.c AS DOUBLE) / n2.n_bigrams, 6), 0.0) AS top_bigram_frac,
+       COALESCE(ROUND(CAST(d5.ndup AS DOUBLE) / d5.n5, 6), 0.0) AS dup_5gram_frac
+FROM documents d
+LEFT JOIN n2 USING (doc_id)
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+"""
+
+# x86: hashed linear classifier. The weight fold is a sequential
+# left-to-right list_reduce from w1 (Spark folds from an exact 0.0 seed;
+# 0.0 + w1 == w1 in IEEE, so the folds are bit-identical).
+_W = (
+    "list_transform({toks}, t -> "
+    f"(CAST({_hash_bucket_mod('t', 2001)} AS DOUBLE) - 1000) / 1000.0)"
+)
+EXTRA_ORACLES["x86_hashed_classifier"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           list_reduce({_W.format(toks='toks')}, (a, b) -> a + b) / len(toks)
+         ELSE 0.0 END AS z
+  FROM t
+)
+SELECT doc_id, n_tokens, ROUND(z, 6) AS logit, z >= 0 AS label FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

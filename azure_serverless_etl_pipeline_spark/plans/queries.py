@@ -1961,6 +1961,41 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_custkey", "valid_from")
 
 
+@query("x84_decontaminate")
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam): flag every
+    training document sharing a 5-token n-gram with the held-out eval
+    slice (doc_id % 10 == 0 stands in for the benchmark suite). The
+    GPT-3/PaLM/Pile decontamination rule as one gram-keyed semi-join —
+    the eval side is tiny, so AQE broadcasts it and the corpus is
+    scanned once."""
+    from ..operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.contamination_report(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=5,
+    )
+
+
+@query("x85_repetition_stats")
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition suite (text.repetition_stats): per-doc top
+    bigram + its positional fraction + duplicate-5-gram fraction,
+    map-only via higher-order functions (zero shuffles — the whole
+    operator is one codegen'd scan)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("x86_hashed_classifier")
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (text.hashed_classifier_score):
+    fasttext-style mean-of-hashed-token-weights logit + decision label,
+    JVM-side md5 weights, zero shuffles."""
+    return text.hashed_classifier_score(load_table(spark, sf_dir, "documents"))
+
+
 @query("x79_semantic_dedup")
 def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/dedup.semantic_dedup): k-means
@@ -2047,8 +2082,15 @@ DRIVER_WINDOW: list[str] = [
     # the newest oracle-backed operators earn hash-checked driver rows.
     "x80_bloom_incremental_dedup",
     "x81_scd2_merge",
-    "x54_tpch_q8", "x55_tpch_q12",
-    "x56_tpch_q13", "x57_tpch_q15", "x58_tpch_q17", "x59_tpch_q19",
+    # round 5 rotation: x82 (PMI collocations), x83 (dual-regime token
+    # counts), x84 (benchmark decontamination), x85 (Gopher repetition
+    # suite), x86 (hashed linear classifier) take the slots of
+    # x54_tpch_q8 / x55_tpch_q12 / x56_tpch_q13 / x57_tpch_q15 /
+    # x58_tpch_q17 (all driver-green in CORRECTNESS_r03.json, still
+    # pytest-oracle-checked at sf0.001).
+    "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",
+    "x85_repetition_stats", "x86_hashed_classifier",
+    "x59_tpch_q19",
     "x60_tpch_q21", "x61_tpch_q22", "x62_tpch_q2", "x63_tpch_q9",
     "x64_tpch_q11", "x65_tpch_q16", "x66_tpch_q20",
     "x67_chunk_documents", "x68_pack_sequences", "x69_mixture_sample",

@@ -110,6 +110,9 @@ HEADLINE = [
     "x81_scd2_merge",
     "x82_bigram_pmi",
     "x83_token_counts",
+    "x84_decontaminate",
+    "x85_repetition_stats",
+    "x86_hashed_classifier",
 ]
 
 

@@ -118,6 +118,33 @@ def test_mapside_ops_have_no_exchange(spark, queries):
     assert "Exchange" not in plan_of(deterministic_split(docs))
 
 
+def test_repetition_and_classifier_are_map_only(spark, queries):
+    """x85/x86 compute per-doc metrics via higher-order functions over
+    token arrays — the whole operator must stay inside one scan (no
+    explode/groupBy fallback sneaking a shuffle in)."""
+    from azure_serverless_etl_pipeline_spark.operators.text import (
+        hashed_classifier_score,
+        repetition_stats,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert "Exchange" not in plan_of(repetition_stats(docs))
+    assert "Exchange" not in plan_of(hashed_classifier_score(docs))
+
+
+def test_decontam_corpus_not_shuffled_before_join(spark, queries):
+    """x84's corpus side must flow map-side into the gram semi-join (the
+    only corpus-keyed Exchange is the post-join count, proportional to
+    contamination, not corpus size); the eval gram set is the build side."""
+    import re
+
+    plan = plan_of(queries["x84_decontaminate"](spark, SF_ORACLE))
+    assert re.search(r"Join [^\n]*LeftSemi", plan), plan
+    # no hash-partition exchange keyed on the gram stream (corpus side)
+    assert not re.search(r"Exchange hashpartitioning\(gram", plan), plan
+
+
 def test_tpch_suite_semi_anti_shapes(spark, queries):
     """The EXISTS/NOT EXISTS adaptations must compile to semi/anti joins
     (not row-multiplying inner joins + dedup): q4 EXISTS -> LeftSemi,
