@@ -1531,6 +1531,107 @@ SELECT doc_id, n_tokens, ROUND(z, 6) AS logit, z >= 0 AS label FROM s
 """
 
 
+EXTRA_ORACLES["x87_dsir_importance"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS.format(t='text')}) AS tok FROM documents
+), bt AS (
+  SELECT doc_id, lang, {_hash_bucket_mod('tok', 1000)} AS bucket FROM tok
+), tc AS (
+  SELECT bucket, COUNT(*) AS c_t FROM bt WHERE lang = 'en' GROUP BY bucket
+), rc AS (
+  SELECT bucket, COUNT(*) AS c_r FROM bt GROUP BY bucket
+), j AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+), tot AS (
+  SELECT SUM(c_t) AS tot_t, SUM(c_r) AS tot_r FROM j
+), lr AS (
+  SELECT bucket,
+         ROUND(ln((c_t + 1) / CAST(tot_t + 1000 AS DOUBLE))
+             - ln((c_r + 1) / CAST(tot_r + 1000 AS DOUBLE)), 9) AS log_ratio
+  FROM j CROSS JOIN tot
+), scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(log_ratio AS DECIMAL(38,12))) AS DOUBLE) AS importance
+  FROM bt b JOIN lr USING (bucket) GROUP BY b.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(importance, 0.0) AS importance
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
+EXTRA_ORACLES["x88_session_concurrency"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MIN(ts) AS session_start,
+         epoch_us(MIN(ts)) AS start_us,
+         epoch_us(MAX(ts)) + 1800000000 AS end_us
+  FROM tagged GROUP BY user_id, session_id
+), ovl AS (
+  SELECT a.user_id, a.session_id, COUNT(*) AS cnt
+  FROM sessions a JOIN sessions b
+    ON a.start_us < b.end_us AND b.start_us < a.end_us
+   AND (a.user_id <> b.user_id OR a.session_id <> b.session_id)
+  GROUP BY a.user_id, a.session_id
+)
+SELECT s.user_id, s.session_id, s.n_events, s.session_start,
+       CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_concurrent
+FROM sessions s LEFT JOIN ovl o USING (user_id, session_id)
+"""
+
+
+EXTRA_ORACLES["x89_fuzzy_join"] = r"""
+WITH keyed AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64) AS key
+  FROM documents
+)
+SELECT a.id AS a, b.id AS b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM keyed a JOIN keyed b ON a.id < b.id
+WHERE levenshtein(a.key, b.key) <= 3
+"""
+
+
+EXTRA_ORACLES["x90_source_drift"] = """
+WITH binned AS (
+  SELECT source AS slice, CAST(floor(n_chars / 50) AS BIGINT) AS bin FROM documents
+), counts AS (
+  SELECT slice, bin, COUNT(*) AS c FROM binned GROUP BY slice, bin
+), st AS (
+  SELECT slice, SUM(c) AS n_slice FROM counts GROUP BY slice
+), gl AS (
+  SELECT bin, SUM(c) AS g FROM counts GROUP BY bin
+), nt AS (
+  SELECT SUM(c) AS n_total FROM counts
+), grid AS (
+  SELECT st.slice, gl.bin, st.n_slice, gl.g, COALESCE(counts.c, 0) AS c
+  FROM st CROSS JOIN gl
+  LEFT JOIN counts ON counts.slice = st.slice AND counts.bin = gl.bin
+)
+SELECT slice AS source, CAST(MAX(n_slice) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(ABS(c / CAST(n_slice AS DOUBLE)
+                              - g / CAST(n_total AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))) AS DOUBLE) / 2 AS tv_distance
+FROM grid CROSS JOIN nt GROUP BY slice
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

@@ -2034,6 +2034,62 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.theta_overlap(docs).orderBy("source_a", "source_b")
 
 
+@query("x87_dsir_importance")
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance reweighting (operators/dsir): hashed bag-of-buckets
+    unigram models over target (lang='en') vs the raw corpus, per-doc
+    log-likelihood-ratio score. Bucket tables are bounded by n_buckets so
+    the model fit is two fixed-size hash aggs; scoring is one inverted
+    stream joined against the (tiny, AQE-broadcast) log-ratio table."""
+    from ..operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir.importance_scores(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1000
+    )
+
+
+@query("x88_session_concurrency")
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-binning (operators/intervals):
+    per-session count of other sessions whose active windows overlap.
+    The naive range join is a nested-loop cartesian; the binned plan is
+    a plain equi-join on the bin key (AQE-skew-splittable) with an exact
+    first-shared-bin dedup — no distinct over the pair stream."""
+    from ..operators import intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return intervals.session_concurrency(ev)
+
+
+@query("x89_fuzzy_join")
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-join (operators/fuzzy): all document
+    pairs within Levenshtein 3 on the normalized 64-char key, via the
+    exact q-gram bound (Gravano et al.) + rare-gram prefix filter
+    (AllPairs/PPJoin) + levenshtein verify on the survivors only.
+    q=10: the synthetic corpus draws from a tiny vocabulary, so short
+    grams are corpus-common; longer grams restore selectivity (375k
+    candidates vs 1.4M at q=5, same exact result — q is a pure
+    performance knob)."""
+    from ..operators import fuzzy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy.fuzzy_pairs(docs, max_dist=3, q=10, key_len=64)
+
+
+@query("x90_source_drift")
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram drift detection (operators/drift): per-source
+    total-variation distance between the source's n_chars histogram and
+    the whole-corpus histogram — one scan to (slice, bin) counts, all
+    distances computed on the reduced table."""
+    from ..operators import drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drift.histogram_drift(docs, "source", "n_chars", 50)
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order). Round 3 rotates the window so the
@@ -2090,9 +2146,15 @@ DRIVER_WINDOW: list[str] = [
     # pytest-oracle-checked at sf0.001).
     "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",
     "x85_repetition_stats", "x86_hashed_classifier",
-    "x59_tpch_q19",
-    "x60_tpch_q21", "x61_tpch_q22", "x62_tpch_q2", "x63_tpch_q9",
-    "x64_tpch_q11", "x65_tpch_q16", "x66_tpch_q20",
+    # round 4 second rotation: x87 (DSIR importance), x88 (binned
+    # interval-overlap join), x89 (blocked fuzzy join), x90 (histogram
+    # drift) take the slots of x59_tpch_q19 / x61_tpch_q22 /
+    # x64_tpch_q11 / x65_tpch_q16 (all driver-green in
+    # CORRECTNESS_r03.json, still pytest-oracle-checked at sf0.001).
+    "x87_dsir_importance", "x88_session_concurrency",
+    "x89_fuzzy_join", "x90_source_drift",
+    "x60_tpch_q21", "x62_tpch_q2", "x63_tpch_q9",
+    "x66_tpch_q20",
     "x67_chunk_documents", "x68_pack_sequences", "x69_mixture_sample",
     "x70_tpch_q21_onescan", "x71_table_profile", "x72_unigram_logprob",
     "x73_line_dedup", "x74_embedding_dup_clusters",

@@ -113,6 +113,10 @@ HEADLINE = [
     "x84_decontaminate",
     "x85_repetition_stats",
     "x86_hashed_classifier",
+    "x87_dsir_importance",
+    "x88_session_concurrency",
+    "x89_fuzzy_join",
+    "x90_source_drift",
 ]
 
 
@@ -126,9 +130,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
+    # Optional subset re-run (regression triage): comma-separated names.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         try:
 
@@ -153,6 +161,14 @@ def main() -> None:
             # still benefits from its own warm-up-built cache during its
             # timed runs.
             spark.catalog.clearCache()
+            # ...and drain ASYNC cleanup before the next query's timed
+            # window: unpersist is non-blocking and ContextCleaner frees
+            # shuffle/broadcast state on driver GC, so a cache-heavy
+            # query's teardown otherwise lands inside the NEXT query's
+            # runs (measured: x35 0.4s solo vs 2-6s when following x03 in
+            # the same session; GC + 1s settle restores the solo number).
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -1,0 +1,210 @@
+"""Semantics tests for the round-4 operators: blocked fuzzy join
+(operators/fuzzy), binned interval-overlap join (operators/intervals),
+DSIR importance reweighting (operators/dsir), and histogram drift
+(operators/drift). Oracle parity at sf0.001 is covered by
+test_queries_oracle; these pin the algorithmic invariants the SQL twin
+cannot express (exactness vs brute force, bin-edge behavior, model
+direction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- fuzzy join -----------------------------------------------------------
+
+def _brute_lev_pairs(rows, max_dist, key_len=64):
+    import re
+
+    def key(t):
+        return re.sub(r"\s+", " ", t.strip().lower())[:key_len]
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > max_dist * 4:  # speed guard only
+            pass
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    keyed = [(i, key(t)) for i, t in rows]
+    for x in range(len(keyed)):
+        for y in range(x + 1, len(keyed)):
+            (ia, ka), (ib, kb) = keyed[x], keyed[y]
+            a, b = min(ia, ib), max(ia, ib)
+            d = lev(ka, kb) if ia < ib else lev(kb, ka)
+            if d <= max_dist:
+                out.add((a, b, d))
+    return out
+
+
+FUZZY_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bonk"),  # 1 sub
+    (3, "the quick brown fox jumped over the lazy dog near the river ba"),  # insert+subs
+    (4, "a completely different document about spark physical planning"),
+    (5, "a completely different document about spark logical planning"),  # 4 subs > d
+    (6, "tiny doc"),          # short-key block
+    (7, "tiny dog"),          # short, dist 1 from 6
+    (8, "tiny documents"),    # short-ish, tests short x short boundary
+    (9, "x" * 30),
+    (10, "x" * 30 + "yy"),    # dist 2, repeated-gram multiset case
+    (11, ""),                 # empty key
+    (12, " "),                # whitespace-only -> empty key
+]
+
+
+def test_fuzzy_pairs_exact_vs_bruteforce(spark):
+    from azure_serverless_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(FUZZY_ROWS, "doc_id long, text string")
+    got = {
+        (r.a, r.b, r.dist)
+        for r in fuzzy_pairs(df, max_dist=3, q=5, key_len=64).collect()
+    }
+    want = _brute_lev_pairs(FUZZY_ROWS, max_dist=3)
+    assert got == want
+    # sanity: the designed positives/negatives landed
+    assert (1, 2, 1) in got
+    assert (6, 7, 1) in got
+    assert (9, 10, 2) in got
+    assert not any(a == 4 and b == 5 for a, b, _ in got) or (4, 5, 4) not in got
+
+
+def test_fuzzy_pairs_no_duplicate_pairs(spark):
+    from azure_serverless_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(FUZZY_ROWS, "doc_id long, text string")
+    out = fuzzy_pairs(df, max_dist=3, q=5, key_len=64)
+    n = out.count()
+    assert out.select("a", "b").distinct().count() == n
+
+
+# --- interval overlap -----------------------------------------------------
+
+US = 1_000_000
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_id long, start_us long, end_us long"
+    )
+
+
+def test_interval_overlap_exact_pairs(spark):
+    from azure_serverless_etl_pipeline_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    h = 3600 * US
+    rows = [
+        (1, 1, 0 * h, 2 * h),          # overlaps (2,1) and (3,1)
+        (2, 1, 1 * h, 3 * h),          # overlaps (1,1), (3,1)
+        (3, 1, int(1.5 * h), int(1.7 * h)),  # nested inside both
+        (4, 1, 2 * h, 3 * h),          # a.end == b.start: half-open, NO overlap w/ (1,1)
+        (5, 1, 10 * h, 11 * h),        # isolated
+        (6, 1, 0, 30 * 24 * h),        # month-long interval spanning many bins
+    ]
+    out = interval_overlap_pairs(_iv(spark, rows), bin_minutes=60)
+    got = {((r.a_user_id, r.a_session_id), (r.b_user_id, r.b_session_id)) for r in out.collect()}
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[2] < b[3] and b[2] < a[3]:
+                want.add(((a[0], a[1]), (b[0], b[1])))
+    assert got == want
+    assert (((1, 1), (4, 1)) not in got)  # half-open edge respected
+    # the long interval pairs with everything but the isolated one... check dup-free
+    assert len(got) == len(list(got))
+    assert out.count() == len(want)  # each pair exactly once despite shared bins
+
+
+def test_session_concurrency_matches_naive(spark):
+    from azure_serverless_etl_pipeline_spark.operators.intervals import (
+        session_concurrency,
+        sessions_with_timeout,
+    )
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = session_concurrency(ev).collect()
+    sess = sessions_with_timeout(ev).collect()
+    naive = {}
+    for s in sess:
+        c = sum(
+            1
+            for t in sess
+            if (t.user_id, t.session_id) != (s.user_id, s.session_id)
+            and s.start_us < t.end_us
+            and t.start_us < s.end_us
+        )
+        naive[(s.user_id, s.session_id)] = c
+    assert len(out) == len(sess)
+    for r in out:
+        assert r.n_concurrent == naive[(r.user_id, r.session_id)], (
+            r.user_id,
+            r.session_id,
+        )
+
+
+# --- DSIR importance ------------------------------------------------------
+
+def test_dsir_target_docs_score_higher(spark):
+    from azure_serverless_etl_pipeline_spark.operators import dsir
+
+    rows = [(i, "alpha beta gamma delta " * 5, "en") for i in range(20)] + [
+        (100 + i, "uno dos tres cuatro " * 5, "es") for i in range(20)
+    ] + [(999, "", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scores = dsir.importance_scores(
+        df, df.filter(F.col("lang") == "en"), n_buckets=101
+    )
+    got = {r.doc_id: (r.n_tokens, r.importance) for r in scores.collect()}
+    assert len(got) == 41
+    assert got[999] == (0, 0.0)  # zero-token doc present, scores 0
+    en = [got[i][1] for i in range(20)]
+    es = [got[100 + i][1] for i in range(20)]
+    assert min(en) > max(es)  # target-like docs strictly outrank
+
+
+def test_dsir_select_top_fraction_deterministic(spark):
+    from azure_serverless_etl_pipeline_spark.operators import dsir
+
+    rows = [(i, f"tok{i % 7} common word", "en" if i % 2 else "de") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scores = dsir.importance_scores(df, df.filter(F.col("lang") == "en"), n_buckets=53)
+    top = dsir.select_top_fraction(scores, 0.25)
+    ids1 = sorted(r.doc_id for r in top.collect())
+    ids2 = sorted(r.doc_id for r in dsir.select_top_fraction(scores, 0.25).collect())
+    assert ids1 == ids2
+    assert len(ids1) == 10
+
+
+# --- histogram drift ------------------------------------------------------
+
+def test_drift_identical_and_disjoint_slices(spark):
+    from azure_serverless_etl_pipeline_spark.operators.drift import histogram_drift
+
+    # two slices with the SAME histogram -> tv 0 for both; one disjoint
+    rows = (
+        [(i, "a", 10) for i in range(50)] + [(i, "a", 120) for i in range(50)]
+        + [(1000 + i, "b", 10) for i in range(50)] + [(1000 + i, "b", 120) for i in range(50)]
+        + [(2000 + i, "c", 900) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.source: r for r in histogram_drift(df).collect()}
+    assert out["a"].n_rows == 100 and out["c"].n_rows == 100
+    # a and b each: p_slice = (.5, .5, 0) vs global (1/3, 1/3, 1/3)
+    assert out["a"].tv_distance == pytest.approx(1 / 3, abs=1e-9)
+    assert out["b"].tv_distance == pytest.approx(1 / 3, abs=1e-9)
+    # c: (0, 0, 1) vs global -> tv = 2/3
+    assert out["c"].tv_distance == pytest.approx(2 / 3, abs=1e-9)
+    for r in out.values():
+        assert 0.0 <= r.tv_distance <= 1.0
