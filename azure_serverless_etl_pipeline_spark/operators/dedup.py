@@ -240,6 +240,114 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle CONTAINMENT >= threshold.
+
+    Containment = |A cap B| / min(|A|, |B|) — the asymmetric overlap
+    measure that catches a small document quoted/embedded inside a big
+    one, which symmetric Jaccard structurally misses (a 50-shingle doc
+    fully contained in a 5000-shingle doc has Jaccard 0.01 but
+    containment 1.0). Standard companion to Jaccard dedup in corpus
+    pipelines: boilerplate pages, quote-expansions, and partial scrapes
+    are containment relations, not near-equality.
+
+    Same inverted-index pair-count plan as ngram_jaccard_pairs (the
+    shingle table is computed once and cached; intersection sizes come
+    from the pair group-by — per-pair rows never carry arrays). With
+    ``max_shingle_freq`` set, frequent shingles are dropped from
+    candidate generation only and survivors are pruned with the SOUND
+    upper bound true_common <= n_cc + min(dropped_a, dropped_b) before
+    an exact array-intersect verify — identical cap semantics and recall
+    caveat as the Jaccard operator (dedup.py:96).
+    """
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle")).cache()
+
+    if max_shingle_freq is not None:
+        tagged = (
+            sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .withColumn("keep", F.col("df") <= max_shingle_freq)
+        )
+        drops = tagged.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("sz"),
+            (F.count(F.lit(1)) - F.sum(F.col("keep").cast("long"))).alias("dropped"),
+        )
+        capped = tagged.filter(F.col("keep")).select(id_col, "shingle")
+        a, b = capped.alias("a"), capped.alias("b")
+        inter_c = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_cc"))
+        )
+        da = drops.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
+            F.col("dropped").alias("drop_a"),
+        )
+        db = drops.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
+            F.col("dropped").alias("drop_b"),
+        )
+        ub = F.col("n_cc") + F.least(F.col("drop_a"), F.col("drop_b"))
+        cand = (
+            inter_c.join(da, "id_a")
+            .join(db, "id_b")
+            .filter(ub / F.least(F.col("sz_a"), F.col("sz_b")) >= threshold)
+            .select("id_a", "id_b")
+        )
+        sa2 = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb2 = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        return (
+            cand.join(sa2, "id_a")
+            .join(sb2, "id_b")
+            .withColumn(
+                "containment",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.least(F.size("sh_a"), F.size("sh_b")),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,

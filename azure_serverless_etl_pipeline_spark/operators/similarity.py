@@ -181,4 +181,50 @@ def ivf_topk(
     )
 
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_topk"]
+def margin_topk_match(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based best-match mining between two embedding sets.
+
+    The bitext-mining criterion (Artetxe & Schwenk, 2019, forward
+    direction): for every source vector, the best target by cosine plus
+    a margin score = cos(best) / mean(cos of the top-k neighbors). A
+    margin near 1 means the best match is no better than the local
+    neighborhood (unreliable alignment); mining keeps pairs above a
+    margin threshold. The standard tool for mining parallel documents
+    out of two monolingual corpora.
+
+    Plan shape: same broadcast-queries cross join as cosine_topk (the
+    source side is the small one; no corpus shuffle), one top-k window
+    per source, then a per-source aggregate over <= k rows. Determinism
+    contract: cosine rounded to 12 decimals BEFORE ranking (ties broken
+    by tgt_id), top-k mean summed as DECIMAL(38,12), margin rounded to
+    9 — bit-identical to the DuckDB twin.
+    """
+    q = _prepped(src, id_col, vec_col, "src_id", "q_vec")
+    c = _prepped(tgt, id_col, vec_col, "tgt_id", "c_vec")
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim", F.round(_cos_pair("q_vec", "c_vec"), 12)
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("tgt_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    best_tgt = F.max(F.when(F.col("rank") == 1, F.col("tgt_id")))
+    best_cos = F.max(F.when(F.col("rank") == 1, F.col("cos_sim")))
+    avg_k = (
+        F.sum(F.col("cos_sim").cast("decimal(38,12)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    return topk.groupBy("src_id").agg(
+        best_tgt.alias("tgt_id"),
+        best_cos.alias("cos_sim"),
+        F.round(best_cos / avg_k, 9).alias("margin"),
+    )
+
+
+__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_topk", "margin_topk_match"]

@@ -1632,6 +1632,53 @@ FROM grid CROSS JOIN nt GROUP BY slice
 """
 
 
+EXTRA_ORACLES["x91_bitext_margin"] = f"""
+WITH src AS (
+  SELECT e.vec_id AS src_id, e.embedding AS qv
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+), tgt AS (
+  SELECT e.vec_id AS tgt_id, e.embedding AS cv
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'es'
+), scored AS (
+  SELECT src_id, tgt_id, ROUND({_cos('qv', 'cv')}, 12) AS cos_sim
+  FROM src CROSS JOIN tgt
+), ranked AS (
+  SELECT src_id, tgt_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY src_id ORDER BY cos_sim DESC, tgt_id) AS INT) AS rank
+  FROM scored
+), topk AS (
+  SELECT * FROM ranked WHERE rank <= 4
+)
+SELECT src_id,
+       MAX(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_id,
+       MAX(CASE WHEN rank = 1 THEN cos_sim END) AS cos_sim,
+       ROUND(MAX(CASE WHEN rank = 1 THEN cos_sim END)
+             / (CAST(SUM(CAST(cos_sim AS DECIMAL(38,12))) AS DOUBLE)
+                / COUNT(*)), 9) AS margin
+FROM topk GROUP BY src_id
+"""
+
+
+EXTRA_ORACLES["x92_containment_pairs"] = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

@@ -2090,6 +2090,32 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.histogram_drift(docs, "source", "n_chars", 50)
 
 
+@query("x91_bitext_margin")
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.margin_topk_match): for
+    every English document's embedding, the best Spanish-document match
+    by cosine with the Artetxe-Schwenk margin score (best / mean of
+    top-4). Broadcast-source cross join — no corpus shuffle; per-source
+    aggregate over <= k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select("vec_id", "embedding", "lang")
+    src = joined.filter(F.col("lang") == "en").drop("lang")
+    tgt = joined.filter(F.col("lang") == "es").drop("lang")
+    return similarity.margin_topk_match(src, tgt, k=4)
+
+
+@query("x92_containment_pairs")
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment join (dedup.containment_pairs): pairs where
+    |A cap B| / min(|A|,|B|) >= 0.4 — catches small-doc-quoted-in-big
+    relations that symmetric Jaccard (x02) structurally misses. Same
+    cached inverted-index pair-count plan as x02; the capped variant's
+    sound upper-bound prune is pytest-covered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.4, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order). Round 3 rotates the window so the
@@ -2153,7 +2179,13 @@ DRIVER_WINDOW: list[str] = [
     # CORRECTNESS_r03.json, still pytest-oracle-checked at sf0.001).
     "x87_dsir_importance", "x88_session_concurrency",
     "x89_fuzzy_join", "x90_source_drift",
-    "x60_tpch_q21", "x62_tpch_q2", "x63_tpch_q9",
+    # round 4 third rotation: x91 (bitext margin mining) and x92
+    # (containment join) take the slots of x60_tpch_q21 / x62_tpch_q2
+    # (both driver-green in CORRECTNESS_r03.json, still pytest-oracle-
+    # checked at sf0.001; the deliberately-contrasting q21 variant
+    # x70_tpch_q21_onescan stays in the window).
+    "x91_bitext_margin", "x92_containment_pairs",
+    "x63_tpch_q9",
     "x66_tpch_q20",
     "x67_chunk_documents", "x68_pack_sequences", "x69_mixture_sample",
     "x70_tpch_q21_onescan", "x71_table_profile", "x72_unigram_logprob",

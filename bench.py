@@ -117,6 +117,8 @@ HEADLINE = [
     "x88_session_concurrency",
     "x89_fuzzy_join",
     "x90_source_drift",
+    "x91_bitext_margin",
+    "x92_containment_pairs",
 ]
 
 

@@ -208,3 +208,96 @@ def test_drift_identical_and_disjoint_slices(spark):
     assert out["c"].tv_distance == pytest.approx(2 / 3, abs=1e-9)
     for r in out.values():
         assert 0.0 <= r.tv_distance <= 1.0
+
+
+# --- bitext margin mining -------------------------------------------------
+
+def test_margin_topk_match_semantics(spark):
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        margin_topk_match,
+    )
+
+    # source 1 has a near-identical target (10) and unrelated others ->
+    # high margin; source 2 is equidistant from everything -> margin ~1
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (10, [0.99, 0.05, 0.0]),
+            (11, [0.0, 1.0, 0.0]),
+            (12, [0.0, 0.0, 1.0]),
+            (13, [0.0, 0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.src_id: r for r in margin_topk_match(src, tgt, k=3).collect()}
+    assert out[1].tgt_id == 10 and out[1].margin > 1.5
+    assert out[2].margin < 1.3
+    assert abs(out[1].cos_sim - 0.99 / (0.99**2 + 0.05**2) ** 0.5) < 1e-6
+
+
+def test_margin_every_source_matched_once(spark):
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        margin_topk_match,
+    )
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    src = emb.filter(F.col("vec_id") < 20)
+    tgt = emb.filter(F.col("vec_id") >= 20)
+    out = margin_topk_match(src, tgt, k=4).collect()
+    assert len(out) == 20
+    assert len({r.src_id for r in out}) == 20
+    for r in out:
+        assert r.margin >= 1.0  # best >= mean of top-k by construction
+
+
+# --- containment join -----------------------------------------------------
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment for r in containment_pairs(df, 0.9).collect()}
+    assert cont == {(1, 2): 1.0}  # small fully inside big
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any(r.id_a == 1 and r.id_b == 2 for r in jac)  # jaccard misses it
+
+
+def test_containment_capped_matches_uncapped(spark):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import containment_pairs
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.id_a, r.id_b, r.containment)
+        for r in containment_pairs(docs, threshold=0.4).collect()
+    }
+    # generous cap: nothing is actually dropped -> bit-identical output
+    capped = {
+        (r.id_a, r.id_b, r.containment)
+        for r in containment_pairs(docs, threshold=0.4, max_shingle_freq=10**6).collect()
+    }
+    assert exact == capped
+    # tight cap: sound upper bound means NO missing high-containment pair
+    # unless every shared shingle was ubiquitous; on this data assert the
+    # capped result is a subset with identical scores where present
+    tight = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, threshold=0.4, max_shingle_freq=5).collect()
+    }
+    exact_d = {(a, b): c for a, b, c in exact}
+    for k, v in tight.items():
+        assert exact_d[k] == v
