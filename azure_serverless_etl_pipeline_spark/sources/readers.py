@@ -59,3 +59,25 @@ def read_json_records(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw-text corpus reader (north-star extension, no reference analog).
+
+    Line mode: one row per line, column ``value`` — the shape a 100 TB
+    crawl dump arrives in (one document per line after WET extraction);
+    splittable, so parallelism follows file blocks. Whole-file mode
+    (wholetext): one row per FILE — required when documents contain
+    newlines; NOT splittable (one task per file), so at scale the input
+    must be many small-to-medium files, never one giant file.
+    """
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (predicate pushdown + column pruning verified in test_readers); the
+    interchange format when upstream warehouses emit ORC."""
+    return spark.read.orc(path)

@@ -279,3 +279,17 @@ def scd2_foreach_batch(
         staged.write.mode("overwrite").parquet(dim_path)
 
     return _apply
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — columnar interchange with ORC-native warehouses; same
+    partition-directory layout semantics as write_partitioned."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -208,3 +208,38 @@ def test_profile_approx_no_expand(spark, queries):
     assert approx.count("lineitem.parquet") == 1 and "Join" not in approx
     exact = plan_of(queries["x71_table_profile"](spark, SF_ORACLE))
     assert "Expand" in exact  # documents the trade the default avoids
+
+
+def test_drift_single_scan(spark, queries):
+    """x90: one corpus scan — every downstream frame derives from the
+    cached (slice, bin) counts, so exactly one parquet scan of documents
+    appears in the plan."""
+    plan = plan_of(queries["x90_source_drift"](spark, SF_ORACLE))
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    mem = plan.count("InMemoryTableScan") + plan.count("InMemoryRelation")
+    # the cache substitutes for re-scans: at most one real parquet scan
+    assert len(scans) <= 1 or mem > 0
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, queries):
+    """x88: the binned interval join must plan as a hash/merge equi-join
+    on the bin key — never BroadcastNestedLoopJoin / CartesianProduct
+    (the naive range-join physical plan AQE cannot optimize)."""
+    plan = plan_of(queries["x88_session_concurrency"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_no_cartesian(spark, queries):
+    """x89: candidate generation is the prefix equi-join; only the short
+    block may nested-loop, and on this data it is empty — the full plan
+    must not contain a cartesian of the corpus."""
+    plan = plan_of(queries["x89_fuzzy_join"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_joins_on_bucket(spark, queries):
+    """x87: the scoring pass joins the token stream to the bounded
+    log-ratio table — no corpus self-join, no cartesian."""
+    plan = plan_of(queries["x87_dsir_importance"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan

@@ -94,3 +94,52 @@ def test_testdata_schema_sentinel(spark):
     ), f"embeddings.embedding decoded as {el}"
     doc = load_table(spark, SF_ORACLE, "documents")
     assert isinstance(doc.schema["text"].dataType, T.StringType)
+
+
+def test_text_lines_and_wholetext(spark, tmp_path):
+    from azure_serverless_etl_pipeline_spark.sources.readers import read_text_lines
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("doc with\nembedded newline")
+    lines = read_text_lines(spark, str(d))
+    assert lines.columns == ["value"]
+    assert lines.count() == 4  # 2 + 2 lines
+    whole = read_text_lines(spark, str(d), whole_file=True)
+    vals = sorted(r.value for r in whole.collect())
+    assert len(vals) == 2
+    assert vals[0] == "doc with\nembedded newline"
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from azure_serverless_etl_pipeline_spark.sources.readers import read_orc
+    from azure_serverless_etl_pipeline_spark.sources.writers import write_orc
+    from tests.conftest import SF_SMOKE
+    import contextlib, io
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)
+    # pushdown + pruning reach the ORC scan exactly like parquet
+    q = back.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    sched = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in sched and "l_orderkey" in sched
+    # partitioned variant prunes directories
+    p2 = str(tmp_path / "li_orc_part")
+    write_orc(li.withColumn("rf", F.col("l_returnflag")), p2, partition_by=("rf",))
+    pr = read_orc(spark, p2).filter(F.col("rf") == "A")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pr.explain("formatted")
+    assert pr.count() > 0
