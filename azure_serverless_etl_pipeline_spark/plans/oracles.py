@@ -1679,6 +1679,51 @@ WHERE CAST(i.n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.4
 """
 
 
+EXTRA_ORACLES["x93_event_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+), t AS (
+  SELECT s1.user_id, t1, t2, t3
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+)
+SELECT 1 AS step_idx, 'signup' AS step, COUNT(t1) AS n_users,
+       CAST(NULL AS DOUBLE) AS avg_hours_from_prev FROM t
+UNION ALL
+SELECT 2, 'click', COUNT(t2),
+       CAST(SUM(CAST(ROUND((epoch_us(t2) - epoch_us(t1)) / 3.6e9, 6)
+                     AS DECIMAL(38,6))) AS DOUBLE) / COUNT(t2) FROM t
+UNION ALL
+SELECT 3, 'purchase', COUNT(t3),
+       CAST(SUM(CAST(ROUND((epoch_us(t3) - epoch_us(t2)) / 3.6e9, 6)
+                     AS DECIMAL(38,6))) AS DOUBLE) / COUNT(t3) FROM t
+"""
+
+
+EXTRA_ORACLES["x94_source_entropy"] = """
+WITH cnt AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT source, SUM(c) AS n_docs FROM cnt GROUP BY source
+)
+SELECT cnt.source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(CAST(ROUND(-(c / CAST(n_docs AS DOUBLE))
+                           * ln(c / CAST(n_docs AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))) AS DOUBLE) AS lang_entropy
+FROM cnt JOIN tot ON cnt.source = tot.source
+GROUP BY cnt.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

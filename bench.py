@@ -119,6 +119,8 @@ HEADLINE = [
     "x90_source_drift",
     "x91_bitext_margin",
     "x92_containment_pairs",
+    "x93_event_funnel",
+    "x94_source_entropy",
 ]
 
 

@@ -301,3 +301,43 @@ def test_containment_capped_matches_uncapped(spark):
     exact_d = {(a, b): c for a, b, c in exact}
     for k, v in tight.items():
         assert exact_d[k] == v
+
+
+# --- event funnel ---------------------------------------------------------
+
+def test_funnel_first_qualifying_semantics(spark):
+    from azure_serverless_etl_pipeline_spark.operators.funnel import (
+        funnel_summary,
+        funnel_times,
+    )
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full funnel in order
+        (1, "signup", T0), (1, "click", T0 + h), (1, "purchase", T0 + 2 * h),
+        # user 2: click BEFORE signup (must not count), no purchase
+        (2, "click", T0), (2, "signup", T0 + h),
+        # user 3: signup only
+        (3, "signup", T0),
+        # user 4: purchase before click (purchase after signup but before
+        # the qualifying click -> step 3 NOT reached)
+        (4, "signup", T0), (4, "purchase", T0 + h), (4, "click", T0 + 2 * h),
+        # user 5: never signed up -> not in funnel at all
+        (5, "click", T0), (5, "purchase", T0 + h),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    times = {r.user_id: r for r in funnel_times(ev, ["signup", "click", "purchase"]).collect()}
+    assert set(times) == {1, 2, 3, 4}
+    assert times[1].t3 is not None
+    assert times[2].t2 is None  # pre-signup click ignored
+    assert times[4].t2 is not None and times[4].t3 is None
+    out = {r.step: r for r in funnel_summary(ev, ["signup", "click", "purchase"]).collect()}
+    assert out["signup"].n_users == 4
+    assert out["click"].n_users == 2   # users 1 and 4
+    assert out["purchase"].n_users == 1  # user 1 only
+    assert out["signup"].avg_hours_from_prev is None
+    assert abs(out["purchase"].avg_hours_from_prev - 1.0) < 1e-9
