@@ -1553,7 +1553,7 @@ WITH tok AS (
   FROM j CROSS JOIN tot
 ), scored AS (
   SELECT b.doc_id, COUNT(*) AS n_tokens,
-         CAST(SUM(CAST(log_ratio AS DECIMAL(38,12))) AS DOUBLE) AS importance
+         CAST(CAST(SUM(CAST(log_ratio AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS importance
   FROM bt b JOIN lr USING (bucket) GROUP BY b.doc_id
 )
 SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
@@ -1625,9 +1625,9 @@ WITH binned AS (
   LEFT JOIN counts ON counts.slice = st.slice AND counts.bin = gl.bin
 )
 SELECT slice AS source, CAST(MAX(n_slice) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(ROUND(ABS(c / CAST(n_slice AS DOUBLE)
+       CAST(CAST(SUM(CAST(ROUND(ABS(c / CAST(n_slice AS DOUBLE)
                               - g / CAST(n_total AS DOUBLE)), 12)
-                     AS DECIMAL(38,12))) AS DOUBLE) / 2 AS tv_distance
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / 2 AS tv_distance
 FROM grid CROSS JOIN nt GROUP BY slice
 """
 
@@ -1656,7 +1656,7 @@ SELECT src_id,
        MAX(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_id,
        MAX(CASE WHEN rank = 1 THEN cos_sim END) AS cos_sim,
        ROUND(MAX(CASE WHEN rank = 1 THEN cos_sim END)
-             / (CAST(SUM(CAST(cos_sim AS DECIMAL(38,12))) AS DOUBLE)
+             / (CAST(CAST(SUM(CAST(cos_sim AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                 / COUNT(*)), 9) AS margin
 FROM topk GROUP BY src_id
 """
@@ -1699,12 +1699,12 @@ SELECT 1 AS step_idx, 'signup' AS step, COUNT(t1) AS n_users,
        CAST(NULL AS DOUBLE) AS avg_hours_from_prev FROM t
 UNION ALL
 SELECT 2, 'click', COUNT(t2),
-       CAST(SUM(CAST(ROUND((epoch_us(t2) - epoch_us(t1)) / 3.6e9, 6)
-                     AS DECIMAL(38,6))) AS DOUBLE) / COUNT(t2) FROM t
+       CAST(CAST(SUM(CAST(ROUND((epoch_us(t2) - epoch_us(t1)) / 3.6e9, 6)
+                     AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(t2) FROM t
 UNION ALL
 SELECT 3, 'purchase', COUNT(t3),
-       CAST(SUM(CAST(ROUND((epoch_us(t3) - epoch_us(t2)) / 3.6e9, 6)
-                     AS DECIMAL(38,6))) AS DOUBLE) / COUNT(t3) FROM t
+       CAST(CAST(SUM(CAST(ROUND((epoch_us(t3) - epoch_us(t2)) / 3.6e9, 6)
+                     AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(t3) FROM t
 """
 
 
@@ -1716,11 +1716,79 @@ WITH cnt AS (
 )
 SELECT cnt.source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_langs,
-       CAST(SUM(CAST(ROUND(-(c / CAST(n_docs AS DOUBLE))
+       CAST(CAST(SUM(CAST(ROUND(-(c / CAST(n_docs AS DOUBLE))
                            * ln(c / CAST(n_docs AS DOUBLE)), 12)
-                     AS DECIMAL(38,12))) AS DOUBLE) AS lang_entropy
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS lang_entropy
 FROM cnt JOIN tot ON cnt.source = tot.source
 GROUP BY cnt.source
+"""
+
+
+def _pagerank_sql(damping_pct: int = 85, iterations: int = 10) -> str:
+    """Generated twin of operators/graph.pagerank: SQL forbids aggregates
+    in recursive CTE terms, so the fixed iteration count is UNROLLED as
+    a pr0..prN CTE chain. Fixed-point BIGINT arithmetic (1e-12 units,
+    floor division) — the first double-based formulation differed from
+    Spark by exactly 1e-12 on ~1% of nodes because DuckDB ROUND scales
+    the double by 10^12 (lossy) while Spark rounds the exact decimal
+    expansion; integers have no boundary to disagree on."""
+    scale = 10**12
+    base = (100 - damping_pct) * scale // 100
+    head = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.25
+), edges0 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges0 GROUP BY src
+), edges AS (
+  SELECT e.src, e.dst, o.outdeg FROM edges0 e JOIN outdeg o ON e.src = o.src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges0
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), pr0 AS (
+  SELECT node, n, CAST({scale} AS BIGINT) // n AS r FROM nodes CROSS JOIN nn
+)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""", pr{i} AS (
+  SELECT e.dst AS node, p.n,
+         CAST(CAST({base} AS BIGINT) // p.n
+              + ({damping_pct} * SUM(p.r // e.outdeg)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN pr{i-1} p ON e.src = p.node
+  GROUP BY e.dst, p.n
+)""")
+    return head + "".join(steps) + f"""
+SELECT node AS vec_id, CAST(r AS DOUBLE) / {scale}.0 AS pagerank FROM pr{iterations}
+"""
+
+
+EXTRA_ORACLES["x96_pagerank"] = _pagerank_sql()
+
+
+EXTRA_ORACLES["x95_event_transitions"] = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, next_type FROM seq WHERE prev_type IS NOT NULL
+), cnt AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM pairs
+  GROUP BY prev_type, next_type
+), tot AS (
+  SELECT prev_type, SUM(n) AS n_from FROM cnt GROUP BY prev_type
+)
+SELECT cnt.prev_type, cnt.next_type, cnt.n,
+       ROUND(cnt.n / CAST(n_from AS DOUBLE), 12) AS p
+FROM cnt JOIN tot ON cnt.prev_type = tot.prev_type
 """
 
 

@@ -121,6 +121,8 @@ HEADLINE = [
     "x92_containment_pairs",
     "x93_event_funnel",
     "x94_source_entropy",
+    "x95_event_transitions",
+    "x96_pagerank",
 ]
 
 

@@ -341,3 +341,33 @@ def test_funnel_first_qualifying_semantics(spark):
     assert out["purchase"].n_users == 1  # user 1 only
     assert out["signup"].avg_hours_from_prev is None
     assert abs(out["purchase"].avg_hours_from_prev - 1.0) < 1e-9
+
+
+# --- pagerank -------------------------------------------------------------
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    from azure_serverless_etl_pipeline_spark.operators.graph import pagerank, SCALE
+
+    # star graph: hub 1 connected to 2,3,4; plus isolated pair 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.node: r.pagerank for r in pagerank(pairs, 85, 10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # hub dominates its satellites; symmetric pair equal
+    assert out[1] > out[2] == out[3] == out[4]
+    assert out[5] == out[6]
+
+    # pure-python reference with the IDENTICAL fixed-point rules
+    edges = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1], 5: [6], 6: [5]}
+    outdeg = {k: len(v) for k, v in edges.items()}
+    n = 6
+    r = {v: SCALE // n for v in edges}
+    for _ in range(10):
+        contrib = {v: 0 for v in edges}
+        for u, vs in edges.items():
+            for v in vs:
+                contrib[v] += r[u] // outdeg[u]
+        r = {v: 15 * SCALE // 100 // n + (85 * c) // 100 for v, c in contrib.items()}
+    for v in edges:
+        assert out[v] == r[v] / SCALE, v
