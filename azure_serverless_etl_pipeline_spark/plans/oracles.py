@@ -1772,6 +1772,42 @@ SELECT node AS vec_id, CAST(r AS DOUBLE) / {scale}.0 AS pagerank FROM pr{iterati
 EXTRA_ORACLES["x96_pagerank"] = _pagerank_sql()
 
 
+EXTRA_ORACLES["x97_contrastive_triplets"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS positive, a.label AS cell,
+         ROUND({_cos('a.embedding', 'b.embedding')}, 12) AS cos_pos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.25
+), ranked AS (
+  SELECT anchor, positive, cell, cos_pos,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY anchor, positive) AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS n_pairs
+  FROM pairs
+), base AS (
+  SELECT *, (rn % n_pairs) + 1 AS idx1, ((rn + 1) % n_pairs) + 1 AS idx2
+  FROM ranked
+), picked AS (
+  SELECT b.anchor, b.positive, b.cell, b.cos_pos,
+         CASE WHEN j1.positive <> b.anchor AND j1.positive <> b.positive
+                THEN j1.positive
+              WHEN j2.positive <> b.anchor AND j2.positive <> b.positive
+                THEN j2.positive
+         END AS negative
+  FROM base b
+  JOIN ranked j1 ON j1.cell = b.cell AND j1.rn = b.idx1
+  JOIN ranked j2 ON j2.cell = b.cell AND j2.rn = b.idx2
+)
+SELECT p.anchor, p.positive, p.negative, p.cell, p.cos_pos,
+       ROUND({_cos('av.embedding', 'nv.embedding')}, 12) AS cos_neg
+FROM picked p
+JOIN embeddings av ON av.vec_id = p.anchor
+JOIN embeddings nv ON nv.vec_id = p.negative
+WHERE p.negative IS NOT NULL
+"""
+
+
 EXTRA_ORACLES["x95_event_transitions"] = """
 WITH seq AS (
   SELECT lag(event_type) OVER (

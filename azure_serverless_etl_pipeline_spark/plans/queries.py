@@ -2153,6 +2153,21 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x97_contrastive_triplets")
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (operators/contrastive): near-dup pairs
+    become (anchor, positive, hard-negative) training triplets, negatives
+    circular-shifted within the coarse cell (deterministic — the triplet
+    set is stable across reruns/engines). cos_pos/cos_neg travel with
+    the triplet for margin-based curricula."""
+    from ..operators import contrastive
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup(emb, threshold=0.25, block_col="label")
+    out = contrastive.mine_triplets(pairs, emb)
+    return out.withColumn("cos_pos", F.round("cos_pos", 12))
+
+
 @query("x96_pagerank")
 def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (operators/graph):

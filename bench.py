@@ -123,6 +123,7 @@ HEADLINE = [
     "x94_source_entropy",
     "x95_event_transitions",
     "x96_pagerank",
+    "x97_contrastive_triplets",
 ]
 
 

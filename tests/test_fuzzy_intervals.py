@@ -371,3 +371,29 @@ def test_pagerank_fixed_point_matches_reference(spark):
         r = {v: 15 * SCALE // 100 // n + (85 * c) // 100 for v, c in contrib.items()}
     for v in edges:
         assert out[v] == r[v] / SCALE, v
+
+
+# --- contrastive triplets -------------------------------------------------
+
+def test_contrastive_triplets_invariants(spark):
+    from azure_serverless_etl_pipeline_spark.operators import contrastive, dedup
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = dedup.embedding_near_dup(emb, threshold=0.25, block_col="label")
+    out = contrastive.mine_triplets(pairs, emb).collect()
+    n_pairs = pairs.count()
+    assert 0 < len(out) <= n_pairs
+    valid_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    cells = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        # negative is a real corpus member, same cell (HARD), never
+        # anchor/positive
+        assert r.negative in valid_ids
+        assert r.negative != r.anchor and r.negative != r.positive
+        assert cells[r.negative] == r.cell == cells[r.anchor]
+    # deterministic: second run bit-identical
+    again = contrastive.mine_triplets(pairs, emb).collect()
+    key = lambda r: (r.anchor, r.positive, r.negative, r.cos_pos, r.cos_neg)
+    assert sorted(map(key, out)) == sorted(map(key, again))
