@@ -248,3 +248,79 @@ def enrich_stream(
     d = F.broadcast(dim) if broadcast_dim else dim
     keys = [on] if isinstance(on, str) else list(on)
     return stream.join(d, keys, how)
+
+
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("step_reached", T.IntegerType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("steps_reached", T.IntegerType()),
+        T.StructField("funnel_complete", T.BooleanType()),
+    ]
+)
+
+
+def _make_funnel(steps: list[str]):
+    n_steps = len(steps)
+
+    def _advance(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        """Per-user funnel state machine: (step_reached, ts of that step).
+        Each micro-batch replays the user's new events in (ts, event_id)
+        order and advances through the step list with the same
+        first-qualifying-time rule as the batch operator
+        (operators/funnel.funnel_times): step i+1 needs an event of that
+        type STRICTLY after step i's time."""
+        step, last_us = state.get if state.exists else (0, -1)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        # robust to pandas returning datetime64[ns] or [us]
+        ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for et, t in zip(batch["event_type"], ts_us):
+            if step >= n_steps:
+                break
+            if et == steps[step] and (step == 0 or t > last_us):
+                step += 1
+                last_us = int(t)
+        state.update((int(step), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "steps_reached": [int(step)],
+                "funnel_complete": [step >= n_steps],
+            }
+        )
+
+    return _advance
+
+
+def funnel_stream(stream: DataFrame, steps: list[str]) -> DataFrame:
+    """Streaming event funnel — the applyInPandasWithState twin of
+    operators/funnel (x93). State per user is two scalars (step index +
+    its event time), so the store is O(|users|) regardless of event
+    volume — the property that lets the funnel run continuously over an
+    unbounded stream. Semantics match the batch operator when each
+    user's events arrive time-ordered ACROSS micro-batches (within a
+    batch, arbitrary order is fine — the batch is re-sorted); a late
+    event that would have advanced an already-passed step is dropped,
+    the standard streaming-funnel trade documented here rather than
+    hidden. Emitted rows are per-user progress updates; aggregate
+    per-step counts downstream (or in the sink) as they are monotone.
+    """
+    prepped = ensure_event_time(stream, "ts")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _make_funnel(list(steps)),
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4,6 +4,7 @@ streaming source dir) with availableNow + memory sink."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -351,3 +352,48 @@ def test_enrich_stream_matches_batch_join(spark, event_source, tmp_path):
     w = want.sort_values(key, ignore_index=True)
     assert g["tier"].isna().sum() == w["tier"].isna().sum() > 0
     assert (g["tier"].fillna("-") == w["tier"].fillna("-")).all()
+
+
+def test_funnel_stream_matches_batch(spark, event_source, tmp_path):
+    """Streaming funnel (applyInPandasWithState) vs the batch operator on
+    the same events: per-user steps_reached must agree (events are
+    delivered in one availableNow pass, so the in-order assumption
+    holds), and the per-step reached counts must reproduce x93."""
+    from azure_serverless_etl_pipeline_spark.operators.funnel import funnel_times
+    from azure_serverless_etl_pipeline_spark.streaming.event_stream import (
+        funnel_stream,
+    )
+
+    path, schema, ev = event_source
+    steps = ["signup", "click", "purchase"]
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, max(steps_reached) AS steps_reached FROM funnel_out GROUP BY user_id"
+    ).toPandas()
+
+    bt = funnel_times(ev, steps).toPandas()
+    want = {}
+    for _, r in bt.iterrows():
+        n = 0
+        for i in range(1, len(steps) + 1):
+            if pd.notna(r[f"t{i}"]):
+                n = i
+        want[r["user_id"]] = n
+    got_map = dict(zip(got["user_id"], got["steps_reached"]))
+    # users with zero signups never enter the batch frame but DO get a
+    # streaming state row with steps_reached=0
+    for u, n in want.items():
+        assert got_map.get(u, 0) == n, (u, got_map.get(u), n)
+    for u, n in got_map.items():
+        if u not in want:
+            assert n == 0
