@@ -114,3 +114,93 @@ def theta_overlap(
             ).alias("approx_shared_shingles"),
         )
     )
+
+
+def daily_top_items(
+    events: DataFrame,
+    m: int = 20,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Mergeable frequent-items summary: per-day exact top-m + threshold.
+
+    The deterministic counterpart of a Misra-Gries/SpaceSaving sketch:
+    each day keeps its m highest-count items (exact counts) plus the
+    day's threshold t = the m-th kept count — any item ABSENT from the
+    day's summary provably had count <= t that day. The (day, item,
+    cnt) + (day, t) pair is the state you persist; coarser rollups
+    merge summaries with sound error bounds and never rescan raw data.
+    Integer arithmetic end-to-end, so the whole pipeline is bit-exact
+    and oracle-checkable — unlike CMS/SpaceSaving, whose estimates are
+    hash-dependent.
+
+    Returns (day, item, cnt, rnk, t_day). Rank ties break by item id
+    (deterministic); days with < m items get t_day = 0 (nothing was
+    dropped, bounds are exact).
+    """
+    from pyspark.sql import Window as W
+
+    day = F.to_date(ts_col).alias("day")
+    counts = events.groupBy(day, F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("day").orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= m
+    )
+    thresholds = ranked.groupBy("day").agg(
+        # m-th kept count if the day filled all m slots, else 0
+        F.when(F.max("rnk") >= m, F.min("cnt")).otherwise(F.lit(0)).alias("t_day")
+    )
+    return ranked.join(thresholds, "day")
+
+
+def weekly_top_items(daily_top: DataFrame, k: int = 10) -> DataFrame:
+    """Merge daily top-m summaries into weekly top-k with error bounds.
+
+    For each (week, item): est = sum of its OBSERVED daily counts
+    (a lower bound on the true weekly count); ub = est + the sum of
+    t_day over the week's days where the item was absent (it can have
+    hidden at most t_day occurrences under each such day's threshold).
+    ``guaranteed`` marks items whose lower bound beats every unreported
+    item's possible count (total week threshold mass) — the soundness
+    statement a consumer needs before trusting the leaderboard.
+    """
+    from pyspark.sql import Window as W
+
+    week = F.date_trunc("week", F.col("day").cast("timestamp")).alias("week")
+    per_item = daily_top.groupBy(week, F.col("item")).agg(
+        F.sum("cnt").alias("est"),
+        F.sum("t_day").alias("present_t"),
+    )
+    week_t = (
+        daily_top.select(
+            F.date_trunc("week", F.col("day").cast("timestamp")).alias("week"),
+            "day",
+            "t_day",
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.sum("t_day").alias("total_t"))
+    )
+    joined = per_item.join(week_t, "week").select(
+        "week",
+        "item",
+        "est",
+        (F.col("est") + F.col("total_t") - F.col("present_t")).alias("ub"),
+        "total_t",
+    )
+    w = W.partitionBy("week").orderBy(F.desc("est"), F.asc("item"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "week",
+            "item",
+            F.col("est").cast("long").alias("est"),
+            F.col("ub").cast("long").alias("ub"),
+            F.col("rnk").cast("int").alias("rnk"),
+            # an unreported item's weekly count is <= total_t
+            (F.col("est") >= F.col("total_t")).alias("guaranteed"),
+        )
+    )

@@ -1772,6 +1772,49 @@ SELECT node AS vec_id, CAST(r AS DOUBLE) / {scale}.0 AS pagerank FROM pr{iterati
 EXTRA_ORACLES["x96_pagerank"] = _pagerank_sql()
 
 
+EXTRA_ORACLES["x98_mergeable_topk"] = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day, user_id AS item, COUNT(*) AS cnt
+  FROM events GROUP BY CAST(ts AS DATE), user_id
+), ranked AS (
+  SELECT day, item, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY day ORDER BY cnt DESC, item) AS INT) AS rnk
+  FROM counts
+), kept AS (
+  SELECT * FROM ranked WHERE rnk <= 20
+), thr AS (
+  SELECT day, CASE WHEN MAX(rnk) >= 20 THEN MIN(cnt) ELSE 0 END AS t_day
+  FROM kept GROUP BY day
+), daily AS (
+  SELECT k.day, k.item, k.cnt, k.rnk, t.t_day FROM kept k JOIN thr t USING (day)
+), per_item AS (
+  SELECT date_trunc('week', CAST(day AS TIMESTAMP)) AS week, item,
+         SUM(cnt) AS est, SUM(t_day) AS present_t
+  FROM daily GROUP BY date_trunc('week', CAST(day AS TIMESTAMP)), item
+), week_t AS (
+  SELECT week, SUM(t_day) AS total_t FROM (
+    SELECT DISTINCT date_trunc('week', CAST(day AS TIMESTAMP)) AS week,
+           day, t_day
+    FROM daily
+  ) GROUP BY week
+), j AS (
+  SELECT p.week, p.item, p.est, p.est + w.total_t - p.present_t AS ub,
+         w.total_t
+  FROM per_item p JOIN week_t w USING (week)
+), r AS (
+  SELECT week, item, est, ub, total_t,
+         CAST(row_number() OVER (
+           PARTITION BY week ORDER BY est DESC, item) AS INT) AS rnk
+  FROM j
+)
+SELECT CAST(week AS TIMESTAMP) AS week, item,
+       CAST(est AS BIGINT) AS est, CAST(ub AS BIGINT) AS ub,
+       rnk, est >= total_t AS guaranteed
+FROM r WHERE rnk <= 10
+"""
+
+
 EXTRA_ORACLES["x97_contrastive_triplets"] = f"""
 WITH pairs AS (
   SELECT a.vec_id AS anchor, b.vec_id AS positive, a.label AS cell,

@@ -2153,6 +2153,19 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x98_mergeable_topk")
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items rollup (sketches.daily_top_items ->
+    weekly_top_items): per-day exact top-20 + threshold summaries merged
+    to weekly top-10 with sound error bounds — the deterministic
+    (bit-exact-checkable) counterpart of a SpaceSaving/CMS rollup; the
+    raw events are scanned exactly once."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.weekly_top_items(sketches.daily_top_items(ev, m=20), k=10)
+
+
 @query("x97_contrastive_triplets")
 def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplet mining (operators/contrastive): near-dup pairs

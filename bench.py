@@ -124,6 +124,7 @@ HEADLINE = [
     "x95_event_transitions",
     "x96_pagerank",
     "x97_contrastive_triplets",
+    "x98_mergeable_topk",
 ]
 
 

@@ -82,3 +82,37 @@ def test_theta_overlap_vs_exact(spark):
     assert set(exact) <= set(est)
     for pair, n in exact.items():
         assert abs(est[pair] - n) <= max(0.05 * n, 2.0), (pair, est[pair], n)
+
+
+def test_mergeable_topk_bounds_sound(spark):
+    """daily_top_items -> weekly_top_items: est must LOWER-bound and ub
+    UPPER-bound the true weekly count for every reported item, and
+    `guaranteed` items must truly outrank every unreported item."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import sketches
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = sketches.weekly_top_items(sketches.daily_top_items(ev, m=5), k=10).collect()
+    truth = {
+        (r.week, r.item): r.true_cnt
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week"),
+            F.col("user_id").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .collect()
+    }
+    per_week_max_unreported = {}
+    reported = {(r.week, r.item) for r in out}
+    for (wk, it), cnt in truth.items():
+        if (wk, it) not in reported:
+            per_week_max_unreported[wk] = max(per_week_max_unreported.get(wk, 0), cnt)
+    assert out
+    for r in out:
+        t = truth[(r.week, r.item)]
+        assert r.est <= t <= r.ub, (r, t)
+        if r.guaranteed:
+            assert t >= per_week_max_unreported.get(r.week, 0)
