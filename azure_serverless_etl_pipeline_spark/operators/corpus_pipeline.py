@@ -69,3 +69,46 @@ def run_corpus_pipeline(
         .start()
     )
     q.awaitTermination(300)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    target: DataFrame,
+    keep_fraction: float = 0.5,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full batch training-data prep chain as ONE lazy plan:
+
+        quality gate (x46 rules) -> exact dedup (x01, min-id keeps)
+        -> benchmark decontamination (x84) -> DSIR top-fraction
+        selection against the target corpus (x87) -> fixed-budget
+        chunking (x67)
+
+    Every stage is an operator this engine ships individually, composed
+    here without materialization barriers: Catalyst sees the whole
+    chain, so column pruning flows through (the dedup/decontam stages
+    read only id+text), and nothing is collected until the caller acts.
+    The one intentional cache is inside the DSIR model fit (bounded
+    bucket table). Returns the chunked frame (id, chunk_id, chunk_text,
+    n_tokens per chunk) ready for packing (x68) or writing.
+
+    Stage-equivalence (the composition equals applying the stages one at
+    a time) is pytest-asserted, which is what makes refactoring the
+    chain safe.
+    """
+    from . import decontam, dsir
+    from .dedup import exact_dedup
+    from .packing import chunk_documents
+
+    gated = quality_gate(docs, text_col)
+    # exact dedup keeps the min-id representative per distinct text
+    reps = exact_dedup(gated, text_col, id_col).select(id_col, text_col)
+    clean = decontam.decontaminate(reps, eval_df, n=5, id_col=id_col, text_col=text_col)
+    scores = dsir.importance_scores(clean, target, n_buckets=1000,
+                                    id_col=id_col, text_col=text_col)
+    picked = dsir.select_top_fraction(scores, keep_fraction, id_col=id_col)
+    selected = clean.join(picked.select(id_col), id_col)
+    return chunk_documents(selected, chunk_tokens=chunk_tokens)

@@ -2153,6 +2153,25 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x99_corpus_prep")
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full batch training-data prep chain as one lazy plan
+    (operators/corpus_pipeline.prepare_training_corpus): quality gate ->
+    exact dedup -> decontamination vs the eval slice -> DSIR top-50%
+    selection toward English -> fixed-budget chunking. Rows-only driver
+    check (the composed oracle would be the concatenation of five
+    already-verified oracles); stage-equivalence pytest-asserted."""
+    from ..operators.corpus_pipeline import prepare_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_training_corpus(
+        docs,
+        eval_df=docs.filter(F.col("doc_id") % 10 == 0),
+        target=docs.filter(F.col("lang") == "en"),
+        keep_fraction=0.5,
+    ).orderBy("doc_id", "chunk_id")
+
+
 @query("x98_mergeable_topk")
 def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable frequent-items rollup (sketches.daily_top_items ->

@@ -125,6 +125,7 @@ HEADLINE = [
     "x96_pagerank",
     "x97_contrastive_triplets",
     "x98_mergeable_topk",
+    "x99_corpus_prep",
 ]
 
 

@@ -95,3 +95,37 @@ def test_pipeline_split_stable_vs_direct(spark, arrivals, tmp_path):
     merged = got.join(direct, "doc_id")
     assert merged.count() == got.count()
     assert merged.filter(F.col("split") != F.col("split_d")).count() == 0
+
+
+def test_prepare_training_corpus_stage_equivalence(spark):
+    """The composed x99 plan must equal applying the five stages one at a
+    time — the refactoring-safety contract for the pipeline."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import decontam, dsir
+    from azure_serverless_etl_pipeline_spark.operators.corpus_pipeline import (
+        prepare_training_corpus,
+        quality_gate,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.dedup import exact_dedup
+    from azure_serverless_etl_pipeline_spark.operators.packing import chunk_documents
+    from azure_serverless_etl_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tgt = docs.filter(F.col("lang") == "en")
+
+    got = prepare_training_corpus(docs, ev, tgt, keep_fraction=0.5).collect()
+
+    g = quality_gate(docs)
+    r = exact_dedup(g).select("doc_id", "text")
+    c = decontam.decontaminate(r, ev, n=5)
+    s = dsir.importance_scores(c, tgt, n_buckets=1000)
+    p = dsir.select_top_fraction(s, 0.5)
+    sel = c.join(p.select("doc_id"), "doc_id")
+    want = chunk_documents(sel, chunk_tokens=64).collect()
+
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
