@@ -243,3 +243,12 @@ def test_dsir_scoring_joins_on_bucket(spark, queries):
     log-ratio table — no corpus self-join, no cartesian."""
     plan = plan_of(queries["x87_dsir_importance"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_prep_one_plan_no_cartesian(spark, queries):
+    """x99: the five-stage composition must stay one lazy plan — no
+    cartesian anywhere, and the doc scan must not read columns the chain
+    never uses (lang/source are only read by the eval/target slices)."""
+    plan = plan_of(queries["x99_corpus_prep"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" in plan
