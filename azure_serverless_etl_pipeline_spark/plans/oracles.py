@@ -1772,6 +1772,17 @@ SELECT node AS vec_id, CAST(r AS DOUBLE) / {scale}.0 AS pagerank FROM pr{iterati
 EXTRA_ORACLES["x96_pagerank"] = _pagerank_sql()
 
 
+EXTRA_ORACLES["x100_time_range_window"] = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                       AS VARCHAR) AS DOUBLE), 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 EXTRA_ORACLES["x98_mergeable_topk"] = """
 WITH counts AS (
   SELECT CAST(ts AS DATE) AS day, user_id AS item, COUNT(*) AS cnt

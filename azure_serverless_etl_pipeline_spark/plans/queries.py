@@ -2153,6 +2153,36 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x100_time_range_window")
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window (the frame type x16's ROWS suite lacks):
+    per event, the count and decimal-exact sum of the same user's events
+    in the closed interval [ts - 1h, ts] — ordered by the TIME VALUE, so
+    the frame holds however many events fall in the hour (a ROWS frame
+    cannot express this). Per-user partitioning keeps the window
+    distributed; at 100 TB the same frame runs on the sessionize
+    layout."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    us = F.unix_micros(ts)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 4
+        ).alias("sum_1h"),
+    )
+
+
 @query("x99_corpus_prep")
 def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full batch training-data prep chain as one lazy plan

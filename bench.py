@@ -126,6 +126,7 @@ HEADLINE = [
     "x97_contrastive_triplets",
     "x98_mergeable_topk",
     "x99_corpus_prep",
+    "x100_time_range_window",
 ]
 
 
