@@ -1772,6 +1772,29 @@ SELECT node AS vec_id, CAST(r AS DOUBLE) / {scale}.0 AS pagerank FROM pr{iterati
 EXTRA_ORACLES["x96_pagerank"] = _pagerank_sql()
 
 
+EXTRA_ORACLES["x101_cohort_retention"] = """
+WITH fs AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT e.user_id, fs.cohort_week,
+         CAST(FLOOR((epoch_us(date_trunc('week', e.ts))
+                     - epoch_us(fs.cohort_week))
+                    / 604800000000.0) AS INT) AS weeks_since
+  FROM events e JOIN fs USING (user_id)
+), active AS (
+  SELECT cohort_week, weeks_since, COUNT(DISTINCT user_id) AS n_active
+  FROM j GROUP BY cohort_week, weeks_since
+), cs AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM fs GROUP BY cohort_week
+)
+SELECT CAST(a.cohort_week AS TIMESTAMP) AS cohort_week, a.weeks_since,
+       a.n_active, cs.cohort_size,
+       ROUND(a.n_active / CAST(cs.cohort_size AS DOUBLE), 12) AS retained_pct
+FROM active a JOIN cs USING (cohort_week)
+"""
+
+
 EXTRA_ORACLES["x100_time_range_window"] = """
 SELECT user_id, event_id, ts,
        COUNT(*) OVER w AS n_1h,

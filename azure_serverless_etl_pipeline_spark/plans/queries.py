@@ -2153,6 +2153,44 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x101_cohort_retention")
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, then
+    for every (cohort_week, weeks_since) the distinct users still active
+    and the retained fraction of the cohort. Two user-keyed aggregates +
+    one broadcastable cohort-size join — the analytics twin of x50's
+    adoption curve, completing the funnel/retention/adoption trio."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity with x50 style)
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    wk = F.date_trunc("week", ts)
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    joined = ev.join(first_seen, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            (F.unix_micros(wk) - F.unix_micros(F.col("cohort_week")))
+            / (7 * 24 * 3600 * 1_000_000)
+        ).cast("int").alias("weeks_since"),
+    )
+    active = joined.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return active.join(cohort_size, "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 12
+        ).alias("retained_pct"),
+    )
+
+
 @query("x100_time_range_window")
 def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE window (the frame type x16's ROWS suite lacks):

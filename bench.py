@@ -127,6 +127,7 @@ HEADLINE = [
     "x98_mergeable_topk",
     "x99_corpus_prep",
     "x100_time_range_window",
+    "x101_cohort_retention",
 ]
 
 
