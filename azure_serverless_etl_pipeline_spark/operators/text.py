@@ -102,12 +102,15 @@ def quality_score(
     id_col: str = "doc_id",
     target_len: int = 500,
     threshold: float = 0.5,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Heuristic quality score in [0,1]: content-word share + length score.
 
     score = 0.5*(1 - stopword_ratio) + 0.5*min(n_chars/target_len, 1).
     Mirrors the classic pre-training quality filters (length, stopword
-    density); deterministic and oracle-exact.
+    density); deterministic and oracle-exact. ``extra_cols`` pass through
+    unchanged (avoids a re-join when the caller needs grouping columns,
+    e.g. x103's per-source calibration).
     """
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
@@ -116,6 +119,7 @@ def quality_score(
     score = F.lit(0.5) * (F.lit(1.0) - stop_ratio) + F.lit(0.5) * len_score
     return df.select(
         F.col(id_col),
+        *extra_cols,
         F.round(score, 6).alias("quality"),
         (score >= F.lit(threshold)).alias("is_high_quality"),
     )

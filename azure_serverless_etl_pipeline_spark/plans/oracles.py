@@ -1905,6 +1905,46 @@ FROM cnt JOIN tot ON cnt.prev_type = tot.prev_type
 """
 
 
+EXTRA_ORACLES["x102_temperature_mixture"] = """
+WITH cnt AS (
+  SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang
+), tot AS (SELECT SUM(n_docs) AS n_total FROM cnt),
+p AS (
+  SELECT source, lang, n_docs,
+         n_docs / CAST(n_total AS DOUBLE) AS p,
+         ROUND(POWER(n_docs / CAST(n_total AS DOUBLE), 0.7), 12) AS p_alpha
+  FROM cnt, tot
+), z AS (SELECT SUM(CAST(p_alpha AS DECIMAL(38,12))) AS z FROM p)
+SELECT source, lang, n_docs,
+       ROUND(p, 12) AS p,
+       ROUND(p_alpha / CAST(z AS DOUBLE), 12) AS q,
+       ROUND(10000 * p_alpha / CAST(z AS DOUBLE), 6) AS target_n,
+       ROUND(LEAST(1.0, 10000 * p_alpha / CAST(z AS DOUBLE) / n_docs),
+             12) AS keep_rate
+FROM p, z
+"""
+
+
+EXTRA_ORACLES["x103_quality_calibration"] = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKENS.format(t='text')} AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         ROUND(0.5 * (1.0 - CAST(len(list_filter(toks,
+                 x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks))
+               + 0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0),
+               6) AS quality
+  FROM t
+)
+SELECT doc_id, source, quality,
+       ROUND(percent_rank() OVER w, 12) AS calib_pct,
+       LEAST(CAST(FLOOR(percent_rank() OVER w * 10) AS INT), 9)
+         AS calib_bucket
+FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

@@ -2310,6 +2310,88 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x102_temperature_mixture")
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights over (source, lang) strata —
+    the multilingual-LM sampling rule (q_s ∝ p_s^α, α=0.7): upweights
+    tail strata without letting any head stratum dominate. One scan to
+    stratum counts; every later step runs on the |sources|×|langs|
+    summary frame (KB-scale — the two global "joins" are
+    broadcast-trivial by construction). Output per stratum: raw share p,
+    tempered share q, target doc count for a 10k-doc budget, and the
+    capped keep rate — exactly the table a mixture_sample (x69) run
+    would consume. Term sums follow the x94 decimal pattern so the
+    oracle hash is FP-order-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha, budget = 0.7, 10_000
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.sum("n_docs").alias("n_total"),
+    )
+    with_p = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_docs") / F.col("n_total").cast("double")
+    )
+    with_pow = with_p.withColumn(
+        "p_alpha", F.round(F.pow(F.col("p"), F.lit(alpha)), 12)
+    )
+    z = with_pow.agg(
+        F.sum(F.col("p_alpha").cast("decimal(38,12)")).alias("z")
+    )
+    return (
+        with_pow.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.round("p", 12).alias("p"),
+            F.round(
+                F.col("p_alpha") / F.col("z").cast("double"), 12
+            ).alias("q"),
+            F.round(
+                F.lit(budget) * F.col("p_alpha") / F.col("z").cast("double"),
+                6,
+            ).alias("target_n"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget)
+                    * F.col("p_alpha")
+                    / F.col("z").cast("double")
+                    / F.col("n_docs"),
+                ),
+                12,
+            ).alias("keep_rate"),
+        )
+    )
+
+
+@query("x103_quality_calibration")
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the heuristic quality score
+    (operators/text.quality_score): percent_rank within each source makes
+    scores comparable ACROSS heterogeneously-scored sources — the
+    standard calibration step before blending corpora with one global
+    quality threshold. The window partitions by source (distributed; no
+    global sort): calib_bucket = floor(10·pct) replaces a global ntile so
+    the plan has zero single-partition stages. doc_id tiebreak makes
+    percent_rank engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs, extra_cols=("source",))
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    pct = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pct, 12).alias("calib_pct"),
+        F.least(F.floor(pct * 10).cast("int"), F.lit(9)).alias("calib_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order). Round 3 rotates the window so the
@@ -2346,10 +2428,18 @@ DRIVER_WINDOW: list[str] = [
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
     "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x05_embedding_near_dup",
-    "x06_ann_cosine_topk", "x10_sessionize", "x16_window_suite",
+    "x06_ann_cosine_topk", "x10_sessionize",
     "x19_asof_join", "x35_attribution_join", "x36_tfidf_top_terms",
-    "x41_redact_pii", "x45_incremental_dedup", "x46_quality_filter",
-    "x47_heavy_hitters", "x48_cross_source_overlap", "x49_exact_percentiles",
+    "x41_redact_pii", "x46_quality_filter",
+    "x48_cross_source_overlap", "x49_exact_percentiles",
+    # round-4 sixth rotation: x98 (mergeable top-k), x100 (event-time
+    # RANGE window) and x101 (cohort retention) take the slots of
+    # x47_heavy_hitters / x16_window_suite / x45_incremental_dedup (all
+    # driver-green in CORRECTNESS_r03.json, still pytest-oracle-checked
+    # at sf0.001); each demoted family keeps a window representative
+    # (frequent items -> x98, window frames -> x100/x16's ROWS twin via
+    # pytest, incremental dedup -> x80).
+    "x98_mergeable_topk", "x100_time_range_window", "x101_cohort_retention",
     "x34_bucketed_q18",
     # round 4 rotation: x80 (Bloom-pruned incremental dedup, oracle =
     # x45's SQL) and x81 (SCD2 merge, full CTE oracle) take the slots of

@@ -128,6 +128,8 @@ HEADLINE = [
     "x99_corpus_prep",
     "x100_time_range_window",
     "x101_cohort_retention",
+    "x102_temperature_mixture",
+    "x103_quality_calibration",
 ]
 
 
