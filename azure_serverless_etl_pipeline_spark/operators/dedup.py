@@ -603,6 +603,57 @@ def dup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def canonical_map(
+    docs: DataFrame,
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-copy selection: for every document, the single cluster
+    member to KEEP — the highest-``score_col`` copy (ties to the lowest
+    id). Pairwise dedup answers "are these two the same?"; a real
+    pipeline must then answer "which copy survives?", and deleting an
+    arbitrary member throws away the best-quality text. Output: one row
+    per input doc — (id, cluster_id, canonical_id, is_canonical, score);
+    singletons (never paired) are their own canonical.
+
+    Scale shape: ``clusters`` is only the PAIRED docs (tiny vs the
+    corpus); the rank window partitions by cluster_id, so the only
+    corpus-sized steps are two id-keyed hash joins — no global sort, no
+    driver state.
+    """
+    from pyspark.sql import Window as W
+
+    member = clusters.join(scores, id_col)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    canon = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("canonical_id"))
+    )
+    resolved = clusters.join(canon, "cluster_id")
+    return (
+        docs.select(id_col)
+        .join(scores, id_col, "left")
+        .join(resolved, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("canonical_id"), F.col(id_col)).alias(
+                "canonical_id"
+            ),
+            (
+                F.coalesce(F.col("canonical_id"), F.col(id_col))
+                == F.col(id_col)
+            ).alias("is_canonical"),
+            F.col(score_col),
+        )
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,

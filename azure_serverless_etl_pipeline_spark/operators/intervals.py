@@ -138,16 +138,30 @@ def session_concurrency(
     # session) frame, so cache it rather than re-running the window.
     sess = sess.cache()
     pairs = interval_overlap_pairs(sess, bin_minutes)
-    per_a = pairs.groupBy(
-        F.col("a_user_id").alias("user_id"), F.col("a_session_id").alias("session_id")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    per_b = pairs.groupBy(
-        F.col("b_user_id").alias("user_id"), F.col("b_session_id").alias("session_id")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # Each unordered pair increments BOTH endpoints' counts. Explode the
+    # two orientations out of ONE pass over the join output — the
+    # previous per_a/per_b-union shape read `pairs` twice, and Spark
+    # re-executed the whole bin self-join for each side (the two
+    # aggregations share no exchange), doubling the dominant cost and
+    # its variance under memory pressure.
     both = (
-        per_a.unionByName(per_b)
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_user_id").alias("user_id"),
+                        F.col("a_session_id").alias("session_id"),
+                    ),
+                    F.struct(
+                        F.col("b_user_id").alias("user_id"),
+                        F.col("b_session_id").alias("session_id"),
+                    ),
+                )
+            ).alias("k")
+        )
+        .select("k.user_id", "k.session_id")
         .groupBy("user_id", "session_id")
-        .agg(F.sum("c").alias("n_concurrent"))
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
     )
     return (
         sess.join(both, ["user_id", "session_id"], "left")

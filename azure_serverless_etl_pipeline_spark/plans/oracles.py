@@ -1905,6 +1905,82 @@ FROM cnt JOIN tot ON cnt.prev_type = tot.prev_type
 """
 
 
+# shared CTE tail for the cluster-composed oracles (x104/x105): x31's
+# Jaccard pairs -> recursive-CTE connected components
+_CLUSTER_CTES = f"""
+{_SHINGLES.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+), clu AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)"""
+
+EXTRA_ORACLES["x104_canonical_dedup"] = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+q AS (
+  SELECT doc_id,
+         ROUND(0.5 * (1.0 - CAST(len(list_filter({_TOKENS.format(t='text')},
+                 x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+               / len({_TOKENS.format(t='text')}))
+               + 0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0),
+               6) AS quality
+  FROM documents
+), member AS (
+  SELECT c.doc_id, c.cluster_id, q.quality FROM clu c JOIN q USING (doc_id)
+), canon AS (
+  SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+    FROM member) WHERE rn = 1
+)
+SELECT q.doc_id,
+       COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+       COALESCE(cn.canonical_id, q.doc_id) AS canonical_id,
+       COALESCE(cn.canonical_id, q.doc_id) = q.doc_id AS is_canonical,
+       q.quality
+FROM q
+LEFT JOIN clu c USING (doc_id)
+LEFT JOIN canon cn ON c.cluster_id = cn.cluster_id
+"""
+
+
+EXTRA_ORACLES["x105_leakage_safe_split"] = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+wc AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clu c USING (doc_id)
+), b AS (
+  SELECT *, {_hash_bucket('cluster_id')} AS bucket FROM wc
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
 EXTRA_ORACLES["x102_temperature_mixture"] = """
 WITH cnt AS (
   SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang

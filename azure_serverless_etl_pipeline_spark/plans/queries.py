@@ -2310,6 +2310,49 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x104_canonical_dedup")
+def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection (operators/dedup.canonical_map): x31's
+    Jaccard near-dup clusters resolved to KEEP decisions — every doc maps
+    to its cluster's highest-quality member (ties to lowest id), so dedup
+    deletes the WORST copies instead of arbitrary ones. Cluster frame is
+    pair-bounded (tiny); the corpus only flows through two id-keyed
+    joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=50)
+    clusters = dedup.dup_clusters(pairs)
+    scores = text.quality_score(docs).select("doc_id", "quality")
+    return dedup.canonical_map(docs, clusters, scores)
+
+
+@query("x105_leakage_safe_split")
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 bucket is computed on
+    the near-dup CLUSTER id, not the doc id, so two near-duplicate
+    documents can never land in different splits (the train/test
+    contamination channel a doc-keyed split like x37 leaves open).
+    Per-split rollup: docs, clusters, chars."""
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=50)
+    clusters = dedup.dup_clusters(pairs)
+    wc = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    b = hash_bucket(F.col("cluster_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return wc.withColumn("split", split).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 @query("x102_temperature_mixture")
 def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture weights over (source, lang) strata —

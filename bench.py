@@ -130,6 +130,8 @@ HEADLINE = [
     "x101_cohort_retention",
     "x102_temperature_mixture",
     "x103_quality_calibration",
+    "x104_canonical_dedup",
+    "x105_leakage_safe_split",
 ]
 
 
