@@ -1981,6 +1981,43 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x106_count_anomaly"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c*c) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT h.hour, h.event_type, h.c,
+       ROUND(CAST(s1 AS DOUBLE) / n, 12) AS mean_c,
+       ROUND((h.c - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))),
+             12) AS z,
+       abs((h.c - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))) > 3.0
+         AS is_anomaly
+FROM hourly h JOIN stats USING (event_type)
+"""
+
+
+EXTRA_ORACLES["x107_seasonality_index"] = f"""
+WITH per_dow AS (
+  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS s
+  FROM events GROUP BY event_type, CAST(isodow(ts) - 1 AS INTEGER)
+), per_type AS (
+  SELECT event_type, SUM(n) AS n_all, SUM(s) AS s_all
+  FROM per_dow GROUP BY event_type
+)
+SELECT d.event_type, d.dow, d.n AS n_events,
+       ROUND({_dec2dbl('d.s')} / d.n, 12) AS mean_dow,
+       ROUND(({_dec2dbl('d.s')} / d.n)
+             / ({_dec2dbl('t.s_all')} / t.n_all), 12) AS seasonality_index
+FROM per_dow d JOIN per_type t USING (event_type)
+"""
+
+
 EXTRA_ORACLES["x102_temperature_mixture"] = """
 WITH cnt AS (
   SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang

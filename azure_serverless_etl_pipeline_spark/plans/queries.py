@@ -2310,6 +2310,79 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x106_count_anomaly")
+def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact z-score anomaly detection on hourly event-count series —
+    the oracle-backed counterpart of m01's (import-gated) IsolationForest:
+    per event_type, hours whose count deviates >3 sigma from that type's
+    mean. All moments come from INTEGER power sums (n, S1=Σc, S2=Σc²),
+    so mean/variance are exact rationals evaluated in one fixed double
+    expression — bit-reproducible in any IEEE engine, no
+    Welford/stddev_samp accumulation-order dependence. One corpus scan
+    to (hour, type) counts (map-side partial agg); the stats join is
+    |types|-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", ts).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - F.lit(1)))
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "hour",
+            "event_type",
+            "c",
+            F.round(mean, 12).alias("mean_c"),
+            F.round(z, 12).alias("z"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+@query("x107_seasonality_index")
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: mean(value | dow) /
+    mean(value) — the exact-arithmetic seasonal-strength diagnostic
+    behind m02's (import-gated) Prophet weekly component. Decimal-exact
+    value sums make both means order-independent; the per-type overall
+    mean rides a |types|-row broadcast join. Mon=0 dow matches the
+    reference's convention (W-2)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    per_dow = ev.groupBy(
+        "event_type", weekday_mon0(ts).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.sum("n").alias("n_all"),
+        F.sum("s").alias("s_all"),
+    )
+    mean_dow = F.col("s").cast("double") / F.col("n")
+    mean_all = F.col("s_all").cast("double") / F.col("n_all")
+    return (
+        per_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").alias("n_events"),
+            F.round(mean_dow, 12).alias("mean_dow"),
+            F.round(mean_dow / mean_all, 12).alias("seasonality_index"),
+        )
+    )
+
+
 @query("x104_canonical_dedup")
 def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-copy selection (operators/dedup.canonical_map): x31's
@@ -2471,10 +2544,22 @@ DRIVER_WINDOW: list[str] = [
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
     "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x05_embedding_near_dup",
-    "x06_ann_cosine_topk", "x10_sessionize",
-    "x19_asof_join", "x35_attribution_join", "x36_tfidf_top_terms",
+    "x10_sessionize",
+    "x19_asof_join",
     "x41_redact_pii", "x46_quality_filter",
-    "x48_cross_source_overlap", "x49_exact_percentiles",
+    "x49_exact_percentiles",
+    # round-4 seventh rotation: x102 (temperature mixture), x104
+    # (canonical dedup), x105 (leakage-safe split), x106 (exact z-score
+    # anomaly), x107 (seasonality index) take the slots of
+    # x36_tfidf_top_terms / x06_ann_cosine_topk / x48_cross_source_overlap
+    # / x74_embedding_dup_clusters / x35_attribution_join (all
+    # driver-green in CORRECTNESS_r03.json, still pytest-oracle-checked
+    # at sf0.001); every demoted family keeps a window representative
+    # (term stats -> x72/x82, ANN -> x12, contamination -> x84, clusters
+    # -> x104, event-time joins -> x88/x19).
+    "x102_temperature_mixture", "x104_canonical_dedup",
+    "x105_leakage_safe_split", "x106_count_anomaly",
+    "x107_seasonality_index",
     # round-4 sixth rotation: x98 (mergeable top-k), x100 (event-time
     # RANGE window) and x101 (cohort retention) take the slots of
     # x47_heavy_hitters / x16_window_suite / x45_incremental_dedup (all
@@ -2525,7 +2610,7 @@ DRIVER_WINDOW: list[str] = [
     "x95_event_transitions", "x96_pagerank",
     "x67_chunk_documents",
     "x70_tpch_q21_onescan", "x71_table_profile", "x72_unigram_logprob",
-    "x73_line_dedup", "x74_embedding_dup_clusters",
+    "x73_line_dedup",
     # 50th slot: oracle-backed IVF-ANN (demoted in r1, repromoted so the
     # ANN-index family has a hash-checked driver row and the window is
     # 50/50 oracle-green — no rows-only entries inside the window).

@@ -132,6 +132,8 @@ HEADLINE = [
     "x103_quality_calibration",
     "x104_canonical_dedup",
     "x105_leakage_safe_split",
+    "x106_count_anomaly",
+    "x107_seasonality_index",
 ]
 
 
