@@ -352,6 +352,79 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM quality score: per-document average negative
+    log probability of each token given its predecessor,
+    -ln(λ·P(w|v) + (1-λ)·P(w)), under the corpus's own counts — the
+    distributed analog of CCNet-style n-gram-LM perplexity filtering and
+    the context-aware upgrade of unigram_logprob (x72): a common word in
+    an unusual context now scores as surprising.
+
+    Plan shape mirrors x72: bigrams come from a zip_with of the token
+    array with its 1-shifted self (no per-doc window/sort), one shuffle
+    to (doc, v, w) counts, then three bounded model tables — bigram
+    counts, previous-token margins (both vocabulary-bounded), and the
+    unigram table — joined back; the 1-row token total broadcasts.
+    Per-position contributions are rounded to 8 decimals and
+    decimal-summed (order-independent; ln/division bit-match across
+    engines on identical integer inputs). Docs with <2 tokens have no
+    bigram positions and drop out, by definition.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+    )
+    doc_bi = (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.v", "p.w")
+        .groupBy(id_col, "v", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bi = doc_bi.groupBy("v", "w").agg(F.sum("k").alias("cb"))
+    prev = bi.groupBy("v").agg(F.sum("cb").alias("cp"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("t_total"))
+    p_bi = F.col("cb").cast("double") / F.col("cp")
+    p_uni = F.col("cu").cast("double") / F.col("t_total")
+    contrib = (
+        doc_bi.join(bi, ["v", "w"])
+        .join(prev, "v")
+        .join(uni, "w")
+        .join(F.broadcast(total))
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("k") * -F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni),
+                8,
+            ).cast("decimal(18,8)"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            (F.sum("contrib").cast("double") / F.sum("k")).alias("raw"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("raw"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

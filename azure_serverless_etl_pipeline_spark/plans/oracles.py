@@ -1981,6 +1981,44 @@ FROM b GROUP BY 1
 """
 
 
+# λ and (1-λ) as the EXACT doubles Spark computes (1.0-0.7 is not the
+# literal 0.3 in IEEE; repr pins both engines to identical constants)
+_BLM_LAM = 0.7
+EXTRA_ORACLES["x108_bigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+), pos AS (
+  SELECT doc_id, t[i] AS v, t[i+1] AS w FROM idx
+), doc_bi AS (
+  SELECT doc_id, v, w, COUNT(*) AS k FROM pos GROUP BY doc_id, v, w
+), bi AS (
+  SELECT v, w, CAST(SUM(k) AS BIGINT) AS cb FROM doc_bi GROUP BY v, w
+), prev AS (
+  SELECT v, CAST(SUM(cb) AS BIGINT) AS cp FROM bi GROUP BY v
+), uni AS (
+  SELECT w, COUNT(*) AS cu FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+), total AS (
+  SELECT CAST(SUM(cu) AS BIGINT) AS t_total FROM uni
+), contrib AS (
+  SELECT doc_id, k,
+         CAST(ROUND(k * -ln({_BLM_LAM!r} * (CAST(cb AS DOUBLE) / cp)
+                            + {1.0 - _BLM_LAM!r} * (CAST(cu AS DOUBLE)
+                                                    / t_total)), 8)
+              AS DECIMAL(18,8)) AS c
+  FROM doc_bi JOIN bi USING (v, w) JOIN prev USING (v) JOIN uni USING (w)
+  CROSS JOIN total
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       ROUND({_dec2dbl('SUM(c)')} / CAST(SUM(k) AS BIGINT), 6)
+         AS avg_neg_logprob
+FROM contrib GROUP BY doc_id
+"""
+
+
 EXTRA_ORACLES["x106_count_anomaly"] = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c

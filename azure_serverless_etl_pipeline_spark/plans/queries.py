@@ -2310,6 +2310,18 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x108_bigram_logprob")
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity proxy (operators/text.
+    bigram_logprob): context-aware document quality scoring, the upgrade
+    of x72's unigram LM — CCNet-style LM filtering expressed as three
+    bounded count tables + one doc-keyed aggregate. λ weights are
+    bit-pinned to the oracle (repr'd into the SQL) so the interpolation
+    constant itself cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs)
+
+
 @query("x106_count_anomaly")
 def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact z-score anomaly detection on hourly event-count series —
@@ -2609,7 +2621,10 @@ DRIVER_WINDOW: list[str] = [
     # hash-checked driver row).
     "x95_event_transitions", "x96_pagerank",
     "x67_chunk_documents",
-    "x70_tpch_q21_onescan", "x71_table_profile", "x72_unigram_logprob",
+    "x70_tpch_q21_onescan", "x71_table_profile",
+    # x108 (interpolated bigram LM) supersedes x72's window slot — the
+    # unigram LM stays pytest-oracle-checked (driver-green in r03).
+    "x108_bigram_logprob",
     "x73_line_dedup",
     # 50th slot: oracle-backed IVF-ANN (demoted in r1, repromoted so the
     # ANN-index family has a hash-checked driver row and the window is

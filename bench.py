@@ -134,6 +134,7 @@ HEADLINE = [
     "x105_leakage_safe_split",
     "x106_count_anomaly",
     "x107_seasonality_index",
+    "x108_bigram_logprob",
 ]
 
 
