@@ -1981,6 +1981,55 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x109_session_paths"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
+# scaled-integer quantization (floor(x*1e12+0.5) as BIGINT) instead of a
+# decimal cast: decimal tie-rounding is engine-specific, floor is IEEE —
+# see the x110 docstring in queries.py
+EXTRA_ORACLES["x110_label_centroids"] = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), agg AS (
+  SELECT label, dim, COUNT(*) AS n,
+         SUM(CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(floor((CAST(val AS DOUBLE) * CAST(val AS DOUBLE)) * 1e12
+                        + 0.5) AS BIGINT)) AS s2
+  FROM ex GROUP BY label, dim
+)
+SELECT label, CAST(dim AS INT) AS dim, n AS n_vecs,
+       (CAST(s1 AS DOUBLE) / 1e12) / n AS centroid,
+       (n * (CAST(s2 AS DOUBLE) / 1e12)
+        - (CAST(s1 AS DOUBLE) / 1e12) * (CAST(s1 AS DOUBLE) / 1e12))
+       / (n * (n - 1)) AS dim_var
+FROM agg
+"""
+
+
 # λ and (1-λ) as the EXACT doubles Spark computes (1.0-0.7 is not the
 # literal 0.3 in IEEE; repr pins both engines to identical constants)
 _BLM_LAM = 0.7

@@ -2310,6 +2310,101 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x109_session_paths")
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (the Sankey/product-analytics view of event
+    sequences): x10's sessionization, each session's ordered event-type
+    chain joined with '>', counted across sessions and users. Ordering
+    inside a session is pinned by array_sort over (ts, event_id) structs
+    — collect_list alone is arrival-ordered and non-deterministic. The
+    global top-20 is a TakeOrdered (no single-partition sort of the full
+    path table); the (count desc, path) tiebreak makes the cut set
+    engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            ts.alias("ts"),
+                            F.col("event_id").alias("event_id"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda s: s.et,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@query("x110_label_centroids")
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + per-dimension variance (cluster
+    diagnostics: a collapsed dimension shows near-zero variance; the
+    centroid table is what SemDeDup/IVF builds start from). posexplode
+    to (label, dim, val), one hash aggregate with decimal-exact moment
+    sums — output is |labels|×|dims| rows; the only corpus-sized step is
+    the map-side partial aggregate of the exploded stream.
+
+    FP discipline: values are quantized to 1e-12 units with
+    floor(x*1e12 + 0.5) — PURE double arithmetic, bit-identical in any
+    IEEE engine — then summed as BIGINT. A decimal(…,12) cast would hit
+    engine-specific tie rounding (HALF_UP vs HALF_EVEN) because floats
+    are dyadic rationals; measured: 3/32000 dims off by exactly 1e-12
+    under the decimal formulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    vd = F.col("val").cast("double")
+    q1 = F.floor(vd * F.lit(1e12) + F.lit(0.5))
+    q2 = F.floor((vd * vd) * F.lit(1e12) + F.lit(0.5))
+    agg = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q1).alias("s1"),
+        F.sum(q2).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double") / F.lit(1e12)
+    s2d = F.col("s2").cast("double") / F.lit(1e12)
+    n = F.col("n")
+    return agg.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        n.alias("n_vecs"),
+        # no ROUND: every input is an exact integer, the expression is a
+        # fixed chain of IEEE ops — rounding would CREATE divergence
+        # (quantized means land on exact 1e-12 grid midpoints, where
+        # Spark HALF_UP and DuckDB's double-round disagree; measured
+        # 3/640 off by 1e-12 with round, 0 without)
+        (s1d / n).alias("centroid"),
+        ((n * s2d - s1d * s1d) / (n * (n - F.lit(1)))).alias("dim_var"),
+    )
+
+
 @query("x108_bigram_logprob")
 def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity proxy (operators/text.

@@ -135,6 +135,8 @@ HEADLINE = [
     "x106_count_anomaly",
     "x107_seasonality_index",
     "x108_bigram_logprob",
+    "x109_session_paths",
+    "x110_label_centroids",
 ]
 
 
