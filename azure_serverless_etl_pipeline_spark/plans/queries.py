@@ -2428,31 +2428,31 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     Welford/stddev_samp accumulation-order dependence. One corpus scan
     to (hour, type) counts (map-side partial agg); the stats join is
     |types|-row broadcast."""
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     hourly = ev.groupBy(
         F.date_trunc("hour", ts).alias("hour"), "event_type"
     ).agg(F.count(F.lit(1)).alias("c"))
-    stats = hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    mean = F.col("s1").cast("double") / F.col("n")
-    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    ) / (F.col("n") * (F.col("n") - F.lit(1)))
+    # Per-type moments as WINDOW aggregates over the hourly frame — a
+    # separate stats .agg() joined back re-executes the raw scan (no
+    # subplan sharing); the window keeps one corpus scan and stays
+    # distributed (partitioned by event_type).
+    wt = W.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(wt)
+    s1 = F.sum("c").over(wt)
+    s2 = F.sum(F.col("c") * F.col("c")).over(wt)
+    mean = s1.cast("double") / n
+    var = (n * s2 - s1 * s1).cast("double") / (n * (n - F.lit(1)))
     z = (F.col("c") - mean) / F.sqrt(var)
-    return (
-        hourly.join(F.broadcast(stats), "event_type")
-        .select(
-            "hour",
-            "event_type",
-            "c",
-            F.round(mean, 12).alias("mean_c"),
-            F.round(z, 12).alias("z"),
-            (F.abs(z) > 3.0).alias("is_anomaly"),
-        )
+    return hourly.select(
+        "hour",
+        "event_type",
+        "c",
+        F.round(mean, 12).alias("mean_c"),
+        F.round(z, 12).alias("z"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
     )
 
 
@@ -2464,6 +2464,8 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
     value sums make both means order-independent; the per-type overall
     mean rides a |types|-row broadcast join. Mon=0 dow matches the
     reference's convention (W-2)."""
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     per_dow = ev.groupBy(
@@ -2472,21 +2474,17 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
     )
-    per_type = per_dow.groupBy("event_type").agg(
-        F.sum("n").alias("n_all"),
-        F.sum("s").alias("s_all"),
-    )
+    # overall per-type mean via a window over the (type, dow) frame —
+    # same single-scan rationale as x106
+    wt = W.partitionBy("event_type")
     mean_dow = F.col("s").cast("double") / F.col("n")
-    mean_all = F.col("s_all").cast("double") / F.col("n_all")
-    return (
-        per_dow.join(F.broadcast(per_type), "event_type")
-        .select(
-            "event_type",
-            "dow",
-            F.col("n").alias("n_events"),
-            F.round(mean_dow, 12).alias("mean_dow"),
-            F.round(mean_dow / mean_all, 12).alias("seasonality_index"),
-        )
+    mean_all = F.sum("s").over(wt).cast("double") / F.sum("n").over(wt)
+    return per_dow.select(
+        "event_type",
+        "dow",
+        F.col("n").alias("n_events"),
+        F.round(mean_dow, 12).alias("mean_dow"),
+        F.round(mean_dow / mean_all, 12).alias("seasonality_index"),
     )
 
 
@@ -2545,46 +2543,49 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped keep rate — exactly the table a mixture_sample (x69) run
     would consume. Term sums follow the x94 decimal pattern so the
     oracle hash is FP-order-proof."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     alpha, budget = 0.7, 10_000
     cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = cnt.agg(
-        F.sum("n_docs").alias("n_total"),
-    )
-    with_p = cnt.crossJoin(F.broadcast(tot)).withColumn(
-        "p", F.col("n_docs") / F.col("n_total").cast("double")
+    # Normalizers (corpus total, Z) as GLOBAL WINDOW aggregates over the
+    # stratum frame — NOT separate .agg() branches joined back: Spark
+    # shares no subplans, so the agg-and-crossJoin shape re-scanned the
+    # corpus 4x (caught by the plan gate). The single-partition window is
+    # deliberate and safe: the frame is |sources|x|langs| rows (KB) at
+    # any corpus size.
+    wall = W.partitionBy()
+    with_p = cnt.withColumn(
+        "p", F.col("n_docs") / F.sum("n_docs").over(wall).cast("double")
     )
     with_pow = with_p.withColumn(
         "p_alpha", F.round(F.pow(F.col("p"), F.lit(alpha)), 12)
+    ).withColumn(
+        "z",
+        F.sum(F.col("p_alpha").cast("decimal(38,12)")).over(wall),
     )
-    z = with_pow.agg(
-        F.sum(F.col("p_alpha").cast("decimal(38,12)")).alias("z")
-    )
-    return (
-        with_pow.crossJoin(F.broadcast(z))
-        .select(
-            "source",
-            "lang",
-            "n_docs",
-            F.round("p", 12).alias("p"),
-            F.round(
-                F.col("p_alpha") / F.col("z").cast("double"), 12
-            ).alias("q"),
-            F.round(
-                F.lit(budget) * F.col("p_alpha") / F.col("z").cast("double"),
-                6,
-            ).alias("target_n"),
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(budget)
-                    * F.col("p_alpha")
-                    / F.col("z").cast("double")
-                    / F.col("n_docs"),
-                ),
-                12,
-            ).alias("keep_rate"),
-        )
+    return with_pow.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round("p", 12).alias("p"),
+        F.round(
+            F.col("p_alpha") / F.col("z").cast("double"), 12
+        ).alias("q"),
+        F.round(
+            F.lit(budget) * F.col("p_alpha") / F.col("z").cast("double"),
+            6,
+        ).alias("target_n"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget)
+                * F.col("p_alpha")
+                / F.col("z").cast("double")
+                / F.col("n_docs"),
+            ),
+            12,
+        ).alias("keep_rate"),
     )
 
 

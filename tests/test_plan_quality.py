@@ -252,3 +252,80 @@ def test_corpus_prep_one_plan_no_cartesian(spark, queries):
     plan = plan_of(queries["x99_corpus_prep"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "Scan parquet" in plan
+
+
+def n_scans(plan: str) -> int:
+    """Physical scan-node count ("(N) Scan parquet" detail headers — the
+    node name alone appears twice per node: tree + detail section)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_mixture_single_scan_window_normalizers(spark, queries):
+    """x102: ONE column-pruned documents scan. The corpus total and Z
+    normalizer are global-window aggregates over the KB stratum frame —
+    the agg-and-crossJoin shape re-scanned the corpus 4x (Spark shares
+    no subplans), which this gate caught."""
+    plan = plan_of(queries["x102_temperature_mixture"](spark, SF_ORACLE))
+    assert n_scans(plan) == 1
+    sched = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in sched  # counts need source/lang only
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_one_exchange_no_rejoin(spark, queries):
+    """x103: quality is computed inside the scan projection (extra_cols
+    passthrough, not a doc_id self-join), so the whole plan is scan ->
+    project -> ONE hash exchange on source -> window."""
+    import re
+
+    plan = plan_of(queries["x103_quality_calibration"](spark, SF_ORACLE))
+    assert n_scans(plan) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_anomaly_and_seasonality_single_scan(spark, queries):
+    """x106/x107: per-type moments are window aggregates over the
+    already-reduced hourly/dow frame — one corpus scan, no re-scan for a
+    stats table, no join at all."""
+    for name in ("x106_count_anomaly", "x107_seasonality_index"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert n_scans(plan) == 1, name
+        assert "Join" not in plan, name
+
+
+def test_session_paths_topk_no_global_sort(spark, queries):
+    """x109: the top-20 must be TakeOrderedAndProject over the path
+    aggregate, never a full Sort+Exchange of the path table."""
+    plan = plan_of(queries["x109_session_paths"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_centroids_single_pass(spark, queries):
+    """x110: one embeddings scan, one hash aggregate over the exploded
+    stream, no join (the moments and the mean come out of the same
+    aggregate)."""
+    plan = plan_of(queries["x110_label_centroids"](spark, SF_ORACLE))
+    assert n_scans(plan) == 1
+    assert "Join" not in plan
+
+
+def test_bigram_logprob_no_cartesian(spark, queries):
+    """x108: the three model tables derive from the same exploded stream;
+    the scoring join chain must stay equi-join only. The total-count
+    join is the single intentional 1-row broadcast (one physical node)."""
+    import re
+
+    plan = plan_of(queries["x108_bigram_logprob"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_canonical_and_split_no_cartesian(spark, queries):
+    """x104/x105: cluster composition must not introduce a cartesian;
+    the rank window partitions by cluster_id (no global sort)."""
+    for name in ("x104_canonical_dedup", "x105_leakage_safe_split"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
