@@ -203,24 +203,29 @@ def tfidf_top_terms(
     rounded to 6 decimals (ln is correctly-rounded in neither engine;
     everything else is exact-integer arithmetic).
     """
+    from pyspark.sql import Window as W
+
     term = F.explode(tokens(F.col(text_col))).alias("term")
     tf = df.select(F.col(id_col), term).groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # doc_freq as a WINDOW count over the term partition of tf — the
+    # former tf.groupBy(term)+join-back branch shared no exchange with
+    # the scoring side (different partial aggregates), so Spark re-ran
+    # the whole explode+shuffle for it (measured: 0 ReusedExchange, 2x
+    # scans). The window needs the same term exchange the join needed,
+    # minus the duplicate corpus pass; it is vocabulary-distributed.
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("term"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        # dfreq is vocabulary-sized — unbounded on a real corpus, so the
-        # join strategy is AQE's runtime call, not a mandatory broadcast.
-        # n_docs is a literal 1-row frame; that hint is safe.
-        tf.join(dfreq, "term")
+        tf.withColumn("doc_freq", dfreq)
+        # n_docs is a literal 1-row frame; the hint is safe.
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6),
         )
     )
-    from pyspark.sql import Window as W
 
     rn = F.row_number().over(
         W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
@@ -320,16 +325,21 @@ def unigram_logprob(
     order-independent (float addition is not associative; ln itself
     bit-matches across engines, per the x36 convention).
     """
+    from pyspark.sql import Window as W
+
     term = F.explode(tokens(F.col(text_col))).alias("term")
     tf = df.select(F.col(id_col), term).groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    freq = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    total = freq.agg(F.sum("c").alias("t_total"))
+    # term frequency as a WINDOW sum over tf's term partition (same
+    # single-pass rationale as tfidf_top_terms: the groupBy+join-back
+    # branch duplicated the explode+shuffle). The corpus token total is
+    # Σtf — a 1-row aggregate OF tf (its exchange is reused), broadcast
+    # back.
+    freq = F.sum("tf").over(W.partitionBy("term"))
+    total = tf.agg(F.sum("tf").alias("t_total"))
     contrib = (
-        # freq is vocabulary-sized (see tfidf_top_terms): no forced
-        # broadcast; total stays hinted (1 row).
-        tf.join(freq, "term")
+        tf.withColumn("c", freq)
         .join(F.broadcast(total))
         .withColumn(
             "w",

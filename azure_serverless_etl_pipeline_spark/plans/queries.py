@@ -2134,14 +2134,21 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (0 = monolingual source, ln(5) = uniform over 5 langs).
     One scan to (source, lang) counts; entropy computed on the reduced
     table with decimal-exact term sums."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("source").agg(F.sum("c").alias("n_docs"))
-    p = F.col("c") / F.col("n_docs").cast("double")
+    # per-source total as a window over the (source, lang) frame — the
+    # former groupBy+join-back re-ran the corpus scan (no shared
+    # exchange); the window rides the same source partitioning the
+    # final aggregate needs anyway
+    n_docs = F.sum("c").over(W.partitionBy("source"))
+    p = F.col("c") / n_docs.cast("double")
     term = F.round(-p * F.log(p), 12)
     return (
-        cnt.join(tot, "source")
-        .select("source", "n_docs", "lang", term.alias("term"))
+        cnt.select(
+            "source", n_docs.alias("n_docs"), "lang", term.alias("term")
+        )
         .groupBy("source")
         .agg(
             F.max("n_docs").cast("long").alias("n_docs"),
@@ -2177,16 +2184,20 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = joined.groupBy("cohort_week", "weeks_since").agg(
         F.countDistinct("user_id").alias("n_active")
     )
-    cohort_size = first_seen.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return active.join(cohort_size, "cohort_week").select(
+    # Every cohort member is active in week 0 (their first event defines
+    # the cohort), so cohort_size == n_active at weeks_since=0 — lift it
+    # to the whole cohort via a window instead of re-aggregating
+    # first_seen (which re-ran the user-keyed scan: 0 ReusedExchange).
+    cohort_size = F.max(
+        F.when(F.col("weeks_since") == 0, F.col("n_active"))
+    ).over(W.partitionBy("cohort_week"))
+    return active.select(
         "cohort_week",
         "weeks_since",
         "n_active",
-        "cohort_size",
+        cohort_size.alias("cohort_size"),
         F.round(
-            F.col("n_active") / F.col("cohort_size").cast("double"), 12
+            F.col("n_active") / cohort_size.cast("double"), 12
         ).alias("retained_pct"),
     )
 
@@ -2301,12 +2312,14 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = pairs.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
-    return cnt.join(tot, "prev_type").select(
+    # row-normalizer as a window over the |types|^2 frame (the former
+    # groupBy+join-back duplicated the lag-window pass over the corpus)
+    n_from = F.sum("n").over(W.partitionBy("prev_type"))
+    return cnt.select(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.col("n_from").cast("double"), 12).alias("p"),
+        F.round(F.col("n") / n_from.cast("double"), 12).alias("p"),
     )
 
 

@@ -329,3 +329,12 @@ def test_canonical_and_split_no_cartesian(spark, queries):
     for name in ("x104_canonical_dedup", "x105_leakage_safe_split"):
         plan = plan_of(queries[name](spark, SF_ORACLE))
         assert "CartesianProduct" not in plan, name
+
+
+def test_entropy_and_transitions_single_scan(spark, queries):
+    """x94/x95: normalizers are windows over the reduced count frame —
+    one corpus scan, no join-back re-scan."""
+    for name in ("x94_source_entropy", "x95_event_transitions"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert n_scans(plan) == 1, name
+        assert "Join" not in plan, name
