@@ -1981,6 +1981,30 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x111_source_overlap_matrix"] = f"""
+WITH {_SHINGLES.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
 EXTRA_ORACLES["x109_session_paths"] = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, event_type,

@@ -2323,6 +2323,42 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x111_source_overlap_matrix")
+def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: for every (source_a,
+    source_b) pair, how many Jaccard near-dup pairs straddle them — the
+    which-source-copies-from-which diagnostic that decides dedup ORDER
+    in a multi-source corpus (dedup the copier against the original,
+    not vice versa). Pair stream is x02's capped inverted-index plan;
+    the two source lookups are id-keyed joins; the matrix itself is
+    |sources|² and sorted canonically (a<=b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=50)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
 @query("x109_session_paths")
 def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session paths (the Sankey/product-analytics view of event

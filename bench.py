@@ -137,6 +137,7 @@ HEADLINE = [
     "x108_bigram_logprob",
     "x109_session_paths",
     "x110_label_centroids",
+    "x111_source_overlap_matrix",
 ]
 
 

@@ -416,3 +416,47 @@ def test_semantic_dedup_prebuilt_index(spark):
         emb, threshold=0.25, n_cells=8, indexed=indexed
     ).toPandas()
     assert auto.equals(pre)
+
+
+def test_canonical_map_semantics(spark):
+    """canonical_map: highest-quality member wins, ties to lowest id,
+    singletons map to themselves, every cluster has exactly one
+    canonical."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import canonical_map
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6]})
+    )
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5], "cluster_id": [1, 1, 1, 4, 4]}
+        )
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                # cluster 1: doc 2 best; cluster 4: tie 0.5/0.5 -> doc 4
+                "quality": [0.1, 0.9, 0.4, 0.5, 0.5, 0.3],
+            }
+        )
+    )
+    out = (
+        canonical_map(docs, clusters, scores)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "canonical_id"] == 2
+    assert out.loc[2, "canonical_id"] == 2 and bool(out.loc[2, "is_canonical"])
+    assert out.loc[3, "canonical_id"] == 2
+    assert out.loc[4, "canonical_id"] == 4 and bool(out.loc[4, "is_canonical"])
+    assert out.loc[5, "canonical_id"] == 4
+    # singleton: own cluster, own canonical
+    assert out.loc[6, "cluster_id"] == 6 and out.loc[6, "canonical_id"] == 6
+    # exactly one canonical per cluster
+    cc = out.groupby("cluster_id")["is_canonical"].sum()
+    assert (cc == 1).all()
