@@ -162,3 +162,55 @@ def mixture_sample(
     return df.join(F.broadcast(rates), strata_col).filter(
         hash_bucket(F.col(id_col), buckets) < F.col("keep_rate") * buckets
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_cols: list[str] | tuple[str, ...] = ("source", "lang"),
+    alpha: float = 0.7,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum (q_s ∝ p_s^alpha —
+    the multilingual-LM sampling rule: alpha<1 upweights tail strata,
+    alpha=1 is proportional, alpha=0 is uniform). Returns per stratum:
+    raw share p, tempered share q, target_n for ``budget`` docs, and the
+    <=1-capped keep_rate a downstream hash-bucket sampler consumes.
+
+    One corpus scan to stratum counts; the corpus total and the Z
+    normalizer are GLOBAL-WINDOW aggregates over the stratum frame —
+    deliberately single-partition, safe because that frame is
+    |distinct strata| rows (KB) at any corpus size, and the window
+    avoids the agg-and-join-back shape that re-executes the scan
+    (see PLANS.md single-pass sweep). Decimal term sums keep the Z fold
+    FP-order-proof, so the output hash-checks against a SQL oracle.
+    """
+    from pyspark.sql import Window as W
+
+    cnt = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = W.partitionBy()
+    with_p = cnt.withColumn(
+        "p", F.col("n_docs") / F.sum("n_docs").over(wall).cast("double")
+    )
+    with_pow = with_p.withColumn(
+        "p_alpha", F.round(F.pow(F.col("p"), F.lit(alpha)), 12)
+    ).withColumn(
+        "z", F.sum(F.col("p_alpha").cast("decimal(38,12)")).over(wall)
+    )
+    zd = F.col("z").cast("double")
+    # left-associated exactly as the SQL oracle parses it:
+    # (budget * p_alpha) / z  [/ n_docs] — FP evaluation order is part
+    # of the hash-check contract
+    return with_pow.select(
+        *strata_cols,
+        "n_docs",
+        F.round("p", 12).alias("p"),
+        F.round(F.col("p_alpha") / zd, 12).alias("q"),
+        F.round(F.lit(budget) * F.col("p_alpha") / zd, 6).alias("target_n"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget) * F.col("p_alpha") / zd / F.col("n_docs"),
+            ),
+            12,
+        ).alias("keep_rate"),
+    )

@@ -2592,49 +2592,11 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped keep rate — exactly the table a mixture_sample (x69) run
     would consume. Term sums follow the x94 decimal pattern so the
     oracle hash is FP-order-proof."""
-    from pyspark.sql import Window as W
+    from ..operators.packing import temperature_mixture
 
     docs = load_table(spark, sf_dir, "documents")
-    alpha, budget = 0.7, 10_000
-    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    # Normalizers (corpus total, Z) as GLOBAL WINDOW aggregates over the
-    # stratum frame — NOT separate .agg() branches joined back: Spark
-    # shares no subplans, so the agg-and-crossJoin shape re-scanned the
-    # corpus 4x (caught by the plan gate). The single-partition window is
-    # deliberate and safe: the frame is |sources|x|langs| rows (KB) at
-    # any corpus size.
-    wall = W.partitionBy()
-    with_p = cnt.withColumn(
-        "p", F.col("n_docs") / F.sum("n_docs").over(wall).cast("double")
-    )
-    with_pow = with_p.withColumn(
-        "p_alpha", F.round(F.pow(F.col("p"), F.lit(alpha)), 12)
-    ).withColumn(
-        "z",
-        F.sum(F.col("p_alpha").cast("decimal(38,12)")).over(wall),
-    )
-    return with_pow.select(
-        "source",
-        "lang",
-        "n_docs",
-        F.round("p", 12).alias("p"),
-        F.round(
-            F.col("p_alpha") / F.col("z").cast("double"), 12
-        ).alias("q"),
-        F.round(
-            F.lit(budget) * F.col("p_alpha") / F.col("z").cast("double"),
-            6,
-        ).alias("target_n"),
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(budget)
-                * F.col("p_alpha")
-                / F.col("z").cast("double")
-                / F.col("n_docs"),
-            ),
-            12,
-        ).alias("keep_rate"),
+    return temperature_mixture(
+        docs, strata_cols=("source", "lang"), alpha=0.7, budget=10_000
     )
 
 

@@ -129,3 +129,31 @@ def test_profile_table_semantics(spark, docs):
     approx = {r.column: r for r in profile_table(docs).collect()}
     assert set(approx) == set(prof)
     assert abs(approx["doc_id"].n_distinct - n) / n < 0.05
+
+
+def test_temperature_mixture_properties(spark, docs):
+    """Mixture-weight invariants: q is a distribution; alpha=1 is
+    proportional (q==p); alpha<1 compresses ratios toward uniform
+    (tail strata gain weight, the head loses); keep_rate is capped."""
+    import pyspark.sql.functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.packing import (
+        temperature_mixture,
+    )
+
+    out = temperature_mixture(docs, ("lang",), alpha=0.7, budget=100).toPandas()
+    assert abs(out["p"].sum() - 1.0) < 1e-9
+    assert abs(out["q"].sum() - 1.0) < 1e-9
+    assert (out["keep_rate"] <= 1.0).all() and (out["keep_rate"] > 0).all()
+    assert abs(out["target_n"].sum() - 100) < 1e-3
+
+    prop = temperature_mixture(docs, ("lang",), alpha=1.0, budget=100).toPandas()
+    assert (prop["p"] - prop["q"]).abs().max() < 1e-9
+
+    # alpha<1 flattening: smallest stratum gains share, largest loses
+    m = out.sort_values("n_docs", ignore_index=True)
+    assert m.iloc[0]["q"] >= m.iloc[0]["p"]
+    assert m.iloc[-1]["q"] <= m.iloc[-1]["p"]
+
+    uni = temperature_mixture(docs, ("lang",), alpha=0.0, budget=100).toPandas()
+    assert uni["q"].std() < 1e-9  # alpha=0 -> uniform over strata

@@ -21,9 +21,15 @@ def plan_of(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def queries():
+def queries(spark):
     from azure_serverless_etl_pipeline_spark.plans import all_queries
 
+    # Plan gates assert PHYSICAL scan properties (pruned ReadSchema,
+    # scan counts). A table cached by an earlier test module (the spark
+    # session is session-scoped) would be substituted into these plans
+    # as a full-schema InMemoryRelation and break the assertions — start
+    # from a clean cache state.
+    spark.catalog.clearCache()
     return all_queries()
 
 
