@@ -1981,6 +1981,41 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x112_quota_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         {_hash_bucket_mod('doc_id', 1_000_000)} AS hb
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_chars, hb,
+         row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+  FROM h
+)
+SELECT lang, COUNT(*) AS n_taken, MAX(hb) AS hash_frontier,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM r WHERE rn <= 30 GROUP BY lang
+"""
+
+
+EXTRA_ORACLES["x113_seasonal_backtest"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+), scored AS (
+  SELECT a.hour, a.event_type, a.c, p.c AS c_pred, a.c - p.c AS err
+  FROM hourly a
+  JOIN hourly p ON a.event_type = p.event_type
+               AND a.hour = p.hour + INTERVAL 7 DAY
+)
+SELECT event_type, COUNT(*) AS n_hours,
+       ROUND(CAST(SUM(ABS(err)) AS DOUBLE) / COUNT(*), 12) AS mae,
+       ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 12) AS bias,
+       MAX(ABS(err)) AS worst_abs_err
+FROM scored GROUP BY event_type
+"""
+
+
 EXTRA_ORACLES["x111_source_overlap_matrix"] = f"""
 WITH {_SHINGLES.strip()},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

@@ -2323,6 +2323,75 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x112_quota_sample")
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (eval-set construction): EXACTLY
+    n=30 docs per language, chosen by rank over the md5 hash within each
+    stratum — deterministic, RNG-free, and unlike rate-based sampling
+    (x38) the output size is exact, not expected. The rank window
+    partitions by stratum (distributed); summary output = per-stratum
+    take counts + hash-frontier, so the driver row stays small while the
+    cut itself is checkable."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_per = 30
+    hb = hash_bucket(F.col("doc_id"), 1_000_000)
+    w = W.partitionBy("lang").orderBy(hb, "doc_id")
+    picked = (
+        docs.select("doc_id", "lang", "n_chars", hb.alias("hb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per)
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_taken"),
+        F.max("hb").alias("hash_frontier"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query("x113_seasonal_backtest")
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest with a seasonal-naive baseline: predict each
+    (event_type, hour)'s count from the SAME hour one week earlier, then
+    score MAE / bias / coverage per type over the hours where both
+    exist. The evaluation harness m02's Prophet twin would plug into —
+    expressed as one hourly aggregate + a self-equi-join on the shifted
+    hour key (both sides derive from the same KB-bounded hourly frame).
+    All-integer errors -> bit-exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", ts).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    pred = hourly.select(
+        (F.col("hour") + F.expr("INTERVAL 7 DAYS")).alias("hour"),
+        "event_type",
+        F.col("c").alias("c_pred"),
+    )
+    scored = hourly.join(pred, ["hour", "event_type"]).select(
+        "hour",
+        "event_type",
+        "c",
+        "c_pred",
+        (F.col("c") - F.col("c_pred")).alias("err"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.sum(F.abs("err")).cast("double") / F.count(F.lit(1)), 12
+        ).alias("mae"),
+        F.round(
+            F.sum("err").cast("double") / F.count(F.lit(1)), 12
+        ).alias("bias"),
+        F.max(F.abs("err")).alias("worst_abs_err"),
+    )
+
+
 @query("x111_source_overlap_matrix")
 def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplication matrix: for every (source_a,

@@ -138,6 +138,8 @@ HEADLINE = [
     "x109_session_paths",
     "x110_label_centroids",
     "x111_source_overlap_matrix",
+    "x112_quota_sample",
+    "x113_seasonal_backtest",
 ]
 
 
