@@ -2731,11 +2731,22 @@ DRIVER_WINDOW: list[str] = [
     "g01_scan_filter", "g02_groupby_sum", "g03_multikey_agg", "g04_global_kpis",
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
-    "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x05_embedding_near_dup",
-    "x10_sessionize",
+    "x05_embedding_near_dup",
     "x19_asof_join",
-    "x41_redact_pii", "x46_quality_filter",
-    "x49_exact_percentiles",
+    "x41_redact_pii",
+    # round-4 eighth rotation: every remaining round-4 oracle-backed
+    # query earns a hash-checked driver slot. x103/x109/x110/x111/x112/
+    # x113 take the slots of x01_dedup_exact / x02_dedup_ngram_jaccard /
+    # x10_sessionize / x46_quality_filter / x49_exact_percentiles /
+    # x34_bucketed_q18 (all driver-green in CORRECTNESS_r03.json, still
+    # pytest-oracle-checked at sf0.001). Family reps that remain in the
+    # window: exact/incremental dedup -> x80, Jaccard pairs -> x104/x105/
+    # x111 (same pair plan, hash-checked), sessionization -> x109/x88,
+    # quality gates -> x103/x85, percentiles -> pytest + x39/x78,
+    # bucketed layout -> pytest zero-Exchange gate (test_bucketing).
+    "x103_quality_calibration", "x109_session_paths",
+    "x110_label_centroids", "x111_source_overlap_matrix",
+    "x112_quota_sample", "x113_seasonal_backtest",
     # round-4 seventh rotation: x102 (temperature mixture), x104
     # (canonical dedup), x105 (leakage-safe split), x106 (exact z-score
     # anomaly), x107 (seasonality index) take the slots of
@@ -2756,7 +2767,6 @@ DRIVER_WINDOW: list[str] = [
     # (frequent items -> x98, window frames -> x100/x16's ROWS twin via
     # pytest, incremental dedup -> x80).
     "x98_mergeable_topk", "x100_time_range_window", "x101_cohort_retention",
-    "x34_bucketed_q18",
     # round 4 rotation: x80 (Bloom-pruned incremental dedup, oracle =
     # x45's SQL) and x81 (SCD2 merge, full CTE oracle) take the slots of
     # x52_tpch_q4 and x53_tpch_q7 (both driver-green in
