@@ -1981,6 +1981,51 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x114_weighted_median"] = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+           PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+), hit AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM ranked WHERE 2 * cum_w >= tot_w
+)
+SELECT l_returnflag,
+       l_extendedprice AS weighted_median_price,
+       {_dec2dbl('tot_w')} AS total_weight
+FROM hit WHERE rn = 1
+"""
+
+
+EXTRA_ORACLES["x115_gini_concentration"] = f"""
+WITH cnt AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY c, user_id) AS i
+  FROM cnt
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(c AS DECIMAL(38,0))) AS s,
+         SUM(CAST(i * c AS DECIMAL(38,0))) AS t
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n AS n_users,
+       ROUND(2 * {_dec2dbl('t')} / (n * {_dec2dbl('s')})
+             - (n + 1) / CAST(n AS DOUBLE), 12) AS gini
+FROM agg
+"""
+
+
 EXTRA_ORACLES["x112_quota_sample"] = f"""
 WITH h AS (
   SELECT doc_id, lang, n_chars,

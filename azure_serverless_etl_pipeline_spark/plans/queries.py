@@ -2323,6 +2323,89 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x114_weighted_median")
+def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (quantity-weighted l_extendedprice per
+    return flag): sort within group, decimal-exact cumulative weight,
+    first row where 2·cum >= total. The hard-in-SQL exact order
+    statistic approx_percentile can't replace when the answer must be
+    auditable; fully distributed (all windows partition by the group),
+    tie-broken by (price, orderkey, linenumber) so the picked row is
+    engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,4)")
+    wp = W.partitionBy("l_returnflag")
+    wo = wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    cum = F.sum(qd).over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+    total = F.sum(qd).over(wp)
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        cum.alias("cum_w"),
+        total.alias("tot_w"),
+    ).filter(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
+    first = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    )
+    return (
+        ranked.withColumn("rn", first)
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+            F.col("tot_w").cast("double").alias("total_weight"),
+        )
+    )
+
+
+@query("x115_gini_concentration")
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration by event type
+    (G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n over counts sorted ascending) — the
+    inequality diagnostic behind heavy-hitter risk (x47) and skew
+    planning (operators/skew). Rank/moment sums are windows over the
+    (type, user) count frame; products accumulate in DECIMAL(38,0) so
+    the rank-weighted sum cannot overflow at any n."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = W.partitionBy("event_type")
+    wo = wp.orderBy("c", "user_id")
+    i = F.row_number().over(wo)
+    ranked = cnt.select(
+        "event_type",
+        "c",
+        i.alias("i"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("i") * F.col("c")).cast("decimal(38,0)")
+        ).alias("t"),
+    )
+    n = F.col("n")
+    sd = F.col("s").cast("double")
+    td = F.col("t").cast("double")
+    return agg.select(
+        "event_type",
+        n.alias("n_users"),
+        F.round(
+            F.lit(2) * td / (n * sd) - (n + F.lit(1)) / n.cast("double"),
+            12,
+        ).alias("gini"),
+    )
+
+
 @query("x112_quota_sample")
 def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quota stratified sampling (eval-set construction): EXACTLY

@@ -140,6 +140,8 @@ HEADLINE = [
     "x111_source_overlap_matrix",
     "x112_quota_sample",
     "x113_seasonal_backtest",
+    "x114_weighted_median",
+    "x115_gini_concentration",
 ]
 
 
