@@ -2814,9 +2814,13 @@ DRIVER_WINDOW: list[str] = [
     "g01_scan_filter", "g02_groupby_sum", "g03_multikey_agg", "g04_global_kpis",
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
-    "x05_embedding_near_dup",
     "x19_asof_join",
     "x41_redact_pii",
+    # ninth rotation: x114 (exact weighted median, never driver-checked)
+    # takes x05_embedding_near_dup's slot (driver-green in r03; the
+    # embedding-dedup family keeps hash-checked window reps via x104's
+    # cluster pipeline, x110 centroids, and x12 IVF-ANN).
+    "x114_weighted_median",
     # round-4 eighth rotation: every remaining round-4 oracle-backed
     # query earns a hash-checked driver slot. x103/x109/x110/x111/x112/
     # x113 take the slots of x01_dedup_exact / x02_dedup_ngram_jaccard /
