@@ -160,3 +160,89 @@ def test_line_dedup_separator_is_literal(spark, sep, docs):
         assert out[doc_id]["text"] == text, (sep, text)
         assert out[doc_id]["n_removed"] == 0
         assert out[doc_id]["n_lines"] == len(text.split(sep))
+
+
+def _py_weighted_median(vals, weights):
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    tot = sum(weights)
+    cum = 0.0
+    for i in order:
+        cum += weights[i]
+        if 2 * cum >= tot:
+            return vals[i]
+    return vals[order[-1]]
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=100),   # price (int -> exact)
+            st.integers(min_value=1, max_value=20),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_matches_python_reference(spark, data):
+    """x114's pick-first-past-half-weight rule == the sequential
+    definition, for any weights including heavy ties."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, float(p), float(wt)) for i, (p, wt) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, "rid long, price double, w double")
+    qd = F.col("w").cast("decimal(18,4)")
+    wp = W.partitionBy()
+    wo = wp.orderBy("price", "rid")
+    cum = F.sum(qd).over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+    total = F.sum(qd).over(wp)
+    hit = (
+        df.select("rid", "price", cum.alias("cw"), total.alias("tw"))
+        .filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .orderBy("price", "rid")
+        .limit(1)
+        .collect()[0]
+    )
+    vals = [float(p) for p, _ in data]
+    weights = [float(wt) for _, wt in data]
+    assert hit["price"] == _py_weighted_median(vals, weights)
+
+
+def _py_gini(counts):
+    xs = sorted(counts)
+    n = len(xs)
+    s = sum(xs)
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    return 2 * t / (n * s) - (n + 1) / n
+
+
+@SETTINGS
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=2, max_size=50
+    )
+)
+def test_gini_matches_python_reference(spark, counts):
+    """x115's windowed rank formulation == the textbook sorted-list Gini;
+    0 for uniform, < 1 - 1/n always."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "uid long, c long"
+    )
+    i = F.row_number().over(W.partitionBy().orderBy("c", "uid"))
+    ranked = df.select("c", i.alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("i") * F.col("c")).cast("decimal(38,0)")).alias("t"),
+    ).collect()[0]
+    n, s, t = agg["n"], float(agg["s"]), float(agg["t"])
+    got = 2 * t / (n * s) - (n + 1) / n
+    expected = _py_gini(counts)
+    assert abs(got - expected) < 1e-9
+    assert -1e-9 <= got < 1 - 1 / n + 1e-9
