@@ -627,9 +627,16 @@ def hashed_classifier_score(
     n = F.size(F.col("toks"))
     total = F.aggregate(F.col("toks"), F.lit(0.0), lambda acc, t: acc + weight(t))
     logit = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    # floor(x*1e6+0.5)/1e6, NOT round(x, 6): the mean of 1/1000-unit
+    # weights lands exactly ON 1e-6 round midpoints for some token
+    # counts, where Spark's exact-decimal HALF_UP and DuckDB's
+    # float-space round diverge (measured: 3/5000 docs off by 1e-6 at
+    # sf0.1). The floor form is a fixed IEEE chain — identical bits on
+    # any engine. Same discipline as x110's centroid quantization.
+    q = F.floor(logit * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return base.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        F.round(logit, 6).alias("logit"),
+        q.alias("logit"),
         (logit >= 0).alias("label"),
     )

@@ -1527,7 +1527,10 @@ WITH t AS (
          ELSE 0.0 END AS z
   FROM t
 )
-SELECT doc_id, n_tokens, ROUND(z, 6) AS logit, z >= 0 AS label FROM s
+-- floor(x*1e6+0.5)/1e6, not ROUND(z,6): tie-proof quantization, see
+-- hashed_classifier_score docstring (text.py)
+SELECT doc_id, n_tokens, floor(z * 1e6 + 0.5) / 1e6 AS logit,
+       z >= 0 AS label FROM s
 """
 
 
