@@ -1984,6 +1984,23 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x116_rate_limit"] = """
+WITH flagged AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY user_id, event_type,
+                        CAST(FLOOR(epoch_us(ts) / 600000000) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 12) AS suppressed_pct
+FROM flagged GROUP BY event_type
+"""
+
+
 EXTRA_ORACLES["x114_weighted_median"] = f"""
 WITH ranked AS (
   SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,

@@ -2323,6 +2323,39 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x116_rate_limit")
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-per-key-per-window throttling (notification/alert
+    rate limiting, the batch twin of dropDuplicatesWithinWatermark with
+    an ALIGNED window): at most one event per (user, type) per 10-min
+    wall bin, deterministic first-by-(ts, event_id). Output: per-type
+    kept/dropped accounting + suppression ratio. One window over the
+    (user, type, bin) partitioning, then a |types|-row aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    bin_ = F.floor(F.unix_micros(ts) / (600 * 1_000_000))
+    w = W.partitionBy("user_id", "event_type", bin_).orderBy(
+        "ts", "event_id"
+    )
+    flagged = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            12,
+        ).alias("suppressed_pct"),
+    )
+
+
 @query("x114_weighted_median")
 def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted median (quantity-weighted l_extendedprice per

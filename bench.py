@@ -142,6 +142,7 @@ HEADLINE = [
     "x113_seasonal_backtest",
     "x114_weighted_median",
     "x115_gini_concentration",
+    "x116_rate_limit",
 ]
 
 
