@@ -109,3 +109,65 @@ def test_guaranteed_items_truly_topk(streamed):
         # in the true top-k (ties can only help)
         for item in sub["item"]:
             assert int(item) in true_topk
+
+
+def test_state_survives_restart(spark, tmp_path):
+    """Kill the query after batch 1, add a file, restart from the same
+    checkpoint: the SpaceSaving state must carry over (n_seen covers
+    ALL files; counts equal the one-pass result). Memory sink cannot
+    resume, so results land in parquet via foreachBatch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.topk_stream import (
+        topk_stream,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "user_id")
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    def run_once():
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            topk_stream(stream, m=M, k=K)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    ev.filter(F.col("user_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()  # first run: file 1 only
+    ev.filter(F.col("user_id") % 3 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()  # restart from checkpoint: must NOT re-count file 1
+
+    got = spark.read.parquet(str(out)).toPandas()
+    final = got[got["n_seen"] == got.groupby("event_type")["n_seen"].transform("max")]
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+    )
+    truth = exact.set_index(["event_type", "user_id"])["c"]
+    for et, grp in exact.groupby("event_type"):
+        n = int(grp["c"].sum())
+        sub = final[final["event_type"] == et]
+        assert (sub["n_seen"] == n).all(), (et, sorted(set(sub["n_seen"])), n)
+    for _, r in final.iterrows():
+        t = int(truth.get((r["event_type"], r["item"]), 0))
+        assert r["lb"] <= t <= r["est"]
