@@ -603,6 +603,115 @@ def dup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def ngram_jaccard_pairs_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Jaccard near-dup pairs TOUCHING the new batch only: new-vs-new
+    plus new-vs-old — the arrival-path complement of the batch
+    ``ngram_jaccard_pairs``. A daily ingest must ask "which arriving
+    docs duplicate each other or the existing corpus?" without re-pairing
+    the corpus against itself: the old-old candidate join (the
+    quadratic-in-|corpus| term) never runs here; old shingles only
+    appear as the posting-list side of an equi-join against the (small)
+    new batch.
+
+    Exact-verified like the batch operator (every candidate re-checked
+    against FULL shingle sets), so uncapped output == the touching-new
+    subset of the batch operator's output, bit for bit. With
+    ``max_shingle_freq``, document frequencies are computed over the
+    UNION (matching what a one-shot run over old+new would see), so
+    candidate recall is never below the batch run's. Ids must be
+    disjoint across the two frames (standard for append-only ingest).
+
+    In a deployment ``old_docs``' shingle index is a materialized
+    artifact updated per batch; here it is derived, and the derivation
+    is the one extra old-corpus scan (linear, not quadratic).
+    """
+    new_base = new_docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    old_base = old_docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    new_sh = new_base.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).cache()
+    old_sh = old_base.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+
+    if max_shingle_freq is not None:
+        freq = (
+            new_sh.unionByName(old_sh)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        new_sh = new_sh.join(freq, "shingle")
+        old_sh = old_sh.join(freq, "shingle")
+
+    a, b = new_sh.alias("a"), new_sh.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    o = old_sh.alias("o")
+    no = (
+        a.join(o, F.col("a.shingle") == F.col("o.shingle"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+    )
+    cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])
+    base = new_base.unionByName(old_base)
+    return _verify_jaccard(cand, base, id_col, threshold)
+
+
+def incremental_dup_clusters(
+    old_clusters: DataFrame,
+    incremental_pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fold a new batch's pairs into an existing cluster map WITHOUT
+    re-running connected components over the historical pair set.
+
+    Old connectivity is preserved by STAR EDGES — each previously
+    clustered doc linked to its cluster label (the label is itself the
+    component's min doc id, so stars reproduce exactly the old
+    components) — and the new/cross pairs attach arriving docs, possibly
+    merging previously separate clusters through a new bridge doc. One
+    min-label propagation over |old clustered docs| + |new pairs| edges;
+    the historical pair set (quadratically larger than the map on dense
+    corpora) is never touched again.
+
+    Output has the same contract as ``dup_clusters``: one (doc_id,
+    cluster_id=min reachable id) row per doc that appears in any edge;
+    singletons are the caller's coalesce (see canonical_map).
+    """
+    stars = old_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    edges = incremental_pairs.select("id_a", "id_b").unionByName(stars)
+    return dup_clusters(edges, max_iter=max_iter)
+
+
 def canonical_map(
     docs: DataFrame,
     clusters: DataFrame,

@@ -1984,6 +1984,10 @@ FROM b GROUP BY 1
 """
 
 
+# the incremental cluster path must reproduce the one-shot batch truth:
+# same recursive-CTE oracle as x31 (see queries.x117 docstring)
+EXTRA_ORACLES["x117_incremental_clusters"] = ORACLES["x31_dup_clusters"]
+
 EXTRA_ORACLES["x116_rate_limit"] = """
 WITH flagged AS (
   SELECT event_type,

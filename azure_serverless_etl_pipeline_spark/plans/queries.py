@@ -2323,6 +2323,28 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x117_incremental_clusters")
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup cluster maintenance (dedup.
+    ngram_jaccard_pairs_incremental + incremental_dup_clusters): the
+    even-id half plays the existing corpus (its cluster map already
+    built), the odd-id half arrives as a batch; only touching-new pairs
+    are generated and old connectivity folds in as star edges. The
+    ORACLE is the one-shot recursive-CTE components over the WHOLE
+    corpus (x31's SQL) — the driver hash-check proves the incremental
+    path reproduces the batch truth exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old_map = dedup.dup_clusters(
+        dedup.ngram_jaccard_pairs(old, threshold=0.5, max_shingle_freq=50)
+    )
+    inc = dedup.ngram_jaccard_pairs_incremental(
+        new, old, threshold=0.5, max_shingle_freq=50
+    )
+    return dedup.incremental_dup_clusters(old_map, inc)
+
+
 @query("x116_rate_limit")
 def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first-per-key-per-window throttling (notification/alert

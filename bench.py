@@ -143,6 +143,7 @@ HEADLINE = [
     "x114_weighted_median",
     "x115_gini_concentration",
     "x116_rate_limit",
+    "x117_incremental_clusters",
 ]
 
 

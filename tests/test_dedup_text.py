@@ -460,3 +460,66 @@ def test_canonical_map_semantics(spark):
     # exactly one canonical per cluster
     cc = out.groupby("cluster_id")["is_canonical"].sum()
     assert (cc == 1).all()
+
+
+def test_incremental_pairs_and_clusters_equal_batch(spark):
+    """Split the corpus into an 'existing' and an 'arriving' half:
+    (a) the incremental pair generator returns EXACTLY the batch pairs
+    that touch the new half; (b) star-edge cluster merging reproduces
+    the one-shot connected components bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        incremental_dup_clusters,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full_pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    fp = {
+        (int(r.id_a), int(r.id_b))
+        for r in full_pairs.select("id_a", "id_b").collect()
+    }
+    assert fp, "fixture corpus must contain near-dup pairs"
+    inc = ngram_jaccard_pairs_incremental(new, old, threshold=0.5)
+    ip = {(int(r.id_a), int(r.id_b)) for r in inc.select("id_a", "id_b").collect()}
+    touching_new = {p for p in fp if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert ip == touching_new
+
+    old_map = dup_clusters(ngram_jaccard_pairs(old, threshold=0.5))
+    merged = incremental_dup_clusters(old_map, inc).toPandas()
+    full = dup_clusters(full_pairs).toPandas()
+    got = dict(zip(merged["doc_id"], merged["cluster_id"]))
+    want = dict(zip(full["doc_id"], full["cluster_id"]))
+    assert got == want
+
+
+def test_incremental_bridge_merges_old_clusters(spark):
+    """A new doc similar to members of two previously-SEPARATE clusters
+    must merge them (the transitive case star edges + propagation have
+    to get right)."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        incremental_dup_clusters,
+    )
+
+    old_map = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 10, 11], "cluster_id": [1, 1, 10, 10]}
+        )
+    )
+    # new doc 20 pairs with both cluster 1 and cluster 10 members
+    inc_pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [2, 11], "id_b": [20, 20]})
+    )
+    out = incremental_dup_clusters(old_map, inc_pairs).toPandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 20: 1}
