@@ -2869,13 +2869,18 @@ DRIVER_WINDOW: list[str] = [
     "g01_scan_filter", "g02_groupby_sum", "g03_multikey_agg", "g04_global_kpis",
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
-    "x19_asof_join",
-    "x41_redact_pii",
     # ninth rotation: x114 (exact weighted median, never driver-checked)
     # takes x05_embedding_near_dup's slot (driver-green in r03; the
     # embedding-dedup family keeps hash-checked window reps via x104's
     # cluster pipeline, x110 centroids, and x12 IVF-ANN).
     "x114_weighted_median",
+    # tenth rotation: x115 (Gini), x116 (rate limit), x117 (incremental
+    # clusters, one-shot-CTE oracle) take the slots of x41_redact_pii /
+    # x19_asof_join / x67_chunk_documents (all driver-green in r03,
+    # still pytest-oracle-checked at sf0.001; PII/as-of/packing keep
+    # that standing evidence).
+    "x115_gini_concentration", "x116_rate_limit",
+    "x117_incremental_clusters",
     # round-4 eighth rotation: every remaining round-4 oracle-backed
     # query earns a hash-checked driver slot. x103/x109/x110/x111/x112/
     # x113 take the slots of x01_dedup_exact / x02_dedup_ngram_jaccard /
@@ -2948,7 +2953,6 @@ DRIVER_WINDOW: list[str] = [
     # still pytest-oracle-checked; x67 keeps the packing family's
     # hash-checked driver row).
     "x95_event_transitions", "x96_pagerank",
-    "x67_chunk_documents",
     "x70_tpch_q21_onescan", "x71_table_profile",
     # x108 (interpolated bigram LM) supersedes x72's window slot — the
     # unigram LM stays pytest-oracle-checked (driver-green in r03).
