@@ -1984,6 +1984,26 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x118_audience_overlap"] = """
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       ROUND(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 12)
+         AS audience_jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 # the incremental cluster path must reproduce the one-shot batch truth:
 # same recursive-CTE oracle as x31 (see queries.x117 docstring)
 EXTRA_ORACLES["x117_incremental_clusters"] = ORACLES["x31_dup_clusters"]

@@ -2323,6 +2323,47 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x118_audience_overlap")
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard of distinct-user sets for every
+    event-type pair (which behaviors share an audience — the
+    segmentation/cannibalization diagnostic). One distinct pass to
+    (type, user), a user-keyed self-join for pairwise intersections,
+    per-type distincts from the same frame; |types|² output. Integer
+    ratio -> bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                12,
+            ).alias("audience_jaccard"),
+        )
+    )
+
+
 @query("x117_incremental_clusters")
 def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup cluster maintenance (dedup.

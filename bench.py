@@ -144,6 +144,7 @@ HEADLINE = [
     "x115_gini_concentration",
     "x116_rate_limit",
     "x117_incremental_clusters",
+    "x118_audience_overlap",
 ]
 
 

@@ -143,3 +143,27 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         pr.explain("formatted")
     assert pr.count() > 0
+
+
+def test_bad_sf_dir_clean_error(spark):
+    """Driver contract edge: a nonexistent sf_dir must surface Spark's
+    clean PATH_NOT_FOUND analysis error, not a cryptic late failure."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf_nope", "events").count()
+
+
+def test_unknown_table_and_query_errors(spark):
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.serving import run_named_query
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    with pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, "/root/testdata/sf0.001", "nope")
+    with pytest.raises(KeyError, match="unknown query"):
+        run_named_query(spark, "nope_query", "/root/testdata/sf0.001")
