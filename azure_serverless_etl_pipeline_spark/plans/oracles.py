@@ -1984,6 +1984,35 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x119_daily_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), pts AS (
+  SELECT event_type,
+         CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+         y
+  FROM daily
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 12)
+         AS slope_per_day,
+       ROUND(CAST(sy AS DOUBLE) / n
+             - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx))
+               * (CAST(sx AS DOUBLE) / n), 12) AS intercept,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy)
+             / (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)), 12)
+         AS r2
+FROM agg
+"""
+
+
 EXTRA_ORACLES["x118_audience_overlap"] = """
 WITH du AS (
   SELECT DISTINCT event_type, user_id FROM events

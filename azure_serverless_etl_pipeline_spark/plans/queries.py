@@ -2323,6 +2323,52 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x119_daily_trend")
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity trend: closed-form OLS of daily event counts
+    over day index (slope/intercept/R²) — exact regression from INTEGER
+    power sums (n, Σx, Σy, Σxy, Σx², Σy²), no MLlib, no iteration, and
+    therefore bit-exact against a SQL oracle. The is-this-type-growing
+    diagnostic a monitoring layer computes continuously; one scan to
+    daily counts, day index via a per-type min-date window, |types|-row
+    output."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    daily = ev.groupBy(
+        "event_type", F.to_date(ts).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    x = F.datediff(
+        F.col("day"), F.min("day").over(W.partitionBy("event_type"))
+    ).cast("long")
+    pts = daily.select("event_type", x.alias("x"), "y")
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
+    intercept = sy.cast("double") / n - slope * (sx.cast("double") / n)
+    r2 = (
+        (n * sxy - sx * sy).cast("double")
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy))
+    )
+    return agg.select(
+        "event_type",
+        n.alias("n_days"),
+        F.round(slope, 12).alias("slope_per_day"),
+        F.round(intercept, 12).alias("intercept"),
+        F.round(r2, 12).alias("r2"),
+    )
+
+
 @query("x118_audience_overlap")
 def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix: Jaccard of distinct-user sets for every

@@ -145,6 +145,7 @@ HEADLINE = [
     "x116_rate_limit",
     "x117_incremental_clusters",
     "x118_audience_overlap",
+    "x119_daily_trend",
 ]
 
 
