@@ -1984,6 +1984,36 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x120_chi_square"] = """
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+), srcs AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS rm FROM cells GROUP BY source
+), lngs AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS cm FROM cells GROUP BY lang
+), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT source, lang, rm, cm, n FROM srcs CROSS JOIN lngs CROSS JOIN tot
+), obs AS (
+  SELECT g.source, g.lang, g.rm, g.cm, g.n, COALESCE(c.o, 0) AS o
+  FROM grid g LEFT JOIN cells c USING (source, lang)
+), terms AS (
+  SELECT n,
+         ROUND((o - (rm * cm) / CAST(n AS DOUBLE))
+               * (o - (rm * cm) / CAST(n AS DOUBLE))
+               / ((rm * cm) / CAST(n AS DOUBLE)), 12) AS term
+  FROM obs
+)
+SELECT CAST(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+         AS chi2,
+       (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM srcs)
+         * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM lngs) AS dof,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_cells
+FROM terms
+"""
+
+
 EXTRA_ORACLES["x119_daily_trend"] = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y

@@ -2323,6 +2323,47 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x120_chi_square")
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the (source, lang) contingency
+    table — are languages distributed independently of sources (uniform
+    crawl) or coupled (per-source language bias)? One scan to cell
+    counts; margins via windows over the cell frame (single-pass, same
+    discipline as x102); per-cell terms rounded to 12 and decimal-summed
+    so the statistic is FP-order-proof. Output: one row (chi2, dof, n,
+    cells) — the drift-dependence diagnostic x90 complements."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the cell frame is KB-bounded but feeds four branches (margins,
+    # total, grid, observed): cache it so the corpus scans once — the
+    # standard chi2 includes EMPTY grid cells ((0-e)^2/e = e), so the
+    # full margins cross-product is rebuilt and left-joined
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    ).cache()
+    srcs = cells.groupBy("source").agg(F.sum("o").alias("rm"))
+    lngs = cells.groupBy("lang").agg(F.sum("o").alias("cm"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = srcs.crossJoin(F.broadcast(lngs)).crossJoin(F.broadcast(tot))
+    obs = grid.join(cells, ["source", "lang"], "left").withColumn(
+        "o", F.coalesce("o", F.lit(0))
+    )
+    e = (F.col("rm") * F.col("cm")) / F.col("n").cast("double")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 12)
+    return obs.select(
+        "source", "lang", "o", "n", term.alias("term")
+    ).agg(
+        F.sum(F.col("term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("chi2"),
+        (
+            (F.countDistinct("source") - F.lit(1))
+            * (F.countDistinct("lang") - F.lit(1))
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
 @query("x119_daily_trend")
 def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type activity trend: closed-form OLS of daily event counts

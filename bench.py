@@ -146,6 +146,7 @@ HEADLINE = [
     "x117_incremental_clusters",
     "x118_audience_overlap",
     "x119_daily_trend",
+    "x120_chi_square",
 ]
 
 
