@@ -3081,15 +3081,17 @@ DRIVER_WINDOW: list[str] = [
     # still pytest-oracle-checked; x67 keeps the packing family's
     # hash-checked driver row).
     "x95_event_transitions", "x96_pagerank",
-    "x70_tpch_q21_onescan", "x71_table_profile",
+    "x70_tpch_q21_onescan",
     # x108 (interpolated bigram LM) supersedes x72's window slot — the
     # unigram LM stays pytest-oracle-checked (driver-green in r03).
     "x108_bigram_logprob",
-    "x73_line_dedup",
-    # 50th slot: oracle-backed IVF-ANN (demoted in r1, repromoted so the
-    # ANN-index family has a hash-checked driver row and the window is
-    # 50/50 oracle-green — no rows-only entries inside the window).
-    "x12_ann_ivf_topk",
+    # eleventh rotation (final): x118 (audience overlap), x119 (OLS
+    # trend) and x120 (chi-square) take the slots of x12_ann_ivf_topk /
+    # x71_table_profile / x73_line_dedup (all driver-green in r03, still
+    # pytest-oracle-checked at sf0.001; ANN/profiling/line-dedup keep
+    # that standing evidence — every slot now favors operators with no
+    # prior driver row).
+    "x118_audience_overlap", "x119_daily_trend", "x120_chi_square",
 ]
 
 _extras = [n for n in QUERIES if n not in DRIVER_WINDOW]
