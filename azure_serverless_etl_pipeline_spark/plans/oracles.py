@@ -1984,6 +1984,41 @@ FROM b GROUP BY 1
 """
 
 
+EXTRA_ORACLES["x121_type_cooccurrence"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), st AS (
+  SELECT DISTINCT user_id, event_type,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), ns AS (
+  SELECT COUNT(*) AS n_s FROM (SELECT DISTINCT user_id, session_id FROM st)
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_t FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM st a
+  JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+       ROUND(n_ab / CAST(n_s AS DOUBLE), 12) AS support,
+       ROUND((n_ab * n_s) / CAST(pa.n_t * pb.n_t AS DOUBLE), 12) AS lift
+FROM pairs
+JOIN per_type pa ON pa.event_type = type_a
+JOIN per_type pb ON pb.event_type = type_b
+CROSS JOIN ns
+"""
+
+
 EXTRA_ORACLES["x120_chi_square"] = """
 WITH cells AS (
   SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang

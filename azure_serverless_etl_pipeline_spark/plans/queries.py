@@ -2323,6 +2323,81 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x121_type_cooccurrence")
+def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence of event types within sessions:
+    support and lift for every type pair (lift>1 = the behaviors travel
+    together). Sessions are x10's 30-min-gap assignment; the session
+    frame reduces to distinct (user, session, type) rows, so the
+    within-session pair join fans out at most |types| per session.
+    Integer-ratio lift -> bit-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    st = (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_sess).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+        # feeds three branches (total, per-type, pair join); cache so the
+        # sessionize window runs once. The session total stays a 1-row
+        # FRAME (broadcast cross join) — no driver-side count().
+        .cache()
+    )
+    ns = (
+        st.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") / F.col("n_s").cast("double"), 12
+            ).alias("support"),
+            F.round(
+                (F.col("n_ab") * F.col("n_s"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                12,
+            ).alias("lift"),
+        )
+    )
+
+
 @query("x120_chi_square")
 def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of the (source, lang) contingency

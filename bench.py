@@ -147,6 +147,7 @@ HEADLINE = [
     "x118_audience_overlap",
     "x119_daily_trend",
     "x120_chi_square",
+    "x121_type_cooccurrence",
 ]
 
 
