@@ -634,9 +634,12 @@ def hashed_classifier_score(
     # sf0.1). The floor form is a fixed IEEE chain — identical bits on
     # any engine. Same discipline as x110's centroid quantization.
     q = F.floor(logit * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # label derives from the QUANTIZED logit so the emitted (logit, label)
+    # pair is internally consistent: a raw logit in [-5e-7, 0) prints as
+    # 0.0 and must carry label=true, not false (mirrored in the oracle).
     return base.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         q.alias("logit"),
-        (logit >= 0).alias("label"),
+        (q >= 0).alias("label"),
     )

@@ -1528,9 +1528,10 @@ WITH t AS (
   FROM t
 )
 -- floor(x*1e6+0.5)/1e6, not ROUND(z,6): tie-proof quantization, see
--- hashed_classifier_score docstring (text.py)
+-- hashed_classifier_score docstring (text.py); label from the QUANTIZED
+-- value so (logit, label) stays internally consistent
 SELECT doc_id, n_tokens, floor(z * 1e6 + 0.5) / 1e6 AS logit,
-       z >= 0 AS label FROM s
+       floor(z * 1e6 + 0.5) / 1e6 >= 0 AS label FROM s
 """
 
 
@@ -2065,15 +2066,21 @@ WITH daily AS (
          CAST(SUM(y*y) AS BIGINT) AS syy
   FROM pts GROUP BY event_type
 )
+-- degenerate series (n=1 or zero variance) pinned to NULL explicitly,
+-- matching the Spark plan's F.when guards (x119 docstring)
 SELECT event_type, n AS n_days,
-       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 12)
-         AS slope_per_day,
-       ROUND(CAST(sy AS DOUBLE) / n
-             - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx))
-               * (CAST(sx AS DOUBLE) / n), 12) AS intercept,
-       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy)
-             / (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)), 12)
-         AS r2
+       CASE WHEN n > 1 AND (n*sxx - sx*sx) <> 0 THEN
+         ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 12)
+       END AS slope_per_day,
+       CASE WHEN n > 1 AND (n*sxx - sx*sx) <> 0 THEN
+         ROUND(CAST(sy AS DOUBLE) / n
+               - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx))
+                 * (CAST(sx AS DOUBLE) / n), 12)
+       END AS intercept,
+       CASE WHEN n > 1 AND (n*sxx - sx*sx) <> 0 AND (n*syy - sy*sy) <> 0 THEN
+         ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy)
+               / (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)), 12)
+       END AS r2
 FROM agg
 """
 

@@ -2469,12 +2469,21 @@ def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
-    intercept = sy.cast("double") / n - slope * (sx.cast("double") / n)
-    r2 = (
+    # Degenerate series (single day, or zero count variance) zero a
+    # denominator; Spark's non-ANSI division would yield NULL while
+    # DuckDB's IEEE float ops yield Inf/NaN — pin the case to NULL
+    # EXPLICITLY on both sides so the oracles agree bit-for-bit.
+    x_ok = (n > 1) & ((n * sxx - sx * sx) != 0)
+    y_ok = (n * syy - sy * sy) != 0
+    slope = F.when(
+        x_ok, (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
+    )
+    intercept = F.when(x_ok, sy.cast("double") / n - slope * (sx.cast("double") / n))
+    r2 = F.when(
+        x_ok & y_ok,
         (n * sxy - sx * sy).cast("double")
         * (n * sxy - sx * sy)
-        / ((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy))
+        / ((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy)),
     )
     return agg.select(
         "event_type",

@@ -140,6 +140,11 @@ class SessionTracker(StatefulProcessor):
                 out.append(_emit(user_id, start_us, last_us, n, total, "gap"))
                 start_us, last_us, n, total = t, t, 1, float(v)
             else:
+                # Under a nonzero watermark a late event may predate the
+                # open session's start (t < start_us makes t - last_us
+                # negative, never exceeding the gap); widen the session so
+                # the emitted start/n_events always bound the members.
+                start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
                 total += float(v)

@@ -110,7 +110,15 @@ def _make_topk(m: int, k: int):
         ranked = sorted(
             summary.items(), key=lambda kv: (-kv[1][0], kv[0])
         )
-        kplus1_ub = ranked[k][1][0] if len(ranked) > k else 0
+        if len(ranked) > k:
+            kplus1_ub = ranked[k][1][0]
+        elif len(summary) >= m:
+            # Summary saturated with <= k tracked items: an evicted
+            # (untracked) item's true count can reach the summary
+            # minimum, so that — not 0 — is the competitor bound.
+            kplus1_ub = min(cnt for cnt, _ in summary.values())
+        else:
+            kplus1_ub = 0
         rows = []
         for rank, (item, (cnt, err)) in enumerate(ranked[:k], start=1):
             rows.append(

@@ -40,7 +40,6 @@ QUERIES_TO_RUN = [
 def generate(spark) -> None:
     base = spark.range(N).withColumnRenamed("id", "doc_id")
     # every 20th doc and its successor share a seed -> exact dup pairs
-    seed = (F.col("doc_id") - (F.col("doc_id") % 20 == 1).cast("long")) / 1
     seed = F.when(
         F.col("doc_id") % 20 == 1, F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
