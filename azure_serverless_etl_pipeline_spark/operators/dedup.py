@@ -712,6 +712,110 @@ def incremental_dup_clusters(
     return dup_clusters(edges, max_iter=max_iter)
 
 
+def materialize_incremental_state(
+    old_docs: DataFrame,
+    state_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> None:
+    """One-time build of the artifacts an incremental-dedup deployment
+    keeps warm between batches, written as parquet under ``state_dir``:
+
+    - ``old_base``    — (id, shingles array) for the existing corpus;
+    - ``shingle_df``  — per-shingle document frequency over that corpus;
+    - ``old_map``     — its near-dup cluster map (dup_clusters output).
+
+    Each arriving batch then pays only the incremental tail
+    (``ngram_jaccard_pairs_incremental_indexed`` +
+    ``incremental_dup_clusters``): the old corpus is never re-shingled,
+    re-paired, or re-clustered — the linear old-corpus scans this build
+    performs happen once, not per batch. After folding a batch in, a
+    deployment appends the batch's rows to these artifacts (same
+    schemas), keeping the steady-state cost proportional to batch size.
+    """
+    base = old_docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    base.write.mode("overwrite").parquet(f"{state_dir}/old_base")
+    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/shingle_df")
+    old_map = dup_clusters(
+        ngram_jaccard_pairs(
+            old_docs,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            max_shingle_freq=max_shingle_freq,
+        )
+    )
+    old_map.write.mode("overwrite").parquet(f"{state_dir}/old_map")
+
+
+def ngram_jaccard_pairs_incremental_indexed(
+    new_docs: DataFrame,
+    old_base: DataFrame,
+    old_shingle_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """``ngram_jaccard_pairs_incremental`` reading MATERIALIZED old-corpus
+    state instead of re-deriving it: ``old_base`` is the persisted
+    (id, shingles) table and ``old_shingle_df`` the persisted per-shingle
+    document frequencies (see materialize_incremental_state). Identical
+    output — the union document frequency the cap filters on is
+    reconstructed as old_df + new batch counts, so candidate recall
+    matches a one-shot run over old+new exactly. The only old-corpus
+    work per batch is the linear posting-list scan of ``old_base``
+    (map-side explode of stored arrays; no shuffle of the old corpus)."""
+    new_base = new_docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    new_sh = new_base.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).cache()
+    old_sh = old_base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+
+    if max_shingle_freq is not None:
+        new_cnt = new_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndf"))
+        freq = (
+            old_shingle_df.join(new_cnt, "shingle", "full_outer")
+            .filter(
+                F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("ndf"), F.lit(0))
+                <= max_shingle_freq
+            )
+            .select("shingle")
+        )
+        new_sh = new_sh.join(freq, "shingle")
+        old_sh = old_sh.join(freq, "shingle")
+
+    a, b = new_sh.alias("a"), new_sh.alias("b")
+    nn = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    o = old_sh.alias("o")
+    no = a.join(o, F.col("a.shingle") == F.col("o.shingle")).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+    )
+    cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])
+    base = new_base.unionByName(old_base)
+    return _verify_jaccard(cand, base, id_col, threshold)
+
+
 def canonical_map(
     docs: DataFrame,
     clusters: DataFrame,

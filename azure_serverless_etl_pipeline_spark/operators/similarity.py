@@ -210,6 +210,14 @@ def margin_topk_match(
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cos_sim", F.round(_cos_pair("q_vec", "c_vec"), 12)
     )
+    return _margin_from_scored(scored, k)
+
+
+def _margin_from_scored(scored: DataFrame, k: int) -> DataFrame:
+    """Shared margin tail: top-k window per source, then the per-source
+    best/mean-of-top-k aggregate (determinism contract: cos already
+    rounded to 12 before ranking; top-k mean summed as DECIMAL(38,12),
+    margin rounded to 9)."""
     w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("tgt_id"))
     topk = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -227,4 +235,76 @@ def margin_topk_match(
     )
 
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_topk", "margin_topk_match"]
+def margin_topk_match_blocked(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    n_cells: int = 8,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus-scale bitext margin mining: IVF-cell-routed candidate
+    generation instead of ``margin_topk_match``'s broadcast-source cross
+    join.
+
+    The broadcast form is right when the source side is a bounded query
+    set; mining two *monolingual corpora* against each other makes both
+    sides corpus-sized and a broadcast of either dies at 100x. Here the
+    target corpus is IVF-indexed (seeded MLlib k-means codebook,
+    ann_index.build_ivf_index), each source vector is routed to its
+    ``nprobe`` nearest cells through the tiny broadcast codebook
+    (n_cells rows — bounded regardless of corpus size), and matching is
+    a cell-keyed EQUI-join: both sides shuffle-partition by cell, no
+    corpus-sized broadcast, no cartesian. Per-cell work is
+    O(|cell| * |sources routed to it|) — the SemDeDup blocking pattern
+    applied to the margin criterion.
+
+    With ``nprobe == n_cells`` every cell is probed and the result is
+    EXACT (equal to margin_topk_match bit for bit — same rounding
+    contract) while the plan stays shuffle-partitioned: that is the
+    configuration the x122 oracle pins. At scale the knob drops to
+    nprobe << n_cells, trading recall for a ~n_cells/nprobe cost cut on
+    the standard IVF curve; synthetic uniform embeddings have no cluster
+    structure for the codebook to exploit, so the exact setting is also
+    the honest default here.
+    """
+    from .ann_index import build_ivf_index
+
+    indexed, centroids = build_ivf_index(
+        tgt, k=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    spark = tgt.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cent_vec array<double>",
+    ).withColumn("cent_vec_nrm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec"))))
+
+    q = _prepped(src, id_col, vec_col, "src_id", "q_vec")
+    wq = W.partitionBy("src_id").orderBy(F.desc("cent_sim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", _cos_pair("q_vec", "cent_vec"))
+        .withColumn("cent_rank", F.row_number().over(wq))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("src_id", "q_vec", "q_vec_nrm", "cell")
+    )
+    c = _prepped(
+        indexed, id_col, vec_col, "tgt_id", "c_vec", extra={"cell": "cell"}
+    )
+    # Cell-keyed equi-join — a tgt vector lives in exactly one cell and a
+    # source's probe cells are distinct, so each (src, tgt) pair appears
+    # at most once; no dedup shuffle needed before the rank window.
+    scored = c.join(probes, "cell").withColumn(
+        "cos_sim", F.round(_cos_pair("q_vec", "c_vec"), 12)
+    )
+    return _margin_from_scored(scored, k)
+
+
+__all__ = [
+    "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_topk",
+    "margin_topk_match",
+    "margin_topk_match_blocked",
+]

@@ -2394,6 +2394,63 @@ FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
 """
 
 
+# x124: the oracle is the UNSALTED join — salting must be semantically
+# invisible (skew.salted_join docstring)
+EXTRA_ORACLES["x124_skew_salted_join"] = f"""
+WITH big AS (
+  SELECT CASE WHEN event_id % 10 < 7 THEN 0
+              ELSE event_id % 1000 END AS skew_key, value
+  FROM events
+), dim AS (
+  SELECT range AS skew_key, range % 5 AS tier FROM range(1000)
+)
+SELECT tier, COUNT(*) AS n_rows, {_dsum('value', 'sum_value')}
+FROM big JOIN dim USING (skew_key)
+GROUP BY tier
+"""
+
+
+# x123: the seeded isolation-tree ensemble compiled to SQL CASE chains —
+# the independent re-scoring of the pandas-UDF path (ml/isoforest.py);
+# integer arithmetic end to end, so exact on any engine
+def _isoforest_oracle() -> str:
+    from ..ml.isoforest import CUTOFF, N_TREES, tree_sum_sql
+
+    return f"""
+WITH feats AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types,
+         CAST(MAX(EXTRACT(hour FROM ts)) AS BIGINT) AS max_hour
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), f AS (
+  SELECT user_id, d, n_events, n_types, max_hour,
+         CAST(isodow(d) - 1 AS BIGINT) AS dow
+  FROM feats
+), scored AS (
+  SELECT *, CAST({tree_sum_sql()} AS BIGINT) AS sum_depth FROM f
+)
+SELECT user_id, CAST(d AS TIMESTAMP) AS day, n_events, n_types, max_hour,
+       dow, sum_depth,
+       CAST(sum_depth AS DOUBLE) / {N_TREES} AS avg_path,
+       sum_depth <= {CUTOFF} AS anomaly
+FROM scored
+"""
+
+
+EXTRA_ORACLES["x123_isoforest_score"] = _isoforest_oracle()
+
+
+# x117b reads materialized old-corpus state but must still reproduce the
+# one-shot batch truth — same recursive-CTE components oracle as x117/x31
+EXTRA_ORACLES["x117b_incremental_clusters_indexed"] = EXTRA_ORACLES[
+    "x117_incremental_clusters"
+]
+
+# x122 (IVF-cell-blocked bitext margin, nprobe == n_cells) computes exactly
+# x91's result through a shuffle-partitioned plan — same SQL truth
+EXTRA_ORACLES["x122_bitext_margin_blocked"] = EXTRA_ORACLES["x91_bitext_margin"]
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

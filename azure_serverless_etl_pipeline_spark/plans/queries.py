@@ -3046,6 +3046,154 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x124_skew_salted_join")
+def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join over a deliberately Zipf-skewed key
+    (operators/skew.salted_join): 70% of fact rows share one hot key,
+    the pathology that sinks a plain shuffle join at scale — every hot
+    row lands on ONE reducer regardless of cluster size. The salt
+    spreads the hot key across 8 sub-partitions (dim side replicated 8x
+    map-side, no extra shuffle); the dim carries a merge hint so the
+    demonstration exercises the shuffle path salting exists for rather
+    than degenerating to a local broadcast. Output is the per-tier
+    rollup, so the ORACLE is the plain unsalted join — the driver hash
+    proves salting is semantically invisible. The AQE skew-split
+    counterpart (runtime partition splitting on the same shape) is
+    plan-gated in test_plan_quality."""
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    key = (
+        F.when(F.col("event_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("event_id") % 1000)
+        .cast("long")
+    )
+    big = ev.select(key.alias("skew_key"), "value")
+    dim = spark.range(1000).select(
+        F.col("id").alias("skew_key"), (F.col("id") % 5).alias("tier")
+    )
+    joined = skew.salted_join(big, dim.hint("merge"), ["skew_key"])
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("value", "sum_value")
+    )
+
+
+@query("x123_isoforest_score")
+def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest anomaly scoring with a broadcast model artifact
+    (ml/isoforest) — the oracle-backed twin of the reference's M-2
+    (pre-trained IsolationForest over the per-key daily feature matrix,
+    ``ml_forecast_anomaly.py:214-222``). Features are exact integers per
+    (user, day): event count, distinct types, latest hour, weekday —
+    the reference's [total, unique_appliances, rolling, dow] shape. The
+    24-tree ensemble is a seeded artifact: Spark scores it via one
+    Arrow-batched pandas UDF over the broadcast tree table (map-only
+    after the feature shuffle); the oracle re-scores via the same trees
+    compiled to SQL CASE chains — integer-exact, so this is the one
+    pandas-UDF model path the driver can hash-check."""
+    from ..ml import isoforest
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    feats = (
+        ev.groupBy("user_id", F.to_date(ts).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max(F.hour(ts)).cast("long").alias("max_hour"),
+        )
+        .withColumn("dow", weekday_mon0(F.col("day")).cast("long"))
+    )
+    scored = isoforest.score_df(feats)
+    return scored.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        "n_types",
+        "max_hour",
+        "dow",
+        "sum_depth",
+        "avg_path",
+        "anomaly",
+    )
+
+
+def _incremental_state_dir(sf_dir: str) -> str:
+    """Per-sf_dir cache location for x117b's materialized old-corpus
+    artifacts, keyed by the documents file's (mtime, size) so regenerated
+    testdata invalidates the cache automatically."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "incremental_state",
+        tag,
+    )
+
+
+@query("x117b_incremental_clusters_indexed")
+def x117b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x117's incremental cluster maintenance reading MATERIALIZED
+    old-corpus state — the number a deployment actually pays per batch.
+    x117 recomputes the old half's cluster map and shingle index inside
+    the timed query (an 11s standing cost that is all SETUP, not
+    incremental work); here those artifacts are parquet written once
+    (dedup.materialize_incremental_state, built lazily on first touch
+    per sf_dir and reused), and the query itself runs only the
+    incremental tail: shingle the new batch, probe the stored posting
+    lists, exact-verify, fold into the stored map via star edges. Same
+    ORACLE as x117 — the one-shot recursive-CTE components over the
+    WHOLE corpus — so the driver hash proves the materialized path
+    still reproduces batch truth exactly."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _incremental_state_dir(sf_dir)
+    if not os.path.exists(os.path.join(state, "old_map")):
+        dedup.materialize_incremental_state(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            state,
+            threshold=0.5,
+            max_shingle_freq=50,
+        )
+    old_base = spark.read.parquet(f"{state}/old_base")
+    old_df = spark.read.parquet(f"{state}/shingle_df")
+    old_map = spark.read.parquet(f"{state}/old_map")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = dedup.ngram_jaccard_pairs_incremental_indexed(
+        new, old_base, old_df, threshold=0.5, max_shingle_freq=50
+    )
+    return dedup.incremental_dup_clusters(old_map, inc)
+
+
+@query("x122_bitext_margin_blocked")
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale bitext margin mining (similarity.
+    margin_topk_match_blocked): the same Artetxe-Schwenk margin result
+    as x91, but candidates route through IVF cells (seeded k-means
+    codebook over the Spanish side) and match via a cell-keyed
+    EQUI-join — no corpus-sized broadcast, no cartesian. x91 broadcasts
+    the whole en half (fine for a query set, fatal when the "query set"
+    is a monolingual corpus at 100x); this is the shape that survives.
+    nprobe == n_cells here, so the oracle is x91's exact SQL — the
+    driver hash proves blocked == broadcast bit for bit; at scale
+    nprobe drops below n_cells on the standard IVF recall/cost curve.
+    Plan gate: test_plan_quality asserts no BroadcastNestedLoopJoin /
+    CartesianProduct anywhere in this plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    src = joined.filter(F.col("lang") == "en").drop("lang")
+    tgt = joined.filter(F.col("lang") == "es").drop("lang")
+    return similarity.margin_topk_match_blocked(src, tgt, k=4, n_cells=8, nprobe=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver window — the correctness driver checks exactly the FIRST 50
 # ``queries()`` entries (insertion order). Round 3 rotates the window so the

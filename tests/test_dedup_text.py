@@ -523,3 +523,53 @@ def test_incremental_bridge_merges_old_clusters(spark):
     out = incremental_dup_clusters(old_map, inc_pairs).toPandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 10: 1, 11: 1, 20: 1}
+
+
+def test_incremental_indexed_equals_derived(spark, tmp_path):
+    """The materialized-state tail (x117b's path) must produce exactly the
+    derived-state output: same incremental pairs, same merged clusters,
+    with the old corpus read only from its persisted artifacts."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        incremental_dup_clusters,
+        materialize_incremental_state,
+        ngram_jaccard_pairs_incremental,
+        ngram_jaccard_pairs_incremental_indexed,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    materialize_incremental_state(old, state, threshold=0.5, max_shingle_freq=50)
+
+    old_base = spark.read.parquet(f"{state}/old_base")
+    old_df = spark.read.parquet(f"{state}/shingle_df")
+    got = ngram_jaccard_pairs_incremental_indexed(
+        new, old_base, old_df, threshold=0.5, max_shingle_freq=50
+    ).toPandas()
+    want = ngram_jaccard_pairs_incremental(
+        new, old, threshold=0.5, max_shingle_freq=50
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(got) == key(want)
+
+    old_map = spark.read.parquet(f"{state}/old_map")
+    merged = incremental_dup_clusters(
+        old_map,
+        ngram_jaccard_pairs_incremental_indexed(
+            new, old_base, old_df, threshold=0.5, max_shingle_freq=50
+        ),
+    ).toPandas()
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    full = dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5)).toPandas()
+    got_map = dict(zip(merged["doc_id"], merged["cluster_id"]))
+    want_map = dict(zip(full["doc_id"], full["cluster_id"]))
+    assert got_map == want_map

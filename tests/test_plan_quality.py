@@ -344,3 +344,123 @@ def test_entropy_and_transitions_single_scan(spark, queries):
         plan = plan_of(queries[name](spark, SF_ORACLE))
         assert n_scans(plan) == 1, name
         assert "Join" not in plan, name
+
+
+def test_blocked_bitext_is_equi_join_no_corpus_broadcast(spark, queries):
+    """x122 replaces x91's broadcast-source cross join (fatal when the
+    source side is corpus-sized) with IVF-cell routing: the corpus match
+    must be an EQUI-join on the cell key, the only nested-loop join in
+    the plan is the bounded 8-row codebook fan-out, and no cartesian
+    appears anywhere. x91 keeps the cross-join shape by design (query-set
+    sources) — asserted as the contrast so the difference stays visible."""
+    import re
+
+    plan = plan_of(queries["x122_bitext_margin_blocked"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # the corpus match is keyed on cell (SMJ/SHJ/BHJ all acceptable)
+    assert re.search(r"keys \[\d+\]: \[cell", plan), plan[:2000]
+    # exactly one nested-loop join node: the codebook (driver-local rows)
+    bnlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_nodes) <= 1, bnlj_nodes
+    # ...and no parquet corpus scan sits inside that nested-loop join's
+    # subtree: the only cross fan-out is the driver-local codebook
+    # (Scan ExistingRDD/LocalTableScan), never a file scan
+    tree = plan.split("\n\n")[0].splitlines()
+    for i, line in enumerate(tree):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" +-:"))
+        subtree = []
+        for below in tree[i + 1 :]:
+            if len(below) - len(below.lstrip(" +-:")) <= indent:
+                break
+            subtree.append(below)
+        # immediate children sit at the minimal indent; the BUILD side is
+        # the last child under BuildRight (the streamed side may scan
+        # parquet freely — only the broadcast side must stay bounded)
+        kid_indent = min(len(s) - len(s.lstrip(" +-:")) for s in subtree)
+        kid_starts = [
+            j
+            for j, s in enumerate(subtree)
+            if len(s) - len(s.lstrip(" +-:")) == kid_indent
+        ]
+        build = subtree[kid_starts[-1] if "BuildRight" in line else 0 :]
+        if "BuildRight" not in line and len(kid_starts) > 1:
+            build = subtree[: kid_starts[1]]
+        assert not any("parquet" in s for s in build), "\n".join(build)
+    # contrast: x91's deliberate broadcast-source cross join
+    plan91 = plan_of(queries["x91_bitext_margin"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan91
+
+
+def test_salted_join_spreads_hot_key(spark, queries):
+    """x124: the salted join must be a shuffle join keyed on
+    (skew_key, __salt) — the salt in the partitioning is what spreads the
+    hot key over salt_buckets reducers; a broadcast of the dim would
+    silently drop the demonstration."""
+    plan = plan_of(queries["x124_skew_salted_join"](spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan
+    import re
+
+    assert re.search(r"hashpartitioning\(skew_key#\d+L?, __salt", plan), (
+        "big side must shuffle on (skew_key, __salt)"
+    )
+
+
+def test_aqe_splits_skewed_partition(spark):
+    """AQE's runtime skew-join splitting — the complement of explicit
+    salting for skew discovered only at run time — must engage on a
+    hot-key join once the skewed partition exceeds the thresholds: the
+    executed SortMergeJoin is marked skew=true and the run completes."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the join feeds an aggregation, so splitting the skewed partition
+        # costs AQE an extra shuffle and the default cost check vetoes it;
+        # force = "skew hurts more than one shuffle", the right call when
+        # one reducer would otherwise hold 70% of the data
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # 2M rows, 70% on one key -> one reducer partition far over the
+        # threshold while the rest stay tiny
+        big = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("tier")
+        )
+        joined = big.join(dim.hint("merge"), "k").groupBy("tier").count()
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
