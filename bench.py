@@ -148,7 +148,46 @@ HEADLINE = [
     "x119_daily_trend",
     "x120_chi_square",
     "x121_type_cooccurrence",
+    "x122_bitext_margin_blocked",
+    "x123_isoforest_score",
+    "x124_skew_salted_join",
+    # x117b reads materialized old-corpus state: its warm-up builds the
+    # artifacts once (cached per sf_dir), the timed runs pay only the
+    # per-batch incremental tail — the deployment number x117's
+    # full-recompute demo deliberately does not show
+    "x117b_incremental_clusters_indexed",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Calibration: three pinned trivial workloads (pure CPU, one shuffle, one
+# parquet scan) whose code never changes. The container's absolute speed
+# drifted 1.5-1.7x UNIFORMLY between rounds 3 and 4 and forced a full
+# re-record of BASELINE.md; these separate machine drift from plan
+# regressions — "drift" in the output JSON is the median ratio of today's
+# calibration medians to the reference medians recorded in BASELINE.md
+# (round-5 calibration addendum). A real regression moves one query's
+# ratio, not the calibration set.
+# ---------------------------------------------------------------------------
+CALIBRATION_REF = {  # medians of 4 round-5 runs on the round-5 container
+    "calib_cpu": 0.27,
+    "calib_shuffle": 0.60,
+    "calib_scan": 0.22,
+}
+
+
+def _calibration(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return {
+        "calib_cpu": lambda: spark.range(50_000_000)
+        .select(F.sum((F.col("id") * 3) % 7).alias("s")),
+        "calib_shuffle": lambda: spark.range(2_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "calib_scan": lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.sum("l_extendedprice").alias("s")),
+    }
 
 
 def main() -> None:
@@ -164,6 +203,22 @@ def main() -> None:
     # Optional subset re-run (regression triage): comma-separated names.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+
+    calibration: dict[str, float] = {}
+    for cname, build in _calibration(spark, sf_dir).items():
+        build().write.format("noop").mode("overwrite").save()  # warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        calibration[cname] = round(statistics.median(samples), 4)
+    drift = round(
+        statistics.median(
+            calibration[c] / CALIBRATION_REF[c] for c in CALIBRATION_REF
+        ),
+        4,
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -211,6 +266,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "runs": runs,
+                "calibration": calibration,
+                "drift": drift,
                 **({"errors": errors} if errors else {}),
             }
         )
