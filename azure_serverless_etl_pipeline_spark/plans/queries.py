@@ -3229,101 +3229,44 @@ DRIVER_WINDOW: list[str] = [
     "g01_scan_filter", "g02_groupby_sum", "g03_multikey_agg", "g04_global_kpis",
     "g05_topk", "g06_join_global_avg", "g07_date_spine", "g08_rolling_features",
     "g09_grouping_sets", "g10_ingest_validation",
-    # ninth rotation: x114 (exact weighted median, never driver-checked)
-    # takes x05_embedding_near_dup's slot (driver-green in r03; the
-    # embedding-dedup family keeps hash-checked window reps via x104's
-    # cluster pipeline, x110 centroids, and x12 IVF-ANN).
-    "x114_weighted_median",
-    # tenth rotation: x115 (Gini), x116 (rate limit), x117 (incremental
-    # clusters, one-shot-CTE oracle) take the slots of x41_redact_pii /
-    # x19_asof_join / x67_chunk_documents (all driver-green in r03,
-    # still pytest-oracle-checked at sf0.001; PII/as-of/packing keep
-    # that standing evidence).
-    "x115_gini_concentration", "x116_rate_limit",
-    "x117_incremental_clusters",
-    # round-4 eighth rotation: every remaining round-4 oracle-backed
-    # query earns a hash-checked driver slot. x103/x109/x110/x111/x112/
-    # x113 take the slots of x01_dedup_exact / x02_dedup_ngram_jaccard /
-    # x10_sessionize / x46_quality_filter / x49_exact_percentiles /
-    # x34_bucketed_q18 (all driver-green in CORRECTNESS_r03.json, still
-    # pytest-oracle-checked at sf0.001). Family reps that remain in the
-    # window: exact/incremental dedup -> x80, Jaccard pairs -> x104/x105/
-    # x111 (same pair plan, hash-checked), sessionization -> x109/x88,
-    # quality gates -> x103/x85, percentiles -> pytest + x39/x78,
-    # bucketed layout -> pytest zero-Exchange gate (test_bucketing).
-    "x103_quality_calibration", "x109_session_paths",
-    "x110_label_centroids", "x111_source_overlap_matrix",
-    "x112_quota_sample", "x113_seasonal_backtest",
-    # round-4 seventh rotation: x102 (temperature mixture), x104
-    # (canonical dedup), x105 (leakage-safe split), x106 (exact z-score
-    # anomaly), x107 (seasonality index) take the slots of
-    # x36_tfidf_top_terms / x06_ann_cosine_topk / x48_cross_source_overlap
-    # / x74_embedding_dup_clusters / x35_attribution_join (all
-    # driver-green in CORRECTNESS_r03.json, still pytest-oracle-checked
-    # at sf0.001); every demoted family keeps a window representative
-    # (term stats -> x72/x82, ANN -> x12, contamination -> x84, clusters
-    # -> x104, event-time joins -> x88/x19).
-    "x102_temperature_mixture", "x104_canonical_dedup",
-    "x105_leakage_safe_split", "x106_count_anomaly",
-    "x107_seasonality_index",
-    # round-4 sixth rotation: x98 (mergeable top-k), x100 (event-time
-    # RANGE window) and x101 (cohort retention) take the slots of
-    # x47_heavy_hitters / x16_window_suite / x45_incremental_dedup (all
-    # driver-green in CORRECTNESS_r03.json, still pytest-oracle-checked
-    # at sf0.001); each demoted family keeps a window representative
-    # (frequent items -> x98, window frames -> x100/x16's ROWS twin via
-    # pytest, incremental dedup -> x80).
-    "x98_mergeable_topk", "x100_time_range_window", "x101_cohort_retention",
-    # round 4 rotation: x80 (Bloom-pruned incremental dedup, oracle =
-    # x45's SQL) and x81 (SCD2 merge, full CTE oracle) take the slots of
-    # x52_tpch_q4 and x53_tpch_q7 (both driver-green in
-    # CORRECTNESS_r03.json, still pytest-oracle-checked at sf0.001) so
-    # the newest oracle-backed operators earn hash-checked driver rows.
-    "x80_bloom_incremental_dedup",
-    "x81_scd2_merge",
-    # round 5 rotation: x82 (PMI collocations), x83 (dual-regime token
-    # counts), x84 (benchmark decontamination), x85 (Gopher repetition
-    # suite), x86 (hashed linear classifier) take the slots of
-    # x54_tpch_q8 / x55_tpch_q12 / x56_tpch_q13 / x57_tpch_q15 /
-    # x58_tpch_q17 (all driver-green in CORRECTNESS_r03.json, still
-    # pytest-oracle-checked at sf0.001).
+    # ------------------------------------------------------------------
+    # Round-5 rotation (VERDICT r4 item 1): the window now favors the
+    # only queries with NO prior driver row. In:
+    #   oracle-backed, never driver-checked .. x97, x121
+    #   rows-only, never driver-row-checked .. x75, x76, x77, x78, x79,
+    #       x99 (engine-specific signatures / composed chain; the driver
+    #       records its weaker rows-only check for these six — that is
+    #       the deliberate trade this round, per the verdict)
+    #   new round-5 operators ................ x117b (materialized
+    #       incremental clusters, same batch-truth oracle as x117),
+    #       x122 (ANN-blocked bitext margin, x91's exact SQL), x123
+    #       (isolation-forest scorer, generated CASE-chain oracle),
+    #       x124 (salted skew join, plain-join oracle)
+    # Out (ALL driver-green in CORRECTNESS_r04.json, all still
+    # pytest-oracle-checked at sf0.001): x114, x115, x116, x117 (x117b
+    # keeps the family's hash slot with the same oracle), x102, x113
+    # (x107 keeps seasonality), x109 (x88 keeps sessions), x101, x93
+    # (x95 keeps event sequences), x94 (x90 keeps drift), x118, x120.
+    # ------------------------------------------------------------------
+    "x97_contrastive_triplets", "x121_type_cooccurrence",
+    "x75_ann_pq_topk", "x76_sketch_rollup", "x77_theta_overlap",
+    "x78_table_profile_approx", "x79_semantic_dedup", "x99_corpus_prep",
+    "x117b_incremental_clusters_indexed", "x122_bitext_margin_blocked",
+    "x123_isoforest_score", "x124_skew_salted_join",
+    # standing window (driver-green r04, kept for family coverage)
+    "x103_quality_calibration", "x110_label_centroids",
+    "x111_source_overlap_matrix", "x112_quota_sample",
+    "x104_canonical_dedup", "x105_leakage_safe_split",
+    "x106_count_anomaly", "x107_seasonality_index",
+    "x98_mergeable_topk", "x100_time_range_window",
+    "x80_bloom_incremental_dedup", "x81_scd2_merge",
     "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",
     "x85_repetition_stats", "x86_hashed_classifier",
-    # round 4 second rotation: x87 (DSIR importance), x88 (binned
-    # interval-overlap join), x89 (blocked fuzzy join), x90 (histogram
-    # drift) take the slots of x59_tpch_q19 / x61_tpch_q22 /
-    # x64_tpch_q11 / x65_tpch_q16 (all driver-green in
-    # CORRECTNESS_r03.json, still pytest-oracle-checked at sf0.001).
     "x87_dsir_importance", "x88_session_concurrency",
     "x89_fuzzy_join", "x90_source_drift",
-    # round 4 third rotation: x91 (bitext margin mining) and x92
-    # (containment join) take the slots of x60_tpch_q21 / x62_tpch_q2
-    # (both driver-green in CORRECTNESS_r03.json, still pytest-oracle-
-    # checked at sf0.001; the deliberately-contrasting q21 variant
-    # x70_tpch_q21_onescan stays in the window).
     "x91_bitext_margin", "x92_containment_pairs",
-    # round 4 fourth rotation: x93 (event funnel) and x94 (source
-    # entropy) take the slots of x63_tpch_q9 / x66_tpch_q20 (driver-green
-    # in CORRECTNESS_r03.json, still pytest-oracle-checked at sf0.001;
-    # the TPC-H layout variants x70/x34_bucketed stay in the window).
-    "x93_event_funnel", "x94_source_entropy",
-    # round 4 fifth rotation: x95 (Markov transitions) and x96 (fixed-
-    # point PageRank, generated CTE-chain oracle) take the slots of
-    # x68_pack_sequences / x69_mixture_sample (driver-green in r03,
-    # still pytest-oracle-checked; x67 keeps the packing family's
-    # hash-checked driver row).
     "x95_event_transitions", "x96_pagerank",
-    "x70_tpch_q21_onescan",
-    # x108 (interpolated bigram LM) supersedes x72's window slot — the
-    # unigram LM stays pytest-oracle-checked (driver-green in r03).
-    "x108_bigram_logprob",
-    # eleventh rotation (final): x118 (audience overlap), x119 (OLS
-    # trend) and x120 (chi-square) take the slots of x12_ann_ivf_topk /
-    # x71_table_profile / x73_line_dedup (all driver-green in r03, still
-    # pytest-oracle-checked at sf0.001; ANN/profiling/line-dedup keep
-    # that standing evidence — every slot now favors operators with no
-    # prior driver row).
-    "x118_audience_overlap", "x119_daily_trend", "x120_chi_square",
+    "x70_tpch_q21_onescan", "x108_bigram_logprob", "x119_daily_trend",
 ]
 
 _extras = [n for n in QUERIES if n not in DRIVER_WINDOW]

@@ -75,11 +75,26 @@ def test_every_oracle_has_query():
     assert not missing, f"oracles without queries: {missing}"
 
 
+# Round-5 exception list (VERDICT r4 item 1): the six rows-only queries
+# rotated INTO the window so the driver's row-count signal covers them —
+# the only registry entries that had never earned any driver row. Every
+# other window slot must stay oracle-backed.
+WINDOW_ROWS_ONLY = {
+    "x75_ann_pq_topk",
+    "x76_sketch_rollup",
+    "x77_theta_overlap",
+    "x78_table_profile_approx",
+    "x79_semantic_dedup",
+    "x99_corpus_prep",
+}
+
+
 def test_driver_window_contract():
-    """The driver checks exactly the first 50 queries() entries: every one of
-    those must be oracle-backed (round 3 rotated rows-only x30 out, so the
-    window is 50/50 hash-checkable), and every driver-visible oracle must
-    sit inside the window."""
+    """The driver checks exactly the first 50 queries() entries: every one
+    of those must be oracle-backed except the designated rows-only set
+    (WINDOW_ROWS_ONLY — rotated in deliberately for the driver's weaker
+    row-count check), and every driver-visible oracle must sit inside the
+    window."""
     from azure_serverless_etl_pipeline_spark.plans import (
         DRIVER_WINDOW,
         all_oracles,
@@ -91,7 +106,8 @@ def test_driver_window_contract():
     assert len(DRIVER_WINDOW) == 50
     window = set(DRIVER_WINDOW)
     oracles = set(all_oracles())
-    assert window - oracles == set(), f"window entries without oracle: {window - oracles}"
+    missing = window - oracles - WINDOW_ROWS_ONLY
+    assert missing == set(), f"window entries without oracle: {missing}"
     assert oracles <= window, f"oracles outside driver window: {oracles - window}"
 
 
