@@ -3126,7 +3126,10 @@ def _incremental_state_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{int(st.st_mtime)}-{st.st_size}"
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}-b20"
+    )
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
@@ -3145,17 +3148,20 @@ def x117b(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.materialize_incremental_state, built lazily on first touch
     per sf_dir and reused), and the query itself runs only the
     incremental tail: shingle the new batch, probe the stored posting
-    lists, exact-verify, fold into the stored map via star edges. Same
-    ORACLE as x117 — the one-shot recursive-CTE components over the
-    WHOLE corpus — so the driver hash proves the materialized path
-    still reproduces batch truth exactly."""
+    lists, exact-verify, fold into the stored map via star edges. The
+    split is 95% existing / 5% arriving (doc_id % 20) — a realistic
+    batch-to-corpus ratio, unlike x117's 50/50 demo split where the
+    "tail" is still half the total work. Same ORACLE as x117 — the
+    one-shot recursive-CTE components over the WHOLE corpus — so the
+    driver hash proves the materialized path still reproduces batch
+    truth exactly (the truth is split-independent)."""
     import os
 
     docs = load_table(spark, sf_dir, "documents")
     state = _incremental_state_dir(sf_dir)
     if not os.path.exists(os.path.join(state, "old_map")):
         dedup.materialize_incremental_state(
-            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 20 != 19),
             state,
             threshold=0.5,
             max_shingle_freq=50,
@@ -3163,7 +3169,7 @@ def x117b(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_base = spark.read.parquet(f"{state}/old_base")
     old_df = spark.read.parquet(f"{state}/shingle_df")
     old_map = spark.read.parquet(f"{state}/old_map")
-    new = docs.filter(F.col("doc_id") % 2 == 1)
+    new = docs.filter(F.col("doc_id") % 20 == 19)
     inc = dedup.ngram_jaccard_pairs_incremental_indexed(
         new, old_base, old_df, threshold=0.5, max_shingle_freq=50
     )
