@@ -110,6 +110,38 @@ def probe_ivf(
     )
 
 
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the full IVF index as a directory: the corpus written
+    partitionBy(cell) (so probes prune to their cells' files) plus the
+    codebook as a tiny parquet. This is the artifact a vector-store
+    deployment builds once and serves many probes from — the
+    amortization the per-run k-means fit in x79/x122 only documents."""
+    indexed, centroids = build_ivf_index(
+        corpus, k=k, vec_col=vec_col, id_col=id_col, index_path=f"{path}/cells"
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(cell-partitioned corpus frame, centroid matrix) from a
+    save_ivf_index directory. The corpus frame carries the parquet
+    partitioning metadata, so probe_ivf's cell join partition-prunes."""
+    indexed = spark.read.parquet(f"{path}/cells")
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    return indexed, centroids
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's compression half): vectors are L2-normalized,
 # split into m contiguous subspaces, and each subspace is vector-quantized

@@ -2394,6 +2394,10 @@ FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
 """
 
 
+# x125 probes ALL cells of the persisted IVF index (nprobe == k), so the
+# result is exactly brute-force top-k — x06's SQL is the truth
+EXTRA_ORACLES["x125_ann_ivf_persisted"] = ORACLES["x06_ann_cosine_topk"]
+
 # x124: the oracle is the UNSALTED join — salting must be semantically
 # invisible (skew.salted_join docstring)
 EXTRA_ORACLES["x124_skew_salted_join"] = f"""

@@ -3046,6 +3046,51 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Per-sf_dir cache for x125's persisted IVF index (same mtime+size
+    invalidation scheme as x117b's incremental state)."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "ivf_index",
+        tag,
+    )
+
+
+@query("x125_ann_ivf_persisted")
+def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe against the PERSISTED IVF index (ann_index.
+    save_ivf_index / load_ivf_index): the corpus lives partitionBy(cell)
+    on disk with its codebook beside it, built once per sf_dir and
+    served from there — the vector-store deployment shape that
+    amortizes the k-means fit x79/x122 pay per run. Probing all cells
+    (nprobe == k) makes the result EXACT, so the oracle is x06's
+    brute-force cosine SQL; the partition-pruned nprobe<k path (the
+    scan touches only probed cells' files) is plan-gated in
+    test_plan_quality."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        ann_index.save_ivf_index(emb, idx, k=16)
+    indexed, centroids = ann_index.load_ivf_index(spark, idx)
+    out = ann_index.probe_ivf(
+        indexed, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=16
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
 @query("x124_skew_salted_join")
 def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact-to-dim join over a deliberately Zipf-skewed key

@@ -156,6 +156,10 @@ HEADLINE = [
     # per-batch incremental tail — the deployment number x117's
     # full-recompute demo deliberately does not show
     "x117b_incremental_clusters_indexed",
+    # x125 probes the persisted cell-partitioned IVF index (built on
+    # warm-up, cached per sf_dir) — the amortized vector-store serving
+    # cost, vs x79/x122 which pay the k-means fit per run
+    "x125_ann_ivf_persisted",
 ]
 
 

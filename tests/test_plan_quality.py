@@ -464,3 +464,30 @@ def test_aqe_splits_skewed_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_persisted_ivf_probe_prunes_partitions(spark):
+    """x125's deployment shape: probing the persisted cell-partitioned
+    index with nprobe < k must engage dynamic partition pruning — the
+    probe list broadcasts into the scan's partition filter so only the
+    probed cells' files are read (the point of writing the index
+    partitionBy(cell))."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.plans.queries import _ivf_index_dir
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    import os
+
+    idx = _ivf_index_dir(SF_ORACLE)
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        ann_index.save_ivf_index(emb, idx, k=16)
+    indexed, cent = ann_index.load_ivf_index(spark, idx)
+    out = ann_index.probe_ivf(
+        indexed, emb.filter(F.col("vec_id") < 10), cent, k=5, nprobe=2
+    )
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed, executed[:3000]
