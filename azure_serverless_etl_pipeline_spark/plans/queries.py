@@ -2000,13 +2000,23 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/dedup.semantic_dedup): k-means
     cells -> within-cell cosine pairs -> transitive clusters -> one
-    deterministic representative per cluster. Rows-only (k-means cell
-    assignment is engine-specific); cluster-consistency and
+    deterministic representative per cluster. Since round 5 the cells
+    come from the PERSISTED IVF index x125 serves (the deployment
+    shape: dedup and similarity search share one vector-store index,
+    and the k-means fit is paid once per corpus, not per run). Rows-only
+    (cell assignment is engine-specific); cluster-consistency and
     representative properties pytest-asserted in test_dedup_text."""
+    import os
+
+    from ..operators import ann_index
     from ..operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.25, n_cells=8).orderBy("vec_id")
+    idx = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        ann_index.save_ivf_index(emb, idx, k=16)
+    indexed, _ = ann_index.load_ivf_index(spark, idx)
+    return semantic_dedup(emb, threshold=0.25, indexed=indexed).orderBy("vec_id")
 
 
 @query("x76_sketch_rollup")
