@@ -1168,3 +1168,86 @@ def line_dedup(
         F.col("n_lines"),
         (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
     )
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-span deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" flavor,
+    declaratively): a token is removed iff some token n-gram COVERING it
+    occurs in >= ``min_df`` distinct documents — boilerplate, licenses,
+    templated spans vanish from every copy while document-unique prose
+    survives. Whole-document dedup (x01/x02) misses these; this is the
+    span-level complement.
+
+    Plan: positional tokens + positional n-grams are both map-side
+    (posexplode over the token array); the hot-gram set is one grouped
+    distinct-count; covered positions come from hot grams exploded over
+    their n token offsets; survivors are a positional anti-join,
+    reassembled with sort_array(collect_list(struct(pos, token))) —
+    deterministic order without a per-doc sort partition. Output one
+    row per input doc: (id, n_tokens, n_removed, clean_text).
+
+    At 100 TB the gram table is |corpus tokens|-sized: the same
+    stop-gram capping / bucketing arguments as ngram_jaccard_pairs
+    apply, and min_df thresholding happens in partial aggregation
+    (map-side combine) before any row leaves its executor.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), F.filter(toks, lambda x: x != "").alias("t")
+    ).filter(F.size("t") > 0)
+    tok = base.select(F.col(id_col), F.posexplode("t").alias("pos", "token"))
+    grams = base.filter(F.size("t") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda s: F.concat_ws(" ", F.slice("t", s + 1, n)),
+            )
+        ).alias("start", "gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        grams.join(hot, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = (
+        tok.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    sizes = base.select(F.col(id_col), F.size("t").cast("long").alias("n_tokens"))
+    return sizes.join(kept, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -65,3 +65,49 @@ def stratified_sample(
     return joined.filter(hash_bucket(F.col(id_col)) < F.col("keep_rate") * 100).drop(
         "keep_rate"
     )
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic u in (0,1) from the first 8 hex chars of md5:
+    (v + 0.5) / 2^32. Every step (exact integer-valued double, one
+    addition, one division) is a fixed IEEE chain, so u is bit-identical
+    on any engine with md5 — the property that lets weighted sampling be
+    oracle-checked exactly, unlike RNG-state samplers."""
+    v = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+    )
+    return (v + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson / Ohlsson): priority = u / w with u = hash_uniform(id); the
+    k SMALLEST priorities per stratum win, so inclusion probability is
+    approximately proportional to weight — the standard single-pass
+    pps-sampling scheme (the exact-πps variant, Efraimidis-Spirakis
+    u^(1/w), needs pow/ln whose last ULP is engine-specific; u/w is one
+    exact IEEE division, so this output is hash-checkable bit for bit).
+
+    One scan + one rank window per stratum (TakeOrdered-shaped: partial
+    top-k per partition under AQE); no RNG state, stable under
+    repartitioning/backfill like every sampler in this module.
+    """
+    from pyspark.sql import Window as W
+
+    pri = hash_uniform(F.col(id_col)) / F.col(weight_col).cast("double")
+    w = W.partitionBy(*( [strata_col] if strata_col else [] )).orderBy(
+        pri.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

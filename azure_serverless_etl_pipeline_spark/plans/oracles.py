@@ -2394,6 +2394,91 @@ FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
 """
 
 
+# x126: span-level substring dedup — positional tokens/grams via UNNEST
+# WITH ORDINALITY, 1-based inclusive list slices for the grams, survivors
+# reassembled with string_agg ORDER BY position (string-exact)
+EXTRA_ORACLES["x126_substring_span_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM documents
+  WHERE len({_TOKENS.format(t='text')}) > 0
+), tok AS (
+  -- no WITH ORDINALITY in this DuckDB: index the list explicitly
+  SELECT doc_id, t[g.s] AS token, g.s - 1 AS pos
+  FROM base, UNNEST(generate_series(1, len(t))) AS g(s)
+), ngr AS (
+  SELECT doc_id, g.s AS start, array_to_string(t[g.s + 1 : g.s + 8], ' ') AS gram
+  FROM base, UNNEST(generate_series(0, len(t) - 8)) AS g(s)
+  WHERE len(t) >= 8
+), hot AS (
+  SELECT gram FROM ngr GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT n2.doc_id, q.p AS pos
+  FROM ngr n2 JOIN hot USING (gram),
+       UNNEST(generate_series(n2.start, n2.start + 7)) AS q(p)
+), kept AS (
+  SELECT t.doc_id, COUNT(*) AS n_kept,
+         string_agg(t.token, ' ' ORDER BY t.pos) AS clean_text
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+# x127: sequential-Poisson weighted sampling — same md5 hex fold as
+# _hash_bucket_mod but the FULL 32-bit value, then (v+0.5)/2^32/weight
+# (two exact IEEE divisions, so the ranking matches Spark bit for bit)
+_HASH32 = (
+    "list_reduce(list_transform("
+    "string_split(substr(md5(CAST({key} AS VARCHAR)), 1, 8), ''), "
+    "x -> CASE WHEN x BETWEEN '0' AND '9' THEN CAST(x AS BIGINT) "
+    "ELSE 10 + ascii(x) - ascii('a') END), (a, b) -> a * 16 + b)"
+)
+
+EXTRA_ORACLES["x127_weighted_sample"] = f"""
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         ((CAST({_HASH32.format(key='doc_id')} AS DOUBLE) + 0.5)
+          / 4294967296.0) / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p ASC, doc_id ASC)
+           AS rn
+  FROM pri
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+"""
+
+# x128: exact covariance — same cell emission (generate_series pair grid),
+# same DECIMAL(38,18) sums, same floor-grid quantization as the Spark plan
+EXTRA_ORACLES["x128_embedding_covariance"] = f"""
+WITH cells AS (
+  SELECT i.g AS i, j.g AS j,
+         CAST(e.embedding[i.g] AS DOUBLE) * CAST(e.embedding[j.g] AS DOUBLE)
+           AS p,
+         CAST(e.embedding[i.g] AS DOUBLE) AS xi,
+         CAST(e.embedding[j.g] AS DOUBLE) AS xj
+  FROM embeddings e,
+       (SELECT UNNEST(generate_series(1, 64)) AS g) i,
+       (SELECT UNNEST(generate_series(1, 64)) AS g) j
+  WHERE i.g <= j.g
+), agg AS (
+  SELECT i, j, COUNT(*) AS n,
+         {_dec2dbl('SUM(CAST(p AS DECIMAL(38,18)))')} AS sp,
+         {_dec2dbl('SUM(CAST(xi AS DECIMAL(38,18)))')} AS sxi,
+         {_dec2dbl('SUM(CAST(xj AS DECIMAL(38,18)))')} AS sxj
+  FROM cells GROUP BY i, j
+)
+SELECT i, j, n,
+       floor((sp / n - (sxi / n) * (sxj / n)) * 1e9 + 0.5) / 1e9 AS cov
+FROM agg
+"""
+
 # x125 probes ALL cells of the persisted IVF index (nprobe == k), so the
 # result is exactly brute-force top-k — x06's SQL is the truth
 EXTRA_ORACLES["x125_ann_ivf_persisted"] = ORACLES["x06_ann_cosine_topk"]

@@ -3056,6 +3056,56 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x126_substring_span_dedup")
+def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (dedup.substring_span_dedup,
+    the Lee et al. 2022 method's declarative form): every token covered
+    by an 8-gram occurring in >= 2 distinct documents is removed — the
+    boilerplate/template remover that whole-document dedup (x01/x02)
+    structurally misses. Positional tokens and grams are map-side; the
+    hot-gram set is one distinct-count aggregate; reassembly is a
+    positional anti-join + sort_array(collect_list) — string-exact
+    against the SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_span_dedup(docs, n=8, min_df=2)
+
+
+@query("x128_embedding_covariance")
+def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding corpus
+    (operators/linalg.embedding_covariance): map-side upper-triangle
+    outer products (broadcast 2080-row pair grid — no self-join,
+    vectors never shuffle) reduced by one decimal-exact grouped
+    aggregation; 2080 cells out for d=64. The whitening/PCA input
+    every embedding dedup/retrieval pipeline computes before cosine;
+    Summarizer's float partial merges can't be hash-checked, this
+    can."""
+    from ..operators.linalg import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, dim=64)
+
+
+@query("x127_weighted_sample")
+def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted document sampling per language
+    (operators/sampling.weighted_sample — sequential Poisson pps): the
+    20 winners per lang by priority u/n_chars, u hash-derived. The
+    pick-long-documents-proportionally step of corpus subsetting, with
+    no RNG state: stable under repartitioning/backfill and exactly
+    reproducible in the oracle (single IEEE division, no pow/ln). One
+    scan + one per-stratum rank window."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        weight_col="n_chars",
+        k=20,
+        strata_col="lang",
+    )
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     """Per-sf_dir cache for x125's persisted IVF index (same mtime+size
     invalidation scheme as x117b's incremental state)."""

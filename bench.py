@@ -160,6 +160,9 @@ HEADLINE = [
     # warm-up, cached per sf_dir) — the amortized vector-store serving
     # cost, vs x79/x122 which pay the k-means fit per run
     "x125_ann_ivf_persisted",
+    "x126_substring_span_dedup",
+    "x127_weighted_sample",
+    "x128_embedding_covariance",
 ]
 
 
