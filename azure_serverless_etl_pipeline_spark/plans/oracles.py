@@ -2394,6 +2394,26 @@ FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
 """
 
 
+# x129: greedy token-budget selection — same ordering drives rank and
+# running sum on both sides; integers end to end
+EXTRA_ORACLES["x129_token_budget_select"] = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len({_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_chars, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_chars, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 3000
+"""
+
+
 # x126: span-level substring dedup — positional tokens/grams via UNNEST
 # WITH ORDINALITY, 1-based inclusive list slices for the grams, survivors
 # reassembled with string_agg ORDER BY position (string-exact)

@@ -3056,6 +3056,32 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x129_token_budget_select")
+def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted per-source selection: each source contributes its
+    longest documents until a fixed token budget fills (greedy by
+    n_chars desc, doc_id tiebreak) — the mixture-assembly step where a
+    training run buys N tokens per domain, not N documents. One scan,
+    one per-source window (rank + running token sum), integer-exact.
+    The running sum is computed over the SAME ordering that ranks the
+    docs, so the kept set is exactly the maximal prefix within
+    budget."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""))
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    scored = docs.select(
+        "doc_id", "source", "n_chars", n_tok.cast("long").alias("n_tokens")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return scored.filter(F.col("cum_tokens") <= 3000).select(
+        "doc_id", "source", "n_chars", "n_tokens", "cum_tokens"
+    )
+
+
 @query("x126_substring_span_dedup")
 def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact substring dedup (dedup.substring_span_dedup,

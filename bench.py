@@ -163,6 +163,7 @@ HEADLINE = [
     "x126_substring_span_dedup",
     "x127_weighted_sample",
     "x128_embedding_covariance",
+    "x129_token_budget_select",
 ]
 
 
