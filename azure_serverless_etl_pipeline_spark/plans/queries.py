@@ -3390,11 +3390,17 @@ DRIVER_WINDOW: list[str] = [
     "x78_table_profile_approx", "x79_semantic_dedup", "x99_corpus_prep",
     "x117b_incremental_clusters_indexed", "x122_bitext_margin_blocked",
     "x123_isoforest_score", "x124_skew_salted_join",
+    # round-5 late additions (same no-prior-row rule): x126-x129 take the
+    # slots of x103 / x110 / x112 / x107 (all driver-green in r04, still
+    # pytest-oracle-checked; family reps that remain — quality gates ->
+    # x85/x86, sampling -> x127, vector diagnostics -> x128, seasonal ->
+    # x113's r04 row + pytest)
+    "x126_substring_span_dedup", "x127_weighted_sample",
+    "x128_embedding_covariance", "x129_token_budget_select",
     # standing window (driver-green r04, kept for family coverage)
-    "x103_quality_calibration", "x110_label_centroids",
-    "x111_source_overlap_matrix", "x112_quota_sample",
+    "x111_source_overlap_matrix",
     "x104_canonical_dedup", "x105_leakage_safe_split",
-    "x106_count_anomaly", "x107_seasonality_index",
+    "x106_count_anomaly",
     "x98_mergeable_topk", "x100_time_range_window",
     "x80_bloom_incremental_dedup", "x81_scd2_merge",
     "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",
