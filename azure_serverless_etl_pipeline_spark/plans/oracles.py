@@ -2394,6 +2394,37 @@ FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
 """
 
 
+# x130: mergeable fixed-grid histogram quantiles — integer bins/counts end
+# to end; the only doubles are the final bin-edge*2 emissions
+EXTRA_ORACLES["x130_histogram_quantiles"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('week', ts) AS week, CAST(ts AS DATE) AS day,
+         LEAST(CAST(floor(value / 2) AS BIGINT), 249) AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3, 4
+), weekly AS (
+  SELECT event_type, week, bin, SUM(c) AS c
+  FROM daily GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, week, bin, c,
+         SUM(c) OVER (PARTITION BY event_type, week ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY event_type, week) AS total
+  FROM weekly
+)
+SELECT event_type, CAST(week AS TIMESTAMP) AS week,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) AS DOUBLE)
+         * 2 AS p50,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN bin END) AS DOUBLE)
+         * 2 AS p90,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END) AS DOUBLE)
+         * 2 AS p99
+FROM cum GROUP BY event_type, week
+"""
+
+
 # x129: greedy token-budget selection — same ordering drives rank and
 # running sum on both sides; integers end to end
 EXTRA_ORACLES["x129_token_budget_select"] = f"""

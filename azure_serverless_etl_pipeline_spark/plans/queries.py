@@ -3056,6 +3056,65 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x130_histogram_quantiles")
+def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (the Prometheus/monitoring
+    pattern, and x98's quantile sibling): per (type, day) the event
+    values reduce to counts over a FIXED 250-bin grid — tiny, exactly
+    mergeable summaries — and weekly p50/p90/p99 come from the merged
+    bins by lower-edge rule. Deterministic by construction (no
+    sketch RNG, no rank interpolation), so the oracle is exact; grid
+    resolution is the documented error, the trade that makes the
+    summary mergeable across days/shards at 100 TB. Raw events are
+    scanned ONCE (the daily reduce); the merge and quantile extraction
+    touch only |types|*|days|*250 summary rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    # fixed width-2 grid over the value domain [0, 500): bin = floor(v/2)
+    bin_ = F.least(F.floor(F.col("value") / 2).cast("long"), F.lit(249))
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", ts).alias("week"),
+        F.to_date(ts).alias("day"),
+        bin_.alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    weekly = daily.groupBy("event_type", "week", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type", "week").orderBy("bin")
+    cum = weekly.withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ).withColumn("total", F.sum("c").over(W.partitionBy("event_type", "week")))
+
+    def q(p: float, alias: str):
+        # smallest bin whose cumulative count reaches ceil(p * total);
+        # emitted value is the bin's LOWER edge (bin * 2.0)
+        need = F.ceil(F.lit(p) * F.col("total"))
+        return F.min(
+            F.when(F.col("cum") >= need, F.col("bin"))
+        ).cast("double").alias(alias)
+
+    return (
+        cum.groupBy("event_type", "week")
+        .agg(
+            F.max("total").alias("n_events"),
+            (q(0.5, "b50")),
+            (q(0.9, "b90")),
+            (q(0.99, "b99")),
+        )
+        .select(
+            "event_type",
+            "week",
+            "n_events",
+            (F.col("b50") * 2).alias("p50"),
+            (F.col("b90") * 2).alias("p90"),
+            (F.col("b99") * 2).alias("p99"),
+        )
+    )
+
+
 @query("x129_token_budget_select")
 def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted per-source selection: each source contributes its

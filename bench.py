@@ -164,6 +164,7 @@ HEADLINE = [
     "x127_weighted_sample",
     "x128_embedding_covariance",
     "x129_token_budget_select",
+    "x130_histogram_quantiles",
 ]
 
 
