@@ -12,13 +12,17 @@ collapse server-side; a file-based table needs an explicit OPTIMIZE):
   ``target_bytes``); already-compacted files are never touched, so the
   steady-state cost tracks the new-data rate, not the table size;
 - re-run is a no-op once no two undersized files remain (idempotent);
-- crash-safe by manifest: compacted files land under unique names
-  FIRST, then a manifest drives deletion of the originals; a re-run
-  that finds a manifest finishes the deletion before doing anything
-  else, so no interleaving loses rows. Without a transactional table
-  format (Delta/Iceberg) the swap is not snapshot-isolated — a reader
-  overlapping the (short) delete window can see a row twice; run as an
-  offline maintenance pass, exactly like HDFS-era compaction jobs.
+- crash-safe by write-ahead manifest: the compacted files are staged in
+  a hidden tmp dir, then a manifest recording the staged->final moves
+  AND the originals to delete is committed ATOMICALLY (write to a temp
+  name + rename) BEFORE anything in the data directory changes; the
+  moves and deletes replay idempotently from the manifest, so a crash
+  at any point either leaves the directory untouched (no manifest yet —
+  the orphaned tmp dir is swept on the next run) or resumes to the
+  exact post-compaction state. Without a transactional table format
+  (Delta/Iceberg) the swap is still not snapshot-isolated — a reader
+  overlapping the (short) move/delete window can see a row twice; run
+  as an offline maintenance pass, exactly like HDFS-era compaction jobs.
 
 Operates on one leaf directory; a partitioned table compacts per
 partition directory (embarrassingly parallel across partitions — the
@@ -35,7 +39,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-_MANIFEST = "_compaction_pending_delete.json"
+_MANIFEST = "_compaction_pending.json"
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -53,25 +57,66 @@ def _list_parquet(jvm, fs, jdir) -> list[tuple[str, int]]:
     return out
 
 
-def _finish_pending(jvm, fs, jdir) -> int:
-    """Resume a crashed run: delete originals the manifest says were
-    already rewritten, then drop the manifest."""
-    mpath = jvm.org.apache.hadoop.fs.Path(jdir, _MANIFEST)
-    if not fs.exists(mpath):
-        return 0
-    stream = fs.open(mpath)
+def _jp(jvm, p: str):
+    return jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _write_atomic(jvm, fs, jdir, name: str, payload: bytes) -> None:
+    tmp = jvm.org.apache.hadoop.fs.Path(jdir, f".{name}.tmp")
+    out = fs.create(tmp, True)
     try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        out.write(payload)
     finally:
-        stream.close()
-    deleted = 0
-    for p in json.loads(raw.decode("utf-8")):
-        jp = jvm.org.apache.hadoop.fs.Path(p)
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(jdir, name)
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _apply_manifest(jvm, fs, jdir, manifest: dict) -> None:
+    """Replay the staged moves + deletes. Idempotent: a move whose dest
+    already exists (or whose source is gone) was already done; deletes
+    skip missing files."""
+    for src, dest in manifest["moves"]:
+        sp, dp = _jp(jvm, src), _jp(jvm, dest)
+        if not fs.exists(dp) and fs.exists(sp):
+            fs.rename(sp, dp)
+    for p in manifest["originals"]:
+        jp = _jp(jvm, p)
         if fs.exists(jp):
             fs.delete(jp, False)
-            deleted += 1
-    fs.delete(mpath, False)
-    return deleted
+    tmp = _jp(jvm, manifest["tmp"])
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    fs.delete(_jp(jvm, manifest["self"]), False)
+
+
+def _recover(jvm, fs, jdir) -> tuple[int, int]:
+    """Finish a committed-but-interrupted run; sweep uncommitted staging.
+    Returns (resumed_deletes, swept_tmp_dirs)."""
+    mpath = jvm.org.apache.hadoop.fs.Path(jdir, _MANIFEST)
+    resumed = 0
+    if fs.exists(mpath):
+        stream = fs.open(mpath)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        manifest = json.loads(raw.decode("utf-8"))
+        resumed = sum(
+            1 for p in manifest["originals"] if fs.exists(_jp(jvm, p))
+        )
+        _apply_manifest(jvm, fs, jdir, manifest)
+    # a .compact-* dir with no manifest means the crash happened BEFORE
+    # commit: nothing in the data dir changed, the staging is garbage
+    swept = 0
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(".compact-"):
+            fs.delete(st.getPath(), True)
+            swept += 1
+    return resumed, swept
 
 
 def compact_parquet_dir(
@@ -90,7 +135,7 @@ def compact_parquet_dir(
     jvm, jdir, fs = _fs_for(spark, path)
     min_file_bytes = min_file_bytes or target_bytes // 2
 
-    resumed = _finish_pending(jvm, fs, jdir)
+    resumed, _ = _recover(jvm, fs, jdir)
     files = _list_parquet(jvm, fs, jdir)
     small = [(p, sz) for p, sz in files if sz < min_file_bytes]
     if len(small) <= 1:
@@ -113,34 +158,29 @@ def compact_parquet_dir(
         "overwrite"
     ).parquet(tmp)
 
-    # land compacted files under unique names BEFORE any delete
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    moved = 0
+    jtmp = _jp(jvm, tmp)
+    moves = []
     for st in fs.listStatus(jtmp):
         name = st.getPath().getName()
         if st.isFile() and name.endswith(".parquet"):
-            dest = jvm.org.apache.hadoop.fs.Path(
-                jdir, f"compacted-{run_id}-{name}"
-            )
-            fs.rename(st.getPath(), dest)
-            moved += 1
-    # manifest -> delete originals -> drop manifest (crash at any point
-    # resumes to the same end state; rows are never only-in-tmp)
-    mpath = jvm.org.apache.hadoop.fs.Path(jdir, _MANIFEST)
-    out = fs.create(mpath, True)
-    try:
-        out.write(json.dumps([p for p, _ in small]).encode("utf-8"))
-    finally:
-        out.close()
-    for p, _ in small:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
-    fs.delete(mpath, False)
-    fs.delete(jtmp, True)
+            dest = jvm.org.apache.hadoop.fs.Path(jdir, f"compacted-{run_id}-{name}")
+            moves.append([st.getPath().toString(), dest.toString()])
+    manifest = {
+        "self": jvm.org.apache.hadoop.fs.Path(jdir, _MANIFEST).toString(),
+        "tmp": tmp,
+        "moves": moves,
+        "originals": [p for p, _ in small],
+    }
+    # COMMIT POINT: the manifest lands atomically (temp name + rename)
+    # BEFORE any file in the data directory moves — a crash earlier
+    # leaves the directory untouched, a crash later replays from here
+    _write_atomic(jvm, fs, jdir, _MANIFEST, json.dumps(manifest).encode("utf-8"))
+    _apply_manifest(jvm, fs, jdir, manifest)
 
     return {
         "compacted": True,
         "files_before": len(files),
-        "files_after": len(files) - len(small) + moved,
+        "files_after": len(files) - len(small) + len(moves),
         "rewritten": len(small),
         "bytes_rewritten": total,
         "resumed_deletes": resumed,

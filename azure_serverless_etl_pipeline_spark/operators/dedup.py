@@ -720,6 +720,10 @@ def incremental_dup_clusters(
     # untouched anti-join); it is batch-bounded by construction, so
     # cache it — without this the whole candidate-generation + verify
     # subplan re-executes once per reference (measured 2-6x blowup).
+    # cache, not localCheckpoint: the eager checkpoint ran the pair
+    # subplan as a standalone job and cost ~30% on x117/x117b. Long-
+    # lived callers (the dedup stream) release these entries per batch —
+    # see dedup_stream.fold_batch's clearCache note.
     pairs = incremental_pairs.select("id_a", "id_b").cache()
     touched = (
         pairs.select(F.col("id_a").alias("doc_id"))

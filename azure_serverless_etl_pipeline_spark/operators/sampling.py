@@ -99,10 +99,19 @@ def weighted_sample(
     One scan + one rank window per stratum (TakeOrdered-shaped: partial
     top-k per partition under AQE); no RNG state, stable under
     repartitioning/backfill like every sampler in this module.
+
+    Non-positive weights get priority +Inf EXPLICITLY: a zero weight
+    means zero inclusion probability, and leaving it to division would
+    diverge across engines (Spark's non-ANSI u/0 is NULL, which sorts
+    NULLS FIRST ascending and would always WIN; IEEE u/0.0 is +Inf and
+    always loses).
     """
     from pyspark.sql import Window as W
 
-    pri = hash_uniform(F.col(id_col)) / F.col(weight_col).cast("double")
+    w_d = F.col(weight_col).cast("double")
+    pri = F.when(
+        w_d > 0, hash_uniform(F.col(id_col)) / w_d
+    ).otherwise(F.lit(float("inf")))
     w = W.partitionBy(*( [strata_col] if strata_col else [] )).orderBy(
         pri.asc(), F.col(id_col).asc()
     )

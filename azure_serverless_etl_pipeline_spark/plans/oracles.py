@@ -2493,8 +2493,10 @@ _HASH32 = (
 EXTRA_ORACLES["x127_weighted_sample"] = f"""
 WITH pri AS (
   SELECT doc_id, lang, n_chars,
-         ((CAST({_HASH32.format(key='doc_id')} AS DOUBLE) + 0.5)
-          / 4294967296.0) / CAST(n_chars AS DOUBLE) AS p
+         CASE WHEN n_chars > 0 THEN
+           ((CAST({_HASH32.format(key='doc_id')} AS DOUBLE) + 0.5)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE)
+         ELSE CAST('infinity' AS DOUBLE) END AS p
   FROM documents
 ), ranked AS (
   SELECT doc_id, lang, n_chars,

@@ -50,18 +50,21 @@ DOC_SCHEMA = "doc_id long, text string"
 
 
 def _batches_below(root: str, k: int) -> list[str]:
+    """Batch subdirs with id < k, sorted NUMERICALLY — a lexicographic
+    listdir order would rank batch=10 before batch=2 and hand
+    ``prior_maps[-1]`` the wrong 'latest' map past 9 batches."""
     if not os.path.isdir(root):
         return []
-    out = []
-    for name in sorted(os.listdir(root)):
+    found = []
+    for name in os.listdir(root):
         if name.startswith("batch="):
             try:
                 b = int(name.split("=", 1)[1])
             except ValueError:
                 continue
             if b < k:
-                out.append(os.path.join(root, name))
-    return out
+                found.append((b, os.path.join(root, name)))
+    return [p for _, p in sorted(found)]
 
 
 def fold_batch(
@@ -119,6 +122,12 @@ def fold_batch(
         )
         new_map = incremental_dup_clusters(old_map, inc)
     new_map.write.mode("overwrite").parquet(f"{map_root}/batch={batch_id}")
+    # The fold's operators cache batch-bounded frames (pair set, batch
+    # shingles) for within-plan reuse; a continuous stream folding
+    # thousands of batches would accumulate those catalog entries
+    # forever. The dedup stream owns its session by deployment contract,
+    # so release everything the fold pinned once its outputs are on disk.
+    spark.catalog.clearCache()
 
 
 def start_dedup_stream(

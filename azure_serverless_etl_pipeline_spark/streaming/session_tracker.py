@@ -132,22 +132,42 @@ class SessionTracker(StatefulProcessor):
             start_us = None
 
         out: list[pd.DataFrame] = []
+        # Late-event handling (nonzero watermark): an event older than the
+        # open session's start either CHAINS into it (start - gap <= t <
+        # start: widen the session so start/n_events bound the members) or
+        # predates it by more than the gap — a separate PAST session. The
+        # latter run through their own gap accumulator and emit
+        # immediately (reason "late"), matching the batch sessionizer
+        # except that late sessions cannot merge ACROSS micro-batches
+        # (the state tracks one open session; watermark-delayed arrivals
+        # of the same past session in different batches emit separately —
+        # the documented at-risk corner of any bounded-state tracker).
+        late = None  # (start, last, n, total)
         for t, v in zip(ts_us, values):
             t = int(t)
+            if start_us is not None and t < start_us - self._gap_us:
+                if late is None:
+                    late = [t, t, 1, float(v)]
+                elif t - late[1] > self._gap_us:
+                    out.append(_emit(user_id, *late, "late"))
+                    late = [t, t, 1, float(v)]
+                else:
+                    late[1] = max(late[1], t)
+                    late[2] += 1
+                    late[3] += float(v)
+                continue
             if start_us is None:
                 start_us, last_us, n, total = t, t, 1, float(v)
             elif t - last_us > self._gap_us:
                 out.append(_emit(user_id, start_us, last_us, n, total, "gap"))
                 start_us, last_us, n, total = t, t, 1, float(v)
             else:
-                # Under a nonzero watermark a late event may predate the
-                # open session's start (t < start_us makes t - last_us
-                # negative, never exceeding the gap); widen the session so
-                # the emitted start/n_events always bound the members.
                 start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
                 total += float(v)
+        if late is not None:
+            out.append(_emit(user_id, *late, "late"))
         if start_us is not None:
             self._state.update((start_us, last_us, int(n), float(total)))
             self._retime(last_us)

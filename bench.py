@@ -213,8 +213,10 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
 
+    # drift is only meaningful for full recorded runs; a narrowed triage
+    # run (SPARK_GRAFT_BENCH_ONLY) skips the calibration cost
     calibration: dict[str, float] = {}
-    for cname, build in _calibration(spark, sf_dir).items():
+    for cname, build in {} if only else _calibration(spark, sf_dir).items():
         build().write.format("noop").mode("overwrite").save()  # warm-up
         samples = []
         for _ in range(runs):
@@ -222,11 +224,15 @@ def main() -> None:
             build().write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         calibration[cname] = round(statistics.median(samples), 4)
-    drift = round(
-        statistics.median(
-            calibration[c] / CALIBRATION_REF[c] for c in CALIBRATION_REF
-        ),
-        4,
+    drift = (
+        round(
+            statistics.median(
+                calibration[c] / CALIBRATION_REF[c] for c in CALIBRATION_REF
+            ),
+            4,
+        )
+        if calibration
+        else None
     )
 
     timings: dict[str, float] = {}

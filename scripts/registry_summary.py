@@ -42,7 +42,7 @@ def main() -> None:
 
     try:
         out = subprocess.run(
-            ["python", "-m", "pytest", "tests/", "--collect-only", "-q"],
+            [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
             capture_output=True,
             text=True,
             timeout=300,

@@ -72,26 +72,63 @@ def test_compact_skips_healthy_files(spark, fragmented):
 
 
 def test_compact_resumes_pending_manifest(spark, fragmented):
-    """A manifest left by a crash (rewrite done, originals not yet
-    deleted) is finished before anything else — no duplicate rows."""
+    """A committed manifest left by a crash (moves done, originals not
+    yet deleted) is finished before anything else — no duplicate rows."""
     from azure_serverless_etl_pipeline_spark.operators.compaction import (
         _MANIFEST,
         compact_parquet_dir,
     )
 
     rows_want = spark.read.parquet(fragmented).count()
-    # simulate the crash window: duplicate one file under a compacted-
-    # style name, manifest pointing at the original
+    # simulate the post-commit crash window: duplicate one file under a
+    # compacted- name (its move already happened), manifest still
+    # pointing at the original for deletion
     victim = sorted(_parquet_files(fragmented))[0]
     src = os.path.join(fragmented, victim)
     dup = os.path.join(fragmented, f"compacted-deadbeef-{victim}")
     with open(src, "rb") as fh, open(dup, "wb") as out:
         out.write(fh.read())
-    with open(os.path.join(fragmented, _MANIFEST), "w") as fh:
-        json.dump([src], fh)
+    mpath = os.path.join(fragmented, _MANIFEST)
+    with open(mpath, "w") as fh:
+        json.dump(
+            {
+                "self": mpath,
+                "tmp": os.path.join(fragmented, ".compact-deadbeef"),
+                "moves": [],
+                "originals": [src],
+            },
+            fh,
+        )
 
     stats = compact_parquet_dir(spark, fragmented, target_bytes=1 << 20)
     assert stats["resumed_deletes"] == 1
     assert not os.path.exists(src)
-    assert not os.path.exists(os.path.join(fragmented, _MANIFEST))
+    assert not os.path.exists(mpath)
+    assert spark.read.parquet(fragmented).count() == rows_want
+
+
+def test_compact_sweeps_uncommitted_staging(spark, fragmented):
+    """A staging dir with NO manifest (crash before the commit point)
+    must be swept; the data directory is untouched — no duplicates, no
+    loss."""
+    from azure_serverless_etl_pipeline_spark.operators.compaction import (
+        compact_parquet_dir,
+    )
+
+    rows_want = spark.read.parquet(fragmented).count()
+    n_before = len(_parquet_files(fragmented))
+    staging = os.path.join(fragmented, ".compact-0ddba11")
+    os.makedirs(staging)
+    victim = sorted(_parquet_files(fragmented))[0]
+    with open(os.path.join(fragmented, victim), "rb") as fh, open(
+        os.path.join(staging, "part-00000.parquet"), "wb"
+    ) as out:
+        out.write(fh.read())
+
+    stats = compact_parquet_dir(
+        spark, fragmented, target_bytes=1 << 20, min_file_bytes=10
+    )
+    assert not stats["compacted"]
+    assert not os.path.exists(staging)
+    assert len(_parquet_files(fragmented)) == n_before
     assert spark.read.parquet(fragmented).count() == rows_want

@@ -257,3 +257,35 @@ def test_logic_state_spans_batches(tracker):
     assert row["n_events"] == 2 and row["total_value"] == 3.0
     assert row["session_start"] == pd.Timestamp(0, unit="s")
     assert row["session_end"] == pd.Timestamp(30, unit="s")
+
+
+def test_logic_late_event_chains_into_open_session(tracker):
+    t, handle = tracker
+    # open session at t=1000..1010; a late event at 950 is within gap of
+    # the start -> it CHAINS in (start widens, bounds stay correct)
+    list(t.handleInputRows((7,), iter([_events((1000, 1, 1.0), (1010, 2, 1.0))]), None))
+    out = list(t.handleInputRows((7,), iter([_events((950, 3, 5.0))]), None))
+    assert out == []
+    start_us, last_us, n, total = handle.state.get()
+    assert start_us == 950_000_000 and last_us == 1010_000_000
+    assert n == 3 and total == 7.0
+
+
+def test_logic_late_event_beyond_gap_is_own_session(tracker):
+    t, handle = tracker
+    # open session at t=1000..1010 (gap 60s); late events at 100 and 130
+    # predate start by >> gap -> they form their OWN past session,
+    # emitted immediately with reason 'late'; the open session is
+    # untouched (batch-twin semantics: two sessions, not one widened)
+    list(t.handleInputRows((7,), iter([_events((1000, 1, 1.0), (1010, 2, 1.0))]), None))
+    out = list(
+        t.handleInputRows((7,), iter([_events((100, 3, 2.0), (130, 4, 3.0))]), None)
+    )
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["closed_by"] == "late"
+    assert row["n_events"] == 2 and row["total_value"] == 5.0
+    assert row["session_start"] == pd.Timestamp(100, unit="s")
+    assert row["session_end"] == pd.Timestamp(130, unit="s")
+    start_us, last_us, n, total = handle.state.get()
+    assert start_us == 1_000_000_000 and n == 2
