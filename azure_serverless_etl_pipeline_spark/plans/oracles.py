@@ -2394,6 +2394,21 @@ FROM s WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
 """
 
 
+# x131: algebraic rollup maintenance — the oracle is the ONE-SHOT daily
+# aggregate over all events; decimal sums are associative, so the
+# split-aggregate-merge path must reproduce it bit for bit
+EXTRA_ORACLES["x131_incremental_rollup"] = f"""
+SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       {_dsum('value', 'sum_value')},
+       {_davg('value', 'avg_value')},
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
 # x130: mergeable fixed-grid histogram quantiles — integer bins/counts end
 # to end; the only doubles are the final bin-edge*2 emissions
 EXTRA_ORACLES["x130_histogram_quantiles"] = """

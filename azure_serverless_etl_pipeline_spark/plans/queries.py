@@ -3056,6 +3056,28 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x131_incremental_rollup")
+def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data aggregate maintenance (operators/rollup): the standing
+    daily rollup absorbs a late-arriving 5% of events by ALGEBRAIC
+    merge — aggregate the batch, full-outer join on the group keys,
+    add counts/decimal sums, min/max the extremes. History is never
+    rescanned; cost tracks the batch and touched groups. The ORACLE is
+    the one-shot aggregate over ALL events: decimal sums are
+    associative, so merge(old, delta) must be bit-identical to it —
+    the same incremental-equals-batch-truth contract as x117b, for the
+    aggregation side."""
+    from ..operators import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    on_time = ev.filter(F.col("event_id") % 20 != 19)
+    late = ev.filter(F.col("event_id") % 20 == 19)
+    merged = rollup.merge_rollup(
+        rollup.daily_rollup(on_time), rollup.daily_rollup(late)
+    )
+    return rollup.emit_rollup(merged)
+
+
 @query("x130_histogram_quantiles")
 def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantiles (the Prometheus/monitoring

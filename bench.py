@@ -165,6 +165,7 @@ HEADLINE = [
     "x128_embedding_covariance",
     "x129_token_budget_select",
     "x130_histogram_quantiles",
+    "x131_incremental_rollup",
 ]
 
 
