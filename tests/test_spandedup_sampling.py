@@ -82,3 +82,21 @@ def test_weighted_sample_is_stable_under_repartition(spark):
         for r in weighted_sample(df.repartition(13), "w", 50).collect()
     }
     assert a == b  # no RNG/partition state — identical winners
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, 0).otherwise(10).alias("w"),
+    )
+    won = weighted_sample(df, weight_col="w", k=50, id_col="doc_id").collect()
+    # exactly the 50 positive-weight rows win; zero-weight rows (priority
+    # pinned to +Inf, mirroring the oracle) never enter the sample
+    assert len(won) == 50
+    assert all(r.w == 10 for r in won)
