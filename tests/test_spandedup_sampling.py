@@ -100,3 +100,21 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     # pinned to +Inf, mirroring the oracle) never enter the sample
     assert len(won) == 50
     assert all(r.w == 10 for r in won)
+
+
+def test_weighted_sample_invariant_under_weight_scaling(spark):
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("w")
+    )
+    scaled = df.withColumn("w", F.col("w") * 1000)
+    a = {r.doc_id for r in weighted_sample(df, "w", 40).collect()}
+    b = {r.doc_id for r in weighted_sample(scaled, "w", 40).collect()}
+    # priorities scale uniformly, ordering is invariant: pps inclusion
+    # depends on relative weights only
+    assert a == b
