@@ -92,17 +92,29 @@ def _apply_manifest(jvm, fs, jdir, manifest: dict) -> None:
     fs.delete(_jp(jvm, manifest["self"]), False)
 
 
-def _recover(jvm, fs, jdir) -> tuple[int, int]:
+def _read_fully(spark: SparkSession, fs, jpath) -> bytes:
+    """Read a (small) file through Hadoop's own IOUtils.copyBytes into a
+    JDK ByteArrayOutputStream — no dependence on commons-io riding
+    Spark's transitive classpath (which varies across Spark/Hadoop
+    versions), and no byte[] out-parameter (py4j passes byte arrays by
+    VALUE, so a Java-side readFully never reaches Python)."""
+    jvm = spark._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    stream = fs.open(jpath)
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 4096, False)
+    finally:
+        stream.close()
+    return bytes(bos.toByteArray())
+
+
+def _recover(spark: SparkSession, jvm, fs, jdir) -> tuple[int, int]:
     """Finish a committed-but-interrupted run; sweep uncommitted staging.
     Returns (resumed_deletes, swept_tmp_dirs)."""
     mpath = jvm.org.apache.hadoop.fs.Path(jdir, _MANIFEST)
     resumed = 0
     if fs.exists(mpath):
-        stream = fs.open(mpath)
-        try:
-            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
+        raw = _read_fully(spark, fs, mpath)
         manifest = json.loads(raw.decode("utf-8"))
         resumed = sum(
             1 for p in manifest["originals"] if fs.exists(_jp(jvm, p))
@@ -135,7 +147,7 @@ def compact_parquet_dir(
     jvm, jdir, fs = _fs_for(spark, path)
     min_file_bytes = min_file_bytes or target_bytes // 2
 
-    resumed, _ = _recover(jvm, fs, jdir)
+    resumed, _ = _recover(spark, jvm, fs, jdir)
     files = _list_parquet(jvm, fs, jdir)
     small = [(p, sz) for p, sz in files if sz < min_file_bytes]
     if len(small) <= 1:

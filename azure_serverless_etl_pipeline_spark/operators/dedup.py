@@ -714,6 +714,15 @@ def incremental_dup_clusters(
     that is the difference between per-batch iterations over billions
     of star edges and iterations over the (tiny) frontier the batch
     actually perturbs.
+
+    CACHING CONTRACT: the incremental pair frame is ``.cache()``d here
+    (it feeds three branches; without the cache the whole candidate
+    generation + verify subplan re-executes per branch, measured 2-6x).
+    The entry is released lazily — long-lived callers that fold many
+    batches in one session (the dedup stream, a driver loop) must call
+    ``spark.catalog.clearCache()`` (or unpersist) after materializing
+    each returned map, as ``dedup_stream.fold_batch`` does; otherwise
+    cached pair frames accumulate for the session lifetime.
     """
     # The pair frame is referenced by three branches below (touched-id
     # derivation, the propagation edge list, and transitively the
@@ -837,12 +846,26 @@ def ngram_jaccard_pairs_incremental_indexed(
         F.col(f"b.{id_col}").alias("id_b"),
     )
     o = old_sh.alias("o")
-    no = a.join(o, F.col("a.shingle") == F.col("o.shingle")).select(
-        F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
-        F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+    # id_a != id_b: a doc re-delivered in a later batch (same id in both
+    # new_docs and old_base) would otherwise yield least==greatest — a
+    # degenerate self-edge the one-shot path can never produce, flowing
+    # into clustering and duplicating rows in the unioned verify base.
+    no = (
+        a.join(o, F.col("a.shingle") == F.col("o.shingle"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"o.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
     )
     cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])
-    base = new_base.unionByName(old_base)
+    # Re-delivered ids (same id in new_docs and old_base): the NEW
+    # shingle set is authoritative for verify, and the base must stay
+    # one-row-per-id — a duplicate id would fan the verify join out into
+    # duplicate pair rows, a shape the one-shot path cannot produce.
+    base = new_base.unionByName(
+        old_base.join(new_base.select(id_col), id_col, "left_anti")
+    )
     return _verify_jaccard(cand, base, id_col, threshold)
 
 

@@ -18,13 +18,22 @@ driver — d x d is tiny) is the standard preprocessing step before
 embedding dedup/retrieval: SemDeDup-style pipelines whiten before
 cosine so one dominant direction doesn't swamp similarity.
 
-Scale: the emitted rows are |corpus| * d(d+1)/2 — at extreme corpus
-sizes swap the exact reduction for per-partition numpy GEMM partials
-(mapInPandas) and accept float merge order; the contract here keeps
-the exact path because the driver hash-checks it.
+Scale: the exact path's emitted rows are |corpus| * d(d+1)/2 — a
+2080x fan-out of the dominant scan at d=64, which is the plan's cost
+at any corpus size. ``embedding_covariance_gemm`` is therefore the
+DEFAULT at scale: one mapInPandas pass computes per-partition numpy
+``X^T X`` partials (d x d floats per partition — the emitted frame is
+2080 rows PER PARTITION, independent of |corpus|), and one tiny
+grouped reduce merges them. The price is float partial-sum merge
+order (not bit-reproducible across partitionings), so the exact
+decimal path stays registered as its oracle twin — the same
+exact/approx contrast as x71/x78 — and pytest pins gemm==exact to a
+one-quantum tolerance.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,4 +85,70 @@ def embedding_covariance(
     )
 
 
-__all__ = ["embedding_covariance"]
+def embedding_covariance_gemm(
+    df: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    quant: int = 9,
+) -> DataFrame:
+    """Same (i, j, n, cov) contract as ``embedding_covariance``, computed
+    the way a 100 TB corpus must: per-partition numpy GEMM partials via
+    mapInPandas (Arrow-batched, no per-row Python), one 2080-key reduce.
+
+    Each partition emits ONE upper-triangle frame (d(d+1)/2 rows of
+    float64 partial sums) regardless of how many vectors it holds — the
+    shuffle is O(partitions * d^2) bytes, vs the exact path's
+    O(|corpus| * d^2) row fan-out. Per-element products are identical
+    IEEE doubles in both paths; only the partial-sum merge order
+    differs, so gemm == exact to one 10^-quant quantum (pytest-pinned),
+    while the exact path keeps the bit-reproducible driver hash.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        prod = np.zeros((dim, dim), dtype=np.float64)
+        sums = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            prod += x.T @ x
+            sums += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "n": np.full(iu.size, n, dtype="int64"),
+                "sp": prod[iu, ju],
+                "sxi": sums[iu],
+                "sxj": sums[ju],
+            }
+        )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, n long, sp double, sxi double, sxj double"
+    )
+    agg = part.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sp").alias("sp"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sp") / n - (F.col("sxi") / n) * (F.col("sxj") / n)
+    q = F.lit(float(10**quant))
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        (F.floor(cov * q + F.lit(0.5)) / q).alias("cov"),
+    )
+
+
+__all__ = ["embedding_covariance", "embedding_covariance_gemm"]

@@ -96,9 +96,14 @@ def weighted_sample(
     u^(1/w), needs pow/ln whose last ULP is engine-specific; u/w is one
     exact IEEE division, so this output is hash-checkable bit for bit).
 
-    One scan + one rank window per stratum (TakeOrdered-shaped: partial
-    top-k per partition under AQE); no RNG state, stable under
-    repartitioning/backfill like every sampler in this module.
+    One scan + one rank window per stratum; no RNG state, stable under
+    repartitioning/backfill like every sampler in this module. The
+    UNSTRATIFIED case skips the window entirely — a row_number over an
+    empty partitionBy would drag the whole dataset through one reducer
+    on Spark versions without WindowGroupLimit pushdown — and runs as
+    orderBy(priority).limit(k), which Spark plans as TakeOrdered:
+    per-partition partial top-k, only k rows ever reach the driver-side
+    merge, regardless of corpus size.
 
     Non-positive weights get priority +Inf EXPLICITLY: a zero weight
     means zero inclusion probability, and leaving it to division would
@@ -112,9 +117,14 @@ def weighted_sample(
     pri = F.when(
         w_d > 0, hash_uniform(F.col(id_col)) / w_d
     ).otherwise(F.lit(float("inf")))
-    w = W.partitionBy(*( [strata_col] if strata_col else [] )).orderBy(
-        pri.asc(), F.col(id_col).asc()
-    )
+    if strata_col is None:
+        return (
+            df.withColumn("__pri", pri)
+            .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("__pri")
+        )
+    w = W.partitionBy(strata_col).orderBy(pri.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -274,7 +274,31 @@ def margin_topk_match_blocked(
     indexed, centroids = build_ivf_index(
         tgt, k=n_cells, vec_col=vec_col, id_col=id_col
     )
-    spark = tgt.sparkSession
+    return margin_topk_match_indexed(
+        src, indexed, centroids, k=k, nprobe=nprobe, vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
+def margin_topk_match_indexed(
+    src: DataFrame,
+    indexed_tgt: DataFrame,
+    centroids,
+    k: int = 4,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``margin_topk_match_blocked``'s matching tail against a
+    PREBUILT IVF index: ``indexed_tgt`` already carries its ``cell``
+    column (ann_index.build_ivf_index / load_ivf_index) and
+    ``centroids`` its codebook. This is the deployment shape — the
+    k-means fit is paid once when the index is persisted
+    (ann_index.save_ivf_index) and every mining run serves from it,
+    instead of re-fitting the codebook per run. Exactness contract is
+    unchanged: with ``nprobe`` == number of centroids every cell is
+    probed and the output equals margin_topk_match bit for bit."""
+    spark = indexed_tgt.sparkSession
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cent_vec array<double>",
@@ -290,7 +314,7 @@ def margin_topk_match_blocked(
         .select("src_id", "q_vec", "q_vec_nrm", "cell")
     )
     c = _prepped(
-        indexed, id_col, vec_col, "tgt_id", "c_vec", extra={"cell": "cell"}
+        indexed_tgt, id_col, vec_col, "tgt_id", "c_vec", extra={"cell": "cell"}
     )
     # Cell-keyed equi-join — a tgt vector lives in exactly one cell and a
     # source's probe cells are distinct, so each (src, tgt) pair appears
@@ -307,4 +331,5 @@ __all__ = [
     "ivf_topk",
     "margin_topk_match",
     "margin_topk_match_blocked",
+    "margin_topk_match_indexed",
 ]

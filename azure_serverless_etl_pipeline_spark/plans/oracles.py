@@ -2607,6 +2607,12 @@ EXTRA_ORACLES["x117b_incremental_clusters_indexed"] = EXTRA_ORACLES[
 # x91's result through a shuffle-partitioned plan — same SQL truth
 EXTRA_ORACLES["x122_bitext_margin_blocked"] = EXTRA_ORACLES["x91_bitext_margin"]
 
+# x97b mines triplets from the MATERIALIZED pair frame; raw cos doubles
+# roundtrip parquet bit-exactly, so the truth is x97's SQL unchanged
+EXTRA_ORACLES["x97b_contrastive_triplets_materialized"] = EXTRA_ORACLES[
+    "x97_contrastive_triplets"
+]
+
 
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from

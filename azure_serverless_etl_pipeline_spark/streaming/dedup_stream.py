@@ -33,8 +33,6 @@ would compact (operators/compaction handles the small per-batch files).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,22 +47,34 @@ from ..operators.dedup import (
 DOC_SCHEMA = "doc_id long, text string"
 
 
-def _batches_below(root: str, k: int) -> list[str]:
-    """Batch subdirs with id < k, sorted NUMERICALLY — a lexicographic
-    listdir order would rank batch=10 before batch=2 and hand
-    ``prior_maps[-1]`` the wrong 'latest' map past 9 batches."""
-    if not os.path.isdir(root):
+def _list_batches(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """(batch_id, path) for every ``batch=K`` subdir of ``root``, sorted
+    NUMERICALLY — a lexicographic order would rank batch=10 before
+    batch=2 and hand ``prior_maps[-1]`` the wrong 'latest' map past 9
+    batches. Uses the Hadoop FileSystem API (as operators/compaction
+    does) so ``state_dir`` works on abfss/s3a/hdfs, not just local
+    paths — the docstring's 100 TB deployment story needs the listing
+    to run where the state lives."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return []
     found = []
-    for name in os.listdir(root):
-        if name.startswith("batch="):
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
             try:
                 b = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if b < k:
-                found.append((b, os.path.join(root, name)))
-    return [p for _, p in sorted(found)]
+            found.append((b, st.getPath().toString()))
+    return sorted(found)
+
+
+def _batches_below(spark: SparkSession, root: str, k: int) -> list[str]:
+    """Batch subdir paths with id < k, in batch order."""
+    return [p for b, p in _list_batches(spark, root) if b < k]
 
 
 def fold_batch(
@@ -92,8 +102,8 @@ def fold_batch(
         f"{df_root}/batch={batch_id}"
     )
 
-    prior_base = _batches_below(base_root, batch_id)
-    prior_maps = _batches_below(map_root, batch_id)
+    prior_base = _batches_below(spark, base_root, batch_id)
+    prior_maps = _batches_below(spark, map_root, batch_id)
     if not prior_base or not prior_maps:
         # first effective batch: the one-shot builder IS the fold
         new_map = dup_clusters(
@@ -107,7 +117,7 @@ def fold_batch(
     else:
         old_base = spark.read.parquet(*prior_base)
         old_df = (
-            spark.read.parquet(*_batches_below(df_root, batch_id))
+            spark.read.parquet(*_batches_below(spark, df_root, batch_id))
             .groupBy("shingle")
             .agg(F.sum("df").alias("df"))
         )
@@ -169,13 +179,8 @@ def start_dedup_stream(
 
 def current_map(spark: SparkSession, state_dir: str) -> DataFrame:
     """The latest folded cluster map."""
-    root = f"{state_dir}/map"
-    batches = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("batch=")
-    )
-    return spark.read.parquet(f"{root}/batch={batches[-1]}")
+    batches = _list_batches(spark, f"{state_dir}/map")
+    return spark.read.parquet(batches[-1][1])
 
 
 __all__ = ["start_dedup_stream", "fold_batch", "current_map"]

@@ -124,6 +124,10 @@ HEADLINE = [
     "x95_event_transitions",
     "x96_pagerank",
     "x97_contrastive_triplets",
+    # x97b reads the materialized pair frame (built on warm-up, cached
+    # per sf_dir) — the amortized triplet-mining tail; x97 keeps the
+    # full re-mine demo benched as contrast
+    "x97b_contrastive_triplets_materialized",
     "x98_mergeable_topk",
     "x99_corpus_prep",
     "x100_time_range_window",
@@ -163,6 +167,9 @@ HEADLINE = [
     "x126_substring_span_dedup",
     "x127_weighted_sample",
     "x128_embedding_covariance",
+    # x128b is the scale DEFAULT (per-partition GEMM partials, no 2080x
+    # fan-out); x128 stays benched as its exact oracle twin
+    "x128b_embedding_covariance_gemm",
     "x129_token_budget_select",
     "x130_histogram_quantiles",
     "x131_incremental_rollup",

@@ -195,3 +195,29 @@ def test_pq_train_tiny_corpus_raises(spark, corpus):
     tiny = corpus.filter("vec_id < 5")
     with pytest.raises(ValueError, match="k=16"):
         train_pq_codebooks(tiny, m=8, k=16)
+
+
+def test_covariance_gemm_matches_exact(spark, corpus):
+    """The scale-path GEMM covariance (per-partition numpy partials, no
+    corpus fan-out) must equal the exact decimal grid to one 1e-9
+    quantum — the only divergence allowed is float partial-merge order."""
+    from azure_serverless_etl_pipeline_spark.operators.linalg import (
+        embedding_covariance,
+        embedding_covariance_gemm,
+    )
+
+    exact = embedding_covariance(corpus, dim=64).toPandas()
+    gemm = embedding_covariance_gemm(corpus, dim=64).toPandas()
+    assert len(exact) == len(gemm) == 64 * 65 // 2
+
+    key = ["i", "j"]
+    merged = exact.merge(gemm, on=key, suffixes=("_e", "_g"))
+    assert len(merged) == len(exact)
+    assert (merged["n_e"] == merged["n_g"]).all()
+    assert (merged["cov_e"] - merged["cov_g"]).abs().max() <= 1e-9
+
+    # ...and the result is invariant under a different partitioning to
+    # within the same quantum (merge order is the only moving part)
+    reparted = embedding_covariance_gemm(corpus.repartition(13), dim=64).toPandas()
+    m2 = gemm.merge(reparted, on=key, suffixes=("_a", "_b"))
+    assert (m2["cov_a"] - m2["cov_b"]).abs().max() <= 1e-9

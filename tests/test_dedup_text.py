@@ -573,3 +573,59 @@ def test_incremental_indexed_equals_derived(spark, tmp_path):
     got_map = dict(zip(merged["doc_id"], merged["cluster_id"]))
     want_map = dict(zip(full["doc_id"], full["cluster_id"]))
     assert got_map == want_map
+
+
+def test_incremental_indexed_redelivered_id_no_self_edges(spark):
+    """A doc_id present in BOTH the new batch and the old base (an
+    updated/re-delivered document) must not create a degenerate
+    id_a == id_b self-edge, and the verify must score against the NEW
+    shingle set — the one-shot path can produce neither shape."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_incremental_indexed,
+        word_shingles,
+    )
+
+    old_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "totally different words here now please",
+                ],
+            }
+        )
+    )
+    old_base = old_docs.select(
+        F.col("doc_id"), word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    old_df = (
+        old_base.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # doc 1 re-delivered with updated text that still overlaps its old
+    # shingles; doc 3 is a near-dup of the NEW text only
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon updated",
+                    "alpha beta gamma delta epsilon updated",
+                ],
+            }
+        )
+    )
+    out = ngram_jaccard_pairs_incremental_indexed(
+        new, old_base, old_df, threshold=0.5
+    ).toPandas()
+    assert (out["id_a"] != out["id_b"]).all()
+    # exact duplicate of the NEW text for doc 1 -> jaccard 1.0; against
+    # the stale OLD shingles it would be < 1
+    pair13 = out[(out["id_a"] == 1) & (out["id_b"] == 3)]
+    assert len(pair13) == 1
+    assert pair13["jaccard"].iloc[0] == 1.0

@@ -349,45 +349,61 @@ def test_entropy_and_transitions_single_scan(spark, queries):
 def test_blocked_bitext_is_equi_join_no_corpus_broadcast(spark, queries):
     """x122 replaces x91's broadcast-source cross join (fatal when the
     source side is corpus-sized) with IVF-cell routing: the corpus match
-    must be an EQUI-join on the cell key, the only nested-loop join in
-    the plan is the bounded 8-row codebook fan-out, and no cartesian
-    appears anywhere. x91 keeps the cross-join shape by design (query-set
+    must be an EQUI-join on the cell key, every nested-loop join in the
+    plan is the bounded codebook fan-out (driver-local rows — never a
+    parquet corpus scan on the build side), and no cartesian appears
+    anywhere. x91 keeps the cross-join shape by design (query-set
     sources) — asserted as the contrast so the difference stays visible."""
     import re
 
     plan = plan_of(queries["x122_bitext_margin_blocked"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
-    # the corpus match is keyed on cell (SMJ/SHJ/BHJ all acceptable)
-    assert re.search(r"keys \[\d+\]: \[cell", plan), plan[:2000]
-    # exactly one nested-loop join node: the codebook (driver-local rows)
-    bnlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
-    assert len(bnlj_nodes) <= 1, bnlj_nodes
-    # ...and no parquet corpus scan sits inside that nested-loop join's
-    # subtree: the only cross fan-out is the driver-local codebook
+    # the corpus match is keyed on cell (SMJ/SHJ/BHJ all acceptable);
+    # reading the cell off the persisted partitionBy(cell) index makes
+    # Spark widen the key (cast(cell as bigint)) for partition-pruning
+    # comparability — still an equi-join on cell
+    assert re.search(r"keys \[\d+\]: \[(cast\()?cell", plan), plan[:2000]
+    # the main tree carries exactly one nested-loop join: the codebook
+    # (its dynamic-partition-pruning subquery may replay the same
+    # codebook join in a Subqueries section — same bounded build side,
+    # checked below like every other tree)
+    main = plan.split("\n\n")[0]
+    assert len(re.findall(r"BroadcastNestedLoopJoin", main)) <= 1, main
+    # ...and in EVERY tree section (main + DPP subqueries), no parquet
+    # corpus scan sits inside a nested-loop join's build subtree: the
+    # only cross fan-out is the driver-local codebook
     # (Scan ExistingRDD/LocalTableScan), never a file scan
-    tree = plan.split("\n\n")[0].splitlines()
-    for i, line in enumerate(tree):
-        if "BroadcastNestedLoopJoin" not in line:
-            continue
-        indent = len(line) - len(line.lstrip(" +-:"))
-        subtree = []
-        for below in tree[i + 1 :]:
-            if len(below) - len(below.lstrip(" +-:")) <= indent:
-                break
-            subtree.append(below)
-        # immediate children sit at the minimal indent; the BUILD side is
-        # the last child under BuildRight (the streamed side may scan
-        # parquet freely — only the broadcast side must stay bounded)
-        kid_indent = min(len(s) - len(s.lstrip(" +-:")) for s in subtree)
-        kid_starts = [
-            j
-            for j, s in enumerate(subtree)
-            if len(s) - len(s.lstrip(" +-:")) == kid_indent
-        ]
-        build = subtree[kid_starts[-1] if "BuildRight" in line else 0 :]
-        if "BuildRight" not in line and len(kid_starts) > 1:
-            build = subtree[: kid_starts[1]]
-        assert not any("parquet" in s for s in build), "\n".join(build)
+    for section in plan.split("\n\n"):
+        if "BroadcastNestedLoopJoin" not in section or (
+            "+- " not in section and ":- " not in section
+        ):
+            continue  # detail block, not a plan tree
+        tree = section.splitlines()
+        for i, line in enumerate(tree):
+            if "BroadcastNestedLoopJoin" not in line:
+                continue
+            indent = len(line) - len(line.lstrip(" +-:"))
+            subtree = []
+            for below in tree[i + 1 :]:
+                if len(below) - len(below.lstrip(" +-:")) <= indent:
+                    break
+                subtree.append(below)
+            if not subtree:
+                continue
+            # immediate children sit at the minimal indent; the BUILD
+            # side is the last child under BuildRight (the streamed side
+            # may scan parquet freely — only the broadcast side must
+            # stay bounded)
+            kid_indent = min(len(s) - len(s.lstrip(" +-:")) for s in subtree)
+            kid_starts = [
+                j
+                for j, s in enumerate(subtree)
+                if len(s) - len(s.lstrip(" +-:")) == kid_indent
+            ]
+            build = subtree[kid_starts[-1] if "BuildRight" in line else 0 :]
+            if "BuildRight" not in line and len(kid_starts) > 1:
+                build = subtree[: kid_starts[1]]
+            assert not any("parquet" in s for s in build), "\n".join(build)
     # contrast: x91's deliberate broadcast-source cross join
     plan91 = plan_of(queries["x91_bitext_margin"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in plan91
@@ -515,3 +531,18 @@ def test_incremental_rollup_two_scans_no_history_rescan(spark, queries):
     plan = plan_of(queries["x131_incremental_rollup"](spark, SF_ORACLE))
     assert plan.count("events.parquet") == 2
     assert "FullOuter" in plan or "full_outer" in plan
+
+
+def test_covariance_gemm_no_fanout(spark, queries):
+    """x128b (the scale default) must be ONE parquet scan feeding
+    MapInPandas with ZERO join nodes — the per-partition GEMM partial is
+    the whole point; any join means the 2080x grid fan-out leaked back
+    in. x128 (the exact oracle twin) keeps the broadcast-grid nested
+    loop by design — asserted as the contrast."""
+    plan = plan_of(queries["x128b_embedding_covariance_gemm"](spark, SF_ORACLE))
+    assert n_scans(plan) == 1
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+    plan_exact = plan_of(queries["x128_embedding_covariance"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan_exact
