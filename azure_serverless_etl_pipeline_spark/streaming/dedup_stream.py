@@ -140,6 +140,39 @@ def fold_batch(
     spark.catalog.clearCache()
 
 
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    target_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+) -> dict:
+    """OPTIMIZE pass over the dedup state: bin-pack every per-batch leaf
+    directory (base/df/map x batch=K) through
+    operators.compaction.compact_parquet_dir. Per-batch writes produce
+    one file set per micro-batch — the standard streaming small-files
+    problem; at scale a day of per-minute batches is thousands of
+    KB-scale files and every probe of the posting lists pays a task +
+    footer read per file. Compaction preserves row identity (read ->
+    coalesce -> rename-commit; crash-safe via the operator's write-ahead
+    manifest), so the folded map and every future probe are unchanged —
+    asserted end-to-end in test_dedup_stream. Run between batches (the
+    operator is not snapshot-isolated against concurrent readers of the
+    same leaf), exactly like an offline OPTIMIZE job."""
+    from ..operators.compaction import compact_parquet_dir
+
+    out = {"dirs": 0, "compacted": 0, "rewritten": 0}
+    for sub in ("base", "df", "map"):
+        for _b, path in _list_batches(spark, f"{state_dir}/{sub}"):
+            stats = compact_parquet_dir(
+                spark, path, target_bytes=target_bytes,
+                min_file_bytes=min_file_bytes,
+            )
+            out["dirs"] += 1
+            out["compacted"] += int(stats["compacted"])
+            out["rewritten"] += stats["rewritten"]
+    return out
+
+
 def start_dedup_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -148,10 +181,19 @@ def start_dedup_stream(
     threshold: float = 0.5,
     n: int = 3,
     max_shingle_freq: int | None = 50,
+    compact_every: int | None = None,
 ):
     """Tail a landing directory of document parquet files; every
     micro-batch folds into the standing cluster map. availableNow gives
-    batch parity (drain-then-stop); drop it for continuous tailing."""
+    batch parity (drain-then-stop); drop it for continuous tailing.
+
+    ``compact_every=N`` runs the ``compact_state`` maintenance pass
+    after every Nth fold — the between-batches window is the one moment
+    the state has no concurrent reader, so the streaming job is the
+    natural owner of its own OPTIMIZE cadence (the same pattern Delta's
+    auto-compaction uses). A crash between fold and compact is safe:
+    the fold is already durable, and a half-finished compact replays
+    from its manifest on the next pass."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -168,6 +210,8 @@ def start_dedup_stream(
             n=n,
             max_shingle_freq=max_shingle_freq,
         )
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            compact_state(spark, state_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -183,4 +227,4 @@ def current_map(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(batches[-1][1])
 
 
-__all__ = ["start_dedup_stream", "fold_batch", "current_map"]
+__all__ = ["start_dedup_stream", "fold_batch", "current_map", "compact_state"]

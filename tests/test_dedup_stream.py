@@ -71,3 +71,124 @@ def test_fold_batch_is_idempotent(spark, tmp_path):
     got = current_map(spark, state).toPandas()
     got_map = dict(zip(got["doc_id"], got["cluster_id"]))
     assert got_map == want_map == _truth(docs)
+
+
+def test_stream_with_compaction_preserves_truth(spark, tmp_path):
+    """E2E: drain the stream with compact_every=1 (OPTIMIZE after every
+    fold) — the folded map must still equal batch truth, the compaction
+    must actually rewrite the per-batch small files, and base-row
+    identity must survive the rewrite."""
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        start_dedup_stream,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    state = str(tmp_path / "state")
+    q = start_dedup_stream(
+        spark,
+        landing,
+        state,
+        str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination(300)
+
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(docs)
+    # compaction really ran somewhere: the shuffle-written leaves (df /
+    # map, one file per reducer) get bin-packed to compacted- files;
+    # single-file leaves (base, one file per arriving batch) are
+    # correctly left alone
+    import os
+
+    compacted = [
+        os.path.join(sub, d, f)
+        for sub in ("base", "df", "map")
+        for d in os.listdir(os.path.join(state, sub))
+        if d.startswith("batch=")
+        for f in os.listdir(os.path.join(state, sub, d))
+        if f.startswith("compacted-")
+    ]
+    assert compacted, "no leaf was compacted"
+    # base-row identity survived the rewrite
+    base = spark.read.parquet(os.path.join(state, "base"))
+    assert base.select("doc_id").distinct().count() == docs.count()
+
+
+def test_compact_state_crash_resume(spark, tmp_path):
+    """A compaction crash mid-swap (committed manifest, deletes pending)
+    must replay on the next maintenance pass, and a crash-rerun of the
+    last FOLD over the compacted state must still be idempotent — the
+    row-identity + cluster-map contract the reference's idempotent
+    upsert story (blob_to_cosmosdb.py:32-38) delegates to its store."""
+    import json
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators.compaction import (
+        _MANIFEST,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        compact_state,
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).repartition(4)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).repartition(4)
+    fold_batch(spark, b0, 0, state)
+    fold_batch(spark, b1, 1, state)
+    want = _truth(docs)
+
+    # simulate the post-commit crash window in base/batch=0: one file
+    # already duplicated under its compacted- name, manifest still
+    # pointing at the original for deletion (same shape as
+    # test_compaction.py's resume test)
+    leaf = os.path.join(state, "base", "batch=0")
+    victim = sorted(
+        f for f in os.listdir(leaf)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )[0]
+    src = os.path.join(leaf, victim)
+    dup = os.path.join(leaf, f"compacted-deadbeef-{victim}")
+    with open(src, "rb") as fh, open(dup, "wb") as out:
+        out.write(fh.read())
+    mpath = os.path.join(leaf, _MANIFEST)
+    with open(mpath, "w") as fh:
+        json.dump(
+            {
+                "self": mpath,
+                "tmp": os.path.join(leaf, ".compact-deadbeef"),
+                "moves": [],
+                "originals": [src],
+            },
+            fh,
+        )
+
+    stats = compact_state(spark, state)
+    assert stats["dirs"] == 6  # base/df/map x 2 batches
+    assert not os.path.exists(mpath)  # pending manifest replayed
+    assert not os.path.exists(src)  # original deleted exactly once
+
+    # row identity through crash + compact
+    base = spark.read.parquet(os.path.join(state, "base"))
+    assert base.select("doc_id").distinct().count() == docs.count()
+    assert base.count() == base.select("doc_id").distinct().count()
+
+    # crash-rerun of the last fold over the COMPACTED state: idempotent,
+    # still batch truth
+    fold_batch(spark, b1, 1, state)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
