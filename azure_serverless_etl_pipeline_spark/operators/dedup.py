@@ -356,6 +356,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -363,6 +364,19 @@ def minhash_lsh_pairs(
     candidate recall at J=0.5 is 1-(1-0.25)^32 ~ 0.9999. Candidates are
     then verified exactly, so precision is 1.0 by construction; output is
     LSH-recall-limited (hence no SQL oracle — driver does rows-only).
+
+    ``max_bucket_size`` is the mega-bucket guard — the banding
+    counterpart of ``ngram_jaccard_pairs``' stop-shingle cap. A
+    boilerplate/template family (thousands of documents sharing header
+    shingles) collapses into one (band, bucket) and the candidate
+    self-join emits |bucket|^2/2 pairs PER BAND for it: measured on a
+    10x slice with a planted canonical-ordering pathology, unguarded
+    banding blew 822x in shuffle bytes (SCALE.md round-6). Buckets
+    above the cap are dropped before the join (a tiny per-bucket count
+    + broadcast anti-join); recall is lost ONLY for pairs whose every
+    colliding band is a mega-bucket — i.e. giant boilerplate families,
+    exactly the population exact/whole-doc dedup already handles and
+    the one you never want pair-expanded at 100 TB.
 
     Signature layout: explode shingles once, hash each shingle STRING
     exactly once (string hashing is length-proportional and dominated the
@@ -416,6 +430,14 @@ def minhash_lsh_pairs(
         .select(id_col, "bb.band", "bb.bucket")
         .cache()
     )
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

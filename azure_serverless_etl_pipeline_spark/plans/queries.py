@@ -239,8 +239,19 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x03_dedup_minhash_lsh")
 def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band geometry CALIBRATED TO THE THRESHOLD (SCALE.md round-6):
+    with r rows/band and b bands the LSH S-curve midpoint sits at
+    (1/b)^(1/r), so r=4/b=16 puts it exactly at the 0.5 target. The
+    previous r=2/b=32 midpoint was 0.18 — tuned for recall far below
+    threshold, which on a corpus with a high pairwise-similarity noise
+    floor (this tiny-vocab synthetic: random-pair J ~ 0.05) makes
+    banding non-selective and candidate volume quadratic (measured
+    190s/27.9x-shuffle at a 10x slice vs 10.7s with r=4, recall 99%).
+    max_bucket_size=200 additionally guards boilerplate mega-buckets
+    in either geometry."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5,
+        num_perm=64, bands=16, max_bucket_size=200,
     )
 
 

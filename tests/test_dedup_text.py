@@ -629,3 +629,79 @@ def test_incremental_indexed_redelivered_id_no_self_edges(spark):
     pair13 = out[(out["id_a"] == 1) & (out["id_b"] == 3)]
     assert len(pair13) == 1
     assert pair13["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_bucket_cap_guards_boilerplate(spark, docs):
+    """The mega-bucket guard: a planted boilerplate family (many docs
+    sharing one template text) must not reach the candidate join when
+    capped, while ordinary near-dup pairs are found identically with
+    and without the cap (their buckets are small)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    template = "this exact template sentence repeats across every member here"
+    boiler = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1000 + i for i in range(40)],
+                "text": [template] * 40,
+            }
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(boiler)
+
+    base = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    capped = minhash_lsh_pairs(
+        corpus, threshold=0.5, max_bucket_size=10
+    ).toPandas()
+    uncapped = minhash_lsh_pairs(corpus, threshold=0.5).toPandas()
+
+    key = lambda df: set(map(tuple, df[["id_a", "id_b"]].to_numpy().tolist()))
+    # ordinary pairs unaffected by the cap
+    assert key(base) <= key(capped)
+    # the 40-member family's 780 pairs are pruned by the cap...
+    fam = {p for p in key(capped) if p[0] >= 1000}
+    assert fam == set()
+    # ...and dominate the unguarded run (the blow-up the guard exists for)
+    fam_unc = {p for p in key(uncapped) if p[0] >= 1000}
+    assert len(fam_unc) == 40 * 39 // 2
+
+
+def test_minhash_calibrated_geometry_recall(spark):
+    """x03's registered geometry (r=4/b=16, S-curve midpoint exactly at
+    the 0.5 threshold) on the driver corpus at sf0.001: precision stays
+    1.0 (exact verify) and recall vs the exact-Jaccard truth must hold
+    at the level RECALL.md's curve claims for well-separated dups."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    truth = set(
+        map(
+            tuple,
+            ngram_jaccard_pairs(docs, threshold=0.5)
+            .toPandas()[["id_a", "id_b"]].to_numpy().tolist(),
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, threshold=0.5, num_perm=64, bands=16,
+                max_bucket_size=200,
+            )
+            .toPandas()[["id_a", "id_b"]].to_numpy().tolist(),
+        )
+    )
+    assert got <= truth
+    assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
