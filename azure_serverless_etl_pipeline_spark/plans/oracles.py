@@ -2613,6 +2613,16 @@ EXTRA_ORACLES["x97b_contrastive_triplets_materialized"] = EXTRA_ORACLES[
     "x97_contrastive_triplets"
 ]
 
+# x104b/x105b read the MATERIALIZED Jaccard cluster map (doc_id,
+# cluster_id — two longs, bit-exact through parquet); the truth is the
+# recomputed chain's SQL unchanged
+EXTRA_ORACLES["x104b_canonical_dedup_materialized"] = EXTRA_ORACLES[
+    "x104_canonical_dedup"
+]
+EXTRA_ORACLES["x105b_leakage_safe_split_materialized"] = EXTRA_ORACLES[
+    "x105_leakage_safe_split"
+]
+
 
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from

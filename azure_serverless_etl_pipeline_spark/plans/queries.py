@@ -2300,13 +2300,14 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_pos", F.round("cos_pos", 12))
 
 
-def _pair_state_dir(sf_dir: str) -> str:
-    """Per-sf_dir cache for the materialized embedding near-dup pair
-    frame (x97b/x104/x105's shared mining stage), keyed by the
-    embeddings file's (mtime, size) like x117b's incremental state."""
+def _state_dir(sf_dir: str, src_table: str, kind: str) -> str:
+    """Per-sf_dir cache dir for a materialized mining artifact (pair
+    frame, cluster map), keyed by the source file's (mtime, size) like
+    x117b's incremental state — a stale artifact can never be served
+    after the input changes."""
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
     st = os.stat(src)
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
@@ -2315,9 +2316,14 @@ def _pair_state_dir(sf_dir: str) -> str:
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
-        "dup_pairs",
+        kind,
         tag,
     )
+
+
+def _pair_state_dir(sf_dir: str) -> str:
+    """Materialized embedding near-dup pair frame (x97b's mining stage)."""
+    return _state_dir(sf_dir, "embeddings", "dup_pairs")
 
 
 @query("x97b_contrastive_triplets_materialized")
@@ -3065,6 +3071,66 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_cluster_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized Jaccard near-dup CLUSTER MAP (doc_id, cluster_id
+    — two longs, bit-exact through parquet): x104/x105's shared mining
+    stage (shingle inverted index -> exact verify -> connected
+    components) persisted once per corpus version. In a deployment this
+    is the dedup pipeline's standing output table; every consumer
+    (canonical selection, split assignment, reporting) reads it instead
+    of re-mining — the same amortization split as x97b/x117b."""
+    import os
+
+    state = _state_dir(sf_dir, "documents", "jaccard_clusters")
+    if not os.path.exists(os.path.join(state, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_freq=50
+        )
+        dedup.dup_clusters(pairs).write.mode("overwrite").parquet(state)
+    return spark.read.parquet(state)
+
+
+@query("x104b_canonical_dedup_materialized")
+def x104b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x104's canonical-copy selection reading the MATERIALIZED cluster
+    map: the O(sum df^2) pair-mining + iterative connected-components
+    stage is amortized into a standing artifact, and the per-run cost is
+    two id-keyed joins plus the pair-bounded rank window. The cluster
+    frame is (long, long) so it roundtrips parquet bit-exactly and the
+    oracle is UNCHANGED from x104 — the driver hash proves materialized
+    == recomputed."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _jaccard_cluster_state(spark, sf_dir)
+    scores = text.quality_score(docs).select("doc_id", "quality")
+    return dedup.canonical_map(docs, clusters, scores)
+
+
+@query("x105b_leakage_safe_split_materialized")
+def x105b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x105's leakage-safe split reading the MATERIALIZED cluster map
+    (same artifact as x104b): per-run work is one left join + the
+    summary rollup. Oracle UNCHANGED from x105."""
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _jaccard_cluster_state(spark, sf_dir)
+    wc = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    b = hash_bucket(F.col("cluster_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return wc.withColumn("split", split).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 @query("x102_temperature_mixture")
 def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture weights over (source, lang) strata —
@@ -3589,8 +3655,13 @@ DRIVER_WINDOW: list[str] = [
     # x113's r04 row + pytest)
     "x126_substring_span_dedup", "x127_weighted_sample",
     "x128_embedding_covariance", "x129_token_budget_select",
-    # standing window (driver-green r04/r05, kept for family coverage)
-    "x104_canonical_dedup", "x105_leakage_safe_split",
+    # standing window (driver-green r04/r05, kept for family coverage).
+    # Round-6 late swap (x97/x97b precedent): the materialized-path
+    # variants x104b/x105b take their recomputing twins' slots with the
+    # SAME oracles — the driver hash proves materialized == recomputed;
+    # x104/x105 stay pytest-oracle-checked at sf0.001 (r05-green rows).
+    "x104b_canonical_dedup_materialized",
+    "x105b_leakage_safe_split_materialized",
     "x98_mergeable_topk", "x100_time_range_window",
     "x80_bloom_incremental_dedup", "x81_scd2_merge",
     "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",

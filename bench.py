@@ -136,6 +136,11 @@ HEADLINE = [
     "x103_quality_calibration",
     "x104_canonical_dedup",
     "x105_leakage_safe_split",
+    # x104b/x105b read the materialized Jaccard cluster map (built on
+    # warm-up, cached per sf_dir) — the amortized canonical/split tails;
+    # x104/x105 keep the full re-mine demos benched as contrast
+    "x104b_canonical_dedup_materialized",
+    "x105b_leakage_safe_split_materialized",
     "x106_count_anomaly",
     "x107_seasonality_index",
     "x108_bigram_logprob",

@@ -522,6 +522,25 @@ def test_indexed_incremental_reads_state_not_corpus(spark, queries):
     assert pb.count("documents.parquet") < pa.count("documents.parquet")
 
 
+def test_materialized_clusters_read_state_not_mined(spark, queries):
+    """x104b/x105b must serve the Jaccard cluster map from the persisted
+    artifact: the plan reads jaccard_clusters parquet and contains no
+    mining stage — neither the shingle posexplode nor the checkpointed
+    cluster frame (`Scan ExistingRDD`) that dup_clusters' label loop
+    leaves in the recomputing twins' plans."""
+    for b_name, a_name in [
+        ("x104b_canonical_dedup_materialized", "x104_canonical_dedup"),
+        ("x105b_leakage_safe_split_materialized", "x105_leakage_safe_split"),
+    ]:
+        pb = plan_of(queries[b_name](spark, SF_ORACLE))
+        pa = plan_of(queries[a_name](spark, SF_ORACLE))
+        assert "jaccard_clusters" in pb, b_name
+        assert "jaccard_clusters" not in pa, a_name
+        assert "posexplode" not in pb.lower(), b_name
+        assert "ExistingRDD" not in pb, b_name
+        assert "ExistingRDD" in pa, a_name  # the checkpointed mined state
+
+
 def test_incremental_rollup_two_scans_no_history_rescan(spark, queries):
     """x131: the split-aggregate-merge shape is exactly two raw scans
     (on-time + late partitions of the same table in this demo; in a
