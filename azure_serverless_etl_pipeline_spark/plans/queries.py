@@ -3259,6 +3259,41 @@ def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x132_bpe_merges")
+def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (operators/bpe.fit_bpe_merges): 40 merges fit
+    on the documents corpus via the word-count sufficient statistic —
+    ONE distributed scan+shuffle; the merge loop runs on the bounded
+    top-20k word table (the PQ-codebook pattern). Deterministic (count
+    tie-breaks to lexicographic min pair), but engine-iterative ->
+    rows-only driver check; pytest pins the merges against an
+    independent naive full-recount trainer (test_bpe.py)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.fit_bpe_merges(docs, n_merges=40, vocab_cap=20_000)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, int(n)) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, pair_count long",
+    ).orderBy("rank")
+
+
+@query("x133_bpe_segment_stats")
+def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application under the learned merges (operators/bpe.
+    bpe_segment_stats): per-source word/piece accounting — the
+    token-budget planning table for a tokenizer change. Corpus-sized
+    work stays JVM-side (explode + groupBy); Python segmentation runs
+    only over the distinct-word frame (vocab-sized pandas UDF, merge
+    ranks broadcast). Rows-only driver check; pytest pins the stats
+    against a pure-Python end-to-end reference."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.fit_bpe_merges(docs, n_merges=40, vocab_cap=20_000)
+    return bpe.bpe_segment_stats(docs, merges).orderBy("source")
+
+
 @query("x129_token_budget_select")
 def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted per-source selection: each source contributes its

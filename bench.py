@@ -178,6 +178,10 @@ HEADLINE = [
     "x129_token_budget_select",
     "x130_histogram_quantiles",
     "x131_incremental_rollup",
+    # BPE: fit = one word-count scan + bounded driver loop; apply =
+    # JVM-side corpus aggregation + vocab-sized pandas UDF
+    "x132_bpe_merges",
+    "x133_bpe_segment_stats",
 ]
 
 
