@@ -2623,6 +2623,47 @@ EXTRA_ORACLES["x105b_leakage_safe_split_materialized"] = EXTRA_ORACLES[
     "x105_leakage_safe_split"
 ]
 
+# x134: md5 hex strings order identically in both engines (ASCII);
+# row_number is INTEGER on the Spark side, so cast DuckDB's too.
+EXTRA_ORACLES["x134_epoch_shuffle"] = f"""
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS key FROM documents
+), s AS (
+  SELECT doc_id, key,
+         CAST(list_reduce(list_transform(
+                string_split(substr(key, 1, 8), ''),
+                x -> CASE WHEN x BETWEEN '0' AND '9' THEN CAST(x AS BIGINT)
+                     ELSE 10 + ascii(x) - ascii('a') END),
+              (a, b) -> a * 16 + b) % 32 AS INTEGER) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS INTEGER) AS pos
+FROM s
+"""
+
+EXTRA_ORACLES["x135_length_batches"] = """
+WITH staged AS (
+  SELECT doc_id, n_chars,
+         CAST(least(n_chars // 256, 15) AS INTEGER) AS length_bucket,
+         md5(CAST(doc_id AS VARCHAR) || ':7') AS key
+  FROM documents
+), rn AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY length_bucket ORDER BY key, doc_id) AS rn
+  FROM staged
+), b AS (
+  SELECT *, CAST((rn - 1) // 32 AS INTEGER) AS batch_id FROM rn
+)
+SELECT length_bucket, batch_id,
+       COUNT(*) AS n_docs,
+       MAX(n_chars) AS batch_max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT) AS padding_waste
+FROM b GROUP BY length_bucket, batch_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from

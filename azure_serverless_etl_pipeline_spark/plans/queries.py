@@ -3259,6 +3259,72 @@ def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x134_epoch_shuffle")
+def x134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every doc gets a (shard, pos)
+    training-order coordinate — shard from the md5 key (32 shards), pos
+    by intra-shard key order. Readers stream shards round-robin and get
+    a seed-reproducible global permutation with NO global sort: the only
+    shuffle is the 32-way hash exchange + per-shard sort (each shard
+    sorts independently — the scale shape a single row_number over a
+    global ORDER BY cannot have). Seed ':42' is part of the key, so
+    epoch 2 is the same query with a different literal."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 32
+    ).cast("int")
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@query("x135_length_batches")
+def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (padding-efficiency primitive): docs are
+    bucketed by length (256-char grid, capped), shuffled within the
+    bucket by a seeded md5 key, and cut into batches of 32; output per
+    (bucket, batch) = size, max length, and padding waste (what a
+    pad-to-longest collator burns). Length-sorted batching is how
+    sequence trainers keep pad tokens <10%; the whole plan is one scan +
+    one per-bucket window + one group-all — every stage partitions by
+    the bucket/batch keys."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / F.lit(256)), F.lit(15)).cast(
+        "int"
+    )
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    w = W.partitionBy("length_bucket").orderBy("key", "doc_id")
+    staged = (
+        docs.select(
+            "doc_id", "n_chars", bucket.alias("length_bucket"), key.alias("key")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", ((F.col("rn") - F.lit(1)) / F.lit(32)).cast("int"))
+    )
+    return (
+        staged.groupBy("length_bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("batch_max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("n_docs") * F.col("batch_max_chars") - F.col("total_chars")).cast(
+                "long"
+            ),
+        )
+    )
+
+
 @query("x132_bpe_merges")
 def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning (operators/bpe.fit_bpe_merges): 40 merges fit

@@ -182,6 +182,9 @@ HEADLINE = [
     # JVM-side corpus aggregation + vocab-sized pandas UDF
     "x132_bpe_merges",
     "x133_bpe_segment_stats",
+    # training-order primitives: sharded epoch shuffle, length batching
+    "x134_epoch_shuffle",
+    "x135_length_batches",
 ]
 
 

@@ -522,6 +522,18 @@ def test_indexed_incremental_reads_state_not_corpus(spark, queries):
     assert pb.count("documents.parquet") < pa.count("documents.parquet")
 
 
+def test_training_order_windows_stay_sharded(spark, queries):
+    """x134/x135 exist to produce a training order WITHOUT a global
+    sort: their row_number windows partition by shard/length bucket, so
+    the plan must contain no SinglePartition exchange (the signature of
+    a window over a global ORDER BY, which serializes the corpus through
+    one task)."""
+    for name in ["x134_epoch_shuffle", "x135_length_batches"]:
+        df = queries[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, name
+
+
 def test_materialized_clusters_read_state_not_mined(spark, queries):
     """x104b/x105b must serve the Jaccard cluster map from the persisted
     artifact: the plan reads jaccard_clusters parquet and contains no
