@@ -151,4 +151,55 @@ def embedding_covariance_gemm(
     )
 
 
-__all__ = ["embedding_covariance", "embedding_covariance_gemm"]
+def embedding_spectrum(
+    df: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Top-k eigenvalues of the corpus covariance + explained-variance
+    ratios — the embedding-quality diagnostic (anisotropy / effective
+    intrinsic dimension: one dominant direction means cosine similarity
+    is mostly measuring that direction, and SemDeDup-style pipelines
+    whiten first for exactly this reason).
+
+    Scale shape: the corpus contributes only the GEMM-partial pass
+    (``embedding_covariance_gemm`` — O(partitions * d^2) shuffle); the
+    eigendecomposition runs on the collected d x d matrix, a bounded
+    driver-side artifact like the k-means centroids or the PQ codebook.
+    Output: (component, eigenvalue, explained_var, cum_explained),
+    floats -> rows-only contract, numpy-parity pytest."""
+    import numpy as np
+
+    cells = embedding_covariance_gemm(df, dim=dim, vec_col=vec_col).collect()
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    for r in cells:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    evals = np.linalg.eigvalsh(cov)[::-1]  # symmetric -> real, desc
+    total = float(evals.sum())
+    top = evals[:k]
+    rows = []
+    cum = 0.0
+    for i, ev in enumerate(top):
+        cum += float(ev) / total
+        rows.append(
+            (
+                i + 1,
+                round(float(ev), 9),
+                round(float(ev) / total, 9),
+                round(cum, 9),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var double, "
+        "cum_explained double",
+    )
+
+
+__all__ = [
+    "embedding_covariance",
+    "embedding_covariance_gemm",
+    "embedding_spectrum",
+]

@@ -68,3 +68,51 @@ def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
         f"stack({n}, {stack_args}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def content_checksum(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Order-independent per-group content checksum: (group, n_rows,
+    checksum) where checksum = SUM of a 60-bit md5 fold of
+    ``id:content`` per row, summed as DECIMAL(38,0).
+
+    The copy/migration integrity primitive at 100 TB: source and
+    destination each compute their checksum table independently (one
+    scan, one aggregate, no sort, no co-location) and a KB-scale join
+    compares them. Addition is commutative, so the result is identical
+    under any partitioning/ordering — and decimal addition keeps it
+    bit-exact cross-engine (the DuckDB oracle folds the same 15 hex
+    chars). 60 bits per row keeps the sum far inside DECIMAL(38)
+    (overflow needs ~2^66 rows)."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col(content_col),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(38,0)")
+    )
+    # Emitted as STRING: a DECIMAL(38,0) exceeds int64, and pandas/Arrow
+    # bridges coerce big decimals to lossy float64 on some engines — the
+    # digit string is the only representation that survives every hop.
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(fold).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )

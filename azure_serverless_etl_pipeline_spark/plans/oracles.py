@@ -2643,6 +2643,24 @@ SELECT doc_id, shard,
 FROM s
 """
 
+# x136: same 15-hex-char md5 fold (60 bits/row), summed as DECIMAL(38,0)
+EXTRA_ORACLES["x136_content_checksum"] = """
+WITH h AS (
+  SELECT source,
+         list_reduce(list_transform(
+           string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                               1, 15), ''),
+           x -> CASE WHEN x BETWEEN '0' AND '9' THEN CAST(x AS BIGINT)
+                ELSE 10 + ascii(x) - ascii('a') END),
+           (a, b) -> a * 16 + b) AS fold
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(fold AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS VARCHAR) AS checksum
+FROM h GROUP BY source
+"""
+
 EXTRA_ORACLES["x135_length_batches"] = """
 WITH staged AS (
   SELECT doc_id, n_chars,

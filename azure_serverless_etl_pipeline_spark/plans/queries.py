@@ -3325,6 +3325,34 @@ def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x136_content_checksum")
+def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-source content checksum (operators/profile.
+    content_checksum): SUM of a 60-bit md5 fold of id:text per row as
+    DECIMAL(38,0) — the copy/migration integrity primitive (source and
+    destination each run one scan + one aggregate, then a KB-scale
+    compare; no sort, no co-location). Commutative addition -> identical
+    under any partitioning; decimal -> bit-exact vs the DuckDB twin."""
+    from ..operators.profile import content_checksum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return content_checksum(docs)
+
+
+@query("x137_embedding_spectrum")
+def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 covariance eigenvalues + explained-variance ratios
+    (operators/linalg.embedding_spectrum): the anisotropy / intrinsic-
+    dimension diagnostic for the embedding corpus. Corpus cost = the
+    x128b GEMM-partial pass only; the eigendecomposition runs on the
+    collected d x d matrix (bounded driver artifact). Rows-only (float
+    eig); pytest pins parity vs numpy on the collected vectors."""
+    from ..operators.linalg import embedding_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_spectrum(emb)
+
+
 @query("x132_bpe_merges")
 def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning (operators/bpe.fit_bpe_merges): 40 merges fit

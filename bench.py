@@ -185,6 +185,9 @@ HEADLINE = [
     # training-order primitives: sharded epoch shuffle, length batching
     "x134_epoch_shuffle",
     "x135_length_batches",
+    # integrity + embedding diagnostics
+    "x136_content_checksum",
+    "x137_embedding_spectrum",
 ]
 
 

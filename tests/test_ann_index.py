@@ -221,3 +221,29 @@ def test_covariance_gemm_matches_exact(spark, corpus):
     reparted = embedding_covariance_gemm(corpus.repartition(13), dim=64).toPandas()
     m2 = gemm.merge(reparted, on=key, suffixes=("_a", "_b"))
     assert (m2["cov_a"] - m2["cov_b"]).abs().max() <= 1e-9
+
+
+def test_embedding_spectrum_matches_numpy(spark, corpus):
+    """x137's eigenvalues must match numpy's eigvalsh of the sample
+    covariance computed directly on the collected vectors (the operator
+    goes through the distributed GEMM partials + rounded cell quantum,
+    so agreement is to ~1e-7, far tighter than any diagnostic use)."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.linalg import (
+        embedding_spectrum,
+    )
+
+    got = embedding_spectrum(corpus, dim=64, k=8).toPandas()
+    assert list(got["component"]) == list(range(1, 9))
+    # monotone non-increasing spectrum, ratios in (0, 1], cum monotone
+    assert (got["eigenvalue"].diff().dropna() <= 1e-12).all()
+    assert ((got["explained_var"] > 0) & (got["explained_var"] <= 1)).all()
+    assert (got["cum_explained"].diff().dropna() > 0).all()
+
+    x = np.vstack(
+        [r["embedding"] for r in corpus.select("embedding").collect()]
+    ).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1][:8]
+    assert np.abs(got["eigenvalue"].to_numpy() - want).max() <= 1e-7
