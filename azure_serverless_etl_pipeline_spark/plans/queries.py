@@ -3791,7 +3791,12 @@ DRIVER_WINDOW: list[str] = [
     # x104/x105 stay pytest-oracle-checked at sf0.001 (r05-green rows).
     "x104b_canonical_dedup_materialized",
     "x105b_leakage_safe_split_materialized",
-    "x98_mergeable_topk", "x100_time_range_window",
+    # Round-6 late additions (no-prior-row rule): x134/x135/x136 take
+    # the slots of x98 / x100 / x108 (all driver-green in r05, oracles
+    # still pytest-asserted; families that keep rows — mergeable
+    # sketches -> x76/x77/x130, time windows -> x88/x121, LM scoring ->
+    # x82/x87)
+    "x134_epoch_shuffle", "x135_length_batches", "x136_content_checksum",
     "x80_bloom_incremental_dedup", "x81_scd2_merge",
     "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",
     "x85_repetition_stats", "x86_hashed_classifier",
@@ -3799,7 +3804,7 @@ DRIVER_WINDOW: list[str] = [
     "x89_fuzzy_join", "x90_source_drift",
     "x91_bitext_margin", "x92_containment_pairs",
     "x95_event_transitions", "x96_pagerank",
-    "x70_tpch_q21_onescan", "x108_bigram_logprob",
+    "x70_tpch_q21_onescan",
 ]
 
 _extras = [n for n in QUERIES if n not in DRIVER_WINDOW]
