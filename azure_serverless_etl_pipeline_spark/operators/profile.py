@@ -116,3 +116,38 @@ def content_checksum(
             F.sum(fold).cast("decimal(38,0)").cast("string").alias("checksum"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus-version diff: per-status (added / removed / changed /
+    unchanged) row counts between two snapshots — the other half of the
+    migration-validation story next to ``content_checksum`` (the
+    checksum says WHETHER two copies diverge; the diff says HOW).
+
+    Each side is reduced to (id, md5(content)) before the join, so the
+    shuffle carries 32-byte digests instead of documents — at 100 TB the
+    exchange is O(rows * 48 B), and the full-outer hash join on the id
+    is the only stage. Output is 4 bounded rows."""
+    oh = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("_oh")
+    )
+    nh = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("_nh")
+    )
+    j = oh.join(nh, "_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), "added")
+        .when(F.col("_nh").isNull(), "removed")
+        .when(F.col("_oh") == F.col("_nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

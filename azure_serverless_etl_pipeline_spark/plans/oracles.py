@@ -2643,6 +2643,26 @@ SELECT doc_id, shard,
 FROM s
 """
 
+# x138: the oracle compares text directly (md5 equality == text
+# equality up to collisions; the engine hashes only to shrink the
+# shuffle, not to change semantics)
+EXTRA_ORACLES["x138_snapshot_diff"] = """
+WITH old_s AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+), new_s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 7
+)
+SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COUNT(*) AS n_docs
+FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+GROUP BY 1
+"""
+
 # x136: same 15-hex-char md5 fold (60 bits/row), summed as DECIMAL(38,0)
 EXTRA_ORACLES["x136_content_checksum"] = """
 WITH h AS (

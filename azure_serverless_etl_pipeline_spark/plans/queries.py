@@ -3339,6 +3339,27 @@ def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_checksum(docs)
 
 
+@query("x138_snapshot_diff")
+def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff (operators/profile.snapshot_diff): old/new
+    snapshots derived deterministically from the documents table (10%
+    deleted, 10% not-yet-present, 20% edited), reduced to (id, md5)
+    per side and full-outer-joined on the id — the shuffle carries
+    digests, not documents. Output: per-status row counts (the
+    migration-validation companion to x136's checksum)."""
+    from ..operators.profile import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
 @query("x137_embedding_spectrum")
 def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 covariance eigenvalues + explained-variance ratios

@@ -188,6 +188,7 @@ HEADLINE = [
     # integrity + embedding diagnostics
     "x136_content_checksum",
     "x137_embedding_spectrum",
+    "x138_snapshot_diff",
 ]
 
 
