@@ -515,6 +515,9 @@ def test_indexed_incremental_reads_state_not_corpus(spark, queries):
     old_map parquet) and scan documents.parquet only for the arriving
     batch subplans — strictly fewer raw-corpus scans than x117's
     full-recompute demo, which rebuilds everything from the raw table."""
+    # scan-count assertions are cache-sensitive: a cached pair frame
+    # from an earlier test replaces parquet scans with InMemoryRelation
+    spark.catalog.clearCache()
     pb = plan_of(queries["x117b_incremental_clusters_indexed"](spark, SF_ORACLE))
     pa = plan_of(queries["x117_incremental_clusters"](spark, SF_ORACLE))
     assert "incremental_state" in pb  # materialized artifacts feed the plan
@@ -551,6 +554,10 @@ def test_materialized_clusters_read_state_not_mined(spark, queries):
         assert "posexplode" not in pb.lower(), b_name
         assert "ExistingRDD" not in pb, b_name
         assert "ExistingRDD" in pa, a_name  # the checkpointed mined state
+    # the recomputing twins' dup_clusters caches the edge frame (keyed
+    # by logical plan); x117's gate below shares that mining subplan and
+    # would read InMemoryRelation instead of documents.parquet
+    spark.catalog.clearCache()
 
 
 def test_incremental_rollup_two_scans_no_history_rescan(spark, queries):
