@@ -151,3 +151,25 @@ def snapshot_diff(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def merge_checksum_tables(*tables: DataFrame) -> DataFrame:
+    """Merge per-shard/per-micro-batch checksum tables into the corpus
+    checksum: union + groupBy + decimal sum (re-emitted as the digit
+    string). ``content_checksum`` is a sum, so it is ALGEBRAIC — a
+    stream can maintain it per micro-batch and fold, a 1000-executor
+    job can checksum per shard and merge, and the result is identical
+    to the one-shot aggregate (pytest-pinned against batch truth)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), tables)
+    return (
+        u.groupBy(*[c for c in u.columns if c not in ("n_rows", "checksum")])
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum(F.col("checksum").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        )
+    )

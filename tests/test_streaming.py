@@ -6,6 +6,7 @@ import shutil
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.energy_fixtures import write_clean_csv, write_dirty_csv
 
@@ -158,3 +159,51 @@ def test_streaming_scd2_dimension_maintenance(spark, tmp_path):
         w[w.valid_to.isna()].reset_index(drop=True)
     )
     assert set(g.k) == set(w.k)
+
+
+def test_streaming_checksum_maintenance(spark, tmp_path):
+    """content_checksum is algebraic (a sum), so a stream maintaining
+    per-micro-batch checksum tables folded with merge_checksum_tables
+    must equal the one-shot batch checksum bit-exactly — the streaming
+    side of the x136 migration-integrity story."""
+    from azure_serverless_etl_pipeline_spark.operators.profile import (
+        content_checksum,
+        merge_checksum_tables,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs_stream"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    out_dir = str(tmp_path / "batch_checksums")
+
+    def sink(batch_df, epoch_id):
+        content_checksum(batch_df).withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    per_batch = spark.read.parquet(out_dir)
+    assert per_batch.select("epoch").distinct().count() == 3
+    got = (
+        merge_checksum_tables(per_batch.drop("epoch"))
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    want = (
+        content_checksum(docs).toPandas().sort_values("source", ignore_index=True)
+    )
+    assert got.equals(want)
