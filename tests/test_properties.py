@@ -246,3 +246,44 @@ def test_gini_matches_python_reference(spark, counts):
     expected = _py_gini(counts)
     assert abs(got - expected) < 1e-9
     assert -1e-9 <= got < 1 - 1 / n + 1e-9
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=" \t\n"),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_segmentation_lossless_property(words, n_merges):
+    """Pure-Python property (no Spark): for ANY corpus (unicode, chars
+    never seen at fit time) and any merge count, segment_word produces a
+    partition whose concatenation is exactly word + EOW, every piece is
+    non-empty, and fitting is deterministic across a re-run."""
+    from collections import Counter
+
+    from azure_serverless_etl_pipeline_spark.operators.bpe import (
+        EOW,
+        _merge_all,
+        segment_word,
+    )
+    from tests.test_bpe import naive_fit
+
+    wc = dict(Counter(words))
+    merges, _ = naive_fit(wc, n_merges, vocab_cap=10_000)
+    merges2, _ = naive_fit(wc, n_merges, vocab_cap=10_000)
+    assert merges == merges2
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w in set(words) | {"never-seen-at-fit-time", "ü🙂x"}:
+        pieces = segment_word(w, ranks)
+        assert all(pieces)
+        assert "".join(pieces) == w + EOW
+    # _merge_all never drops or reorders symbols
+    assert _merge_all(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    assert _merge_all(["a", "a", "a"], "a", "a") == ["aa", "a"]
