@@ -833,8 +833,9 @@ def ngram_jaccard_pairs_incremental_indexed(
     (id, shingles) table and ``old_shingle_df`` the persisted per-shingle
     document frequencies (see materialize_incremental_state). Identical
     output — the union document frequency the cap filters on is
-    reconstructed as old_df + new batch counts, so candidate recall
-    matches a one-shot run over old+new exactly. The only old-corpus
+    reconstructed as old_df - re-delivered-stale counts + new batch
+    counts (the one-shot corpus is (old \\ new) UNION new), so candidate
+    recall matches a one-shot run exactly. The only old-corpus
     work per batch is the linear posting-list scan of ``old_base``
     (map-side explode of stored arrays; no shuffle of the old corpus)."""
     new_base = new_docs.select(
@@ -843,14 +844,34 @@ def ngram_jaccard_pairs_incremental_indexed(
     new_sh = new_base.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).cache()
-    old_sh = old_base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # Re-delivered ids (same id in new_docs and old_base): the one-shot
+    # corpus is (old \ new) UNION new — the old copy of a re-delivered
+    # doc does not exist in it. Its stale postings must leave the
+    # candidate side AND its old shingle counts must leave the union df,
+    # or shingles near the cap get dropped that a one-shot run keeps
+    # (recall loss the "never below one-shot" contract forbids). The
+    # anti/semi joins below touch only the (tiny) new-id set.
+    new_ids = new_base.select(id_col)
+    live_old = old_base.join(new_ids, id_col, "left_anti")
+    old_sh = live_old.select(F.col(id_col), F.explode("shingles").alias("shingle"))
 
     if max_shingle_freq is not None:
         new_cnt = new_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndf"))
+        # per-shingle counts of the re-delivered docs' OLD copies,
+        # subtracted from the persisted df (which still includes them)
+        stale_cnt = (
+            old_base.join(new_ids, id_col, "semi")
+            .select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+        )
         freq = (
             old_shingle_df.join(new_cnt, "shingle", "full_outer")
+            .join(stale_cnt, "shingle", "left")
             .filter(
-                F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("ndf"), F.lit(0))
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("sdf"), F.lit(0))
+                + F.coalesce(F.col("ndf"), F.lit(0))
                 <= max_shingle_freq
             )
             .select("shingle")

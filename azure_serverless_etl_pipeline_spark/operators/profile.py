@@ -133,16 +133,25 @@ def snapshot_diff(
     shuffle carries 32-byte digests instead of documents — at 100 TB the
     exchange is O(rows * 48 B), and the full-outer hash join on the id
     is the only stage. Output is 4 bounded rows."""
+    # Presence is keyed on an explicit marker, NOT hash nullity: a row
+    # whose content is NULL hashes to NULL, and deciding added/removed
+    # from the hash would misclassify it (and diverge from the oracle,
+    # which tests id presence). coalesce(md5, '<null>') keeps NULL vs
+    # NULL comparing as unchanged and NULL vs non-NULL as changed.
     oh = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("_oh")
+        F.col(id_col).alias("_id"),
+        F.lit(True).alias("_in_old"),
+        F.coalesce(F.md5(F.col(content_col)), F.lit("<null>")).alias("_oh"),
     )
     nh = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(content_col)).alias("_nh")
+        F.col(id_col).alias("_id"),
+        F.lit(True).alias("_in_new"),
+        F.coalesce(F.md5(F.col(content_col)), F.lit("<null>")).alias("_nh"),
     )
     j = oh.join(nh, "_id", "full_outer")
     status = (
-        F.when(F.col("_oh").isNull(), "added")
-        .when(F.col("_nh").isNull(), "removed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
         .when(F.col("_oh") == F.col("_nh"), "unchanged")
         .otherwise("changed")
     )

@@ -2656,7 +2656,7 @@ WITH old_s AS (
 )
 SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN o.text = n.text THEN 'unchanged'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
             ELSE 'changed' END AS status,
        COUNT(*) AS n_docs
 FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id

@@ -3269,19 +3269,10 @@ def x134(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts independently — the scale shape a single row_number over a
     global ORDER BY cannot have). Seed ':42' is part of the key, so
     epoch 2 is the same query with a different literal."""
-    from pyspark.sql import Window as W
+    from ..operators.ordering import epoch_shuffle
 
     docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
-    shard = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 32
-    ).cast("int")
-    w = W.partitionBy("shard").orderBy("key", "doc_id")
-    return (
-        docs.select("doc_id", key.alias("key"), shard.alias("shard"))
-        .withColumn("pos", F.row_number().over(w))
-        .select("doc_id", "shard", "pos")
-    )
+    return epoch_shuffle(docs, seed=42, shards=32)
 
 
 @query("x135_length_batches")
@@ -3294,35 +3285,10 @@ def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence trainers keep pad tokens <10%; the whole plan is one scan +
     one per-bucket window + one group-all — every stage partitions by
     the bucket/batch keys."""
-    from pyspark.sql import Window as W
+    from ..operators.ordering import length_batches
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.least(F.floor(F.col("n_chars") / F.lit(256)), F.lit(15)).cast(
-        "int"
-    )
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
-    w = W.partitionBy("length_bucket").orderBy("key", "doc_id")
-    staged = (
-        docs.select(
-            "doc_id", "n_chars", bucket.alias("length_bucket"), key.alias("key")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("batch_id", ((F.col("rn") - F.lit(1)) / F.lit(32)).cast("int"))
-    )
-    return (
-        staged.groupBy("length_bucket", "batch_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max("n_chars").alias("batch_max_chars"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-        .withColumn(
-            "padding_waste",
-            (F.col("n_docs") * F.col("batch_max_chars") - F.col("total_chars")).cast(
-                "long"
-            ),
-        )
-    )
+    return length_batches(docs, seed=7, bucket_width=256, batch_size=32)
 
 
 @query("x136_content_checksum")
@@ -3504,22 +3470,9 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
-    """Per-sf_dir cache for x125's persisted IVF index (same mtime+size
-    invalidation scheme as x117b's incremental state)."""
-    import os
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-    )
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "ivf_index",
-        tag,
-    )
+    """Per-sf_dir cache for x125's persisted IVF index (the shared
+    _state_dir mtime+size invalidation scheme)."""
+    return _state_dir(sf_dir, "embeddings", "ivf_index")
 
 
 @query("x125_ann_ivf_persisted")

@@ -705,3 +705,65 @@ def test_minhash_calibrated_geometry_recall(spark):
     )
     assert got <= truth
     assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
+
+
+def test_incremental_indexed_redelivered_df_matches_oneshot(spark):
+    """The cap's union document frequency must be computed over the
+    one-shot corpus (old MINUS re-delivered stale copies UNION new):
+    a shingle sitting exactly at the cap must survive when the stale
+    copy of a re-delivered doc would otherwise push it over (old_df +
+    new_count double-counts the doc and silently drops the shingle,
+    losing a pair the one-shot run finds)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental_indexed,
+        word_shingles,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    filler = "one two three four five six"
+    # cap = 3. Shingle set of `shared` appears in: old doc 1 (stale,
+    # re-delivered), old doc 2, new doc 1 (update, keeps the text), new
+    # doc 3. One-shot corpus = {1(new), 2, 3}: df = 3 == cap -> kept.
+    # Double-counting the stale copy gives df = 4 > cap -> dropped.
+    old_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 9], "text": [shared, shared, filler]})
+    )
+    old_base = old_docs.select(
+        F.col("doc_id"), word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    old_df = (
+        old_base.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 3], "text": [shared, shared]})
+    )
+    got = (
+        ngram_jaccard_pairs_incremental_indexed(
+            new, old_base, old_df, threshold=0.5, max_shingle_freq=3
+        )
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    # one-shot truth over the updated corpus with the same cap
+    oneshot_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 9, 3], "text": [shared, shared, filler, shared]}
+        )
+    )
+    want = (
+        ngram_jaccard_pairs(oneshot_docs, threshold=0.5, max_shingle_freq=3)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    # incremental emits only pairs touching the new batch; every want
+    # pair here touches doc 1 or 3
+    assert set(map(tuple, got[["id_a", "id_b"]].values)) == set(
+        map(tuple, want[["id_a", "id_b"]].values)
+    ) == {(1, 2), (1, 3), (2, 3)}
+

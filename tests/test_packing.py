@@ -157,3 +157,28 @@ def test_temperature_mixture_properties(spark, docs):
 
     uni = temperature_mixture(docs, ("lang",), alpha=0.0, budget=100).toPandas()
     assert uni["q"].std() < 1e-9  # alpha=0 -> uniform over strata
+
+
+def test_snapshot_diff_null_content(spark):
+    """Rows with NULL content must classify by id PRESENCE, not hash
+    nullity (md5(NULL) is NULL): NULL->value is changed, NULL absent
+    from new is removed, NULL==NULL is unchanged — matching the
+    oracle's IS NOT DISTINCT FROM semantics."""
+    from azure_serverless_etl_pipeline_spark.operators.profile import (
+        snapshot_diff,
+    )
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, None), (5, "gone")], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "now-set"), (3, "same"), (4, None), (6, "fresh")], schema
+    )
+    got = {
+        r["status"]: r["n_docs"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    # 1: NULL->value = changed; 2: only in old = removed; 3: unchanged;
+    # 4: NULL==NULL = unchanged; 5: removed; 6: added
+    assert got == {"changed": 1, "removed": 2, "unchanged": 2, "added": 1}
