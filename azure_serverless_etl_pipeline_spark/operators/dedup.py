@@ -31,7 +31,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -838,9 +838,18 @@ def ngram_jaccard_pairs_incremental_indexed(
     recall matches a one-shot run exactly. The only old-corpus
     work per batch is the linear posting-list scan of ``old_base``
     (map-side explode of stored arrays; no shuffle of the old corpus)."""
-    new_base = new_docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # The batch frame is referenced ~7x downstream (shingle join sides,
+    # re-delivery anti/semi joins, the verify base): cache it so the
+    # regex shingling and the documents scan run ONCE per micro-batch —
+    # batch-sized, same caller-clears contract as the pair-frame cache
+    # on incremental_dup_clusters.
+    new_base = (
+        new_docs.select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .cache()
+    )
     new_sh = new_base.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).cache()
@@ -932,8 +941,6 @@ def canonical_map(
     corpus-sized steps are two id-keyed hash joins — no global sort, no
     driver state.
     """
-    from pyspark.sql import Window as W
-
     member = clusters.join(scores, id_col)
     w = W.partitionBy("cluster_id").orderBy(
         F.desc(score_col), F.col(id_col)
@@ -1320,4 +1327,117 @@ def substring_span_dedup(
             "n_removed"
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def priority_dedup(
+    df: DataFrame,
+    priority: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact dedup with a survivorship policy: when the
+    same text arrives from several sources, keep the copy from the
+    highest-priority source (``priority`` is best-first; unlisted
+    sources rank after every listed one, ids break ties).
+
+    This is the multi-corpus merge step of a training-data pipeline —
+    curated > books > web — where `exact_dedup`'s min-id rule is wrong
+    because identity of the KEPT row (its source, its metadata, its
+    license) matters, not just the text. Complements `canonical_map`,
+    which picks by per-document quality within near-dup clusters; here
+    the policy is per-SOURCE and the groups are exact.
+
+    Scale shape: the shuffle carries (64-bit hash, priority, id,
+    source) — never the text; one rank window over the high-cardinality
+    hash key plus one group-by for the multiplicity stats, both
+    partitioned by the same key so AQE coalesces them into one
+    exchange. Reference contrast: `blob_to_cosmosdb.py:32-38` upserts
+    by id, so cross-source copies silently coexist.
+    """
+    prio: Column = F.lit(len(priority))
+    for r, s in reversed(list(enumerate(priority))):
+        prio = F.when(F.col(source_col) == s, r).otherwise(prio)
+    slim = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        prio.alias("prio"),
+        F.col(id_col),
+        F.col(source_col),
+    )
+    w = W.partitionBy("content_hash").orderBy("prio", id_col)
+    kept = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("content_hash", id_col, source_col)
+    )
+    stats = slim.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(source_col).alias("n_sources"),
+    )
+    return kept.join(stats, "content_hash").select(
+        id_col, source_col, "n_copies", "n_sources"
+    )
+
+
+def propagate_deletes(
+    clusters: DataFrame,
+    deletes: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Right-to-be-forgotten propagation through the materialized dedup
+    state: given a (small) frame of ids to erase, report — for every
+    cluster that LOSES a member — the canonical re-election outcome:
+
+        cluster_id | old_canonical | new_canonical | n_before | n_after
+
+    ``new_canonical`` is NULL when the whole cluster is erased. The
+    canonical rule is identical to `canonical_map` (score desc, id
+    asc), so downstream consumers of the standing cluster artifact can
+    apply this delta instead of re-mining pairs — deletion must NOT
+    cost a corpus rescan at 100 TB.
+
+    Scale shape: ``deletes`` is broadcast into a semi-join that
+    restricts everything to AFFECTED clusters (a sliver of the state);
+    the rank windows run only over those members. The corpus-sized
+    frames appear in id-keyed hash joins only.
+    """
+    member = clusters.join(scores, id_col).select(
+        id_col, "cluster_id", score_col
+    )
+    affected = (
+        clusters.join(F.broadcast(deletes), id_col, "semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    m = member.join(F.broadcast(affected), "cluster_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc(score_col), F.col(id_col))
+    old = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("old_canonical"))
+    )
+    n_before = m.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_before"))
+    surv = m.join(F.broadcast(deletes), id_col, "anti")
+    new = (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("new_canonical"))
+    )
+    n_after = surv.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    return (
+        old.join(n_before, "cluster_id")
+        .join(new, "cluster_id", "left")
+        .join(n_after, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "old_canonical",
+            "new_canonical",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
     )

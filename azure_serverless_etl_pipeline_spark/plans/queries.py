@@ -3326,6 +3326,69 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+@query("x139_zorder_layout")
+def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, scored by min/max-stats pruning power
+    (operators/layout.layout_pruning_stats): orders clustered on
+    (o_custkey, orderdate-epoch-day) into 128 model files; for a ~5%
+    range probe on EACH dimension, count the files a footer-stats
+    reader must open. Linear wins the leading column outright and
+    degrades the trailing one to ~all files; the Morton curve holds
+    both near sqrt. The key is pure shift/mask map-side arithmetic
+    (WholeStageCodegen, no shuffle); integer-exact -> bit-exact DuckDB
+    twin. The 100 TB writer story: repartitionByRange(zkey) + write,
+    one exchange."""
+    from ..operators.layout import layout_pruning_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    return layout_pruning_stats(
+        o,
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        log2_buckets=7,
+    )
+
+
+@query("x140_priority_dedup")
+def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with survivorship (operators/dedup.
+    priority_dedup): identical text arriving from several sources keeps
+    the copy from the highest-priority source (curated > books > web),
+    ids break ties — the multi-corpus merge step where the KEPT row's
+    source/license matters, not just the text. Exercised against a
+    planted overlay: every doc_id % 7 == 3 document is re-delivered
+    from the 'mirror' source (which outranks every src*), so the kept
+    set provably switches source while n_copies/n_sources count both.
+    Shuffle carries (hash, prio, id, source) — never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    mirror = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn("source", F.lit("mirror"))
+    )
+    corpus = docs.unionByName(mirror)
+    return dedup.priority_dedup(corpus, ["mirror"]).orderBy("doc_id")
+
+
+@query("x141_delete_propagation")
+def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation through the MATERIALIZED
+    Jaccard cluster state (operators/dedup.propagate_deletes): a
+    deterministic erase list (doc_id % 17 == 5) is broadcast against
+    the standing cluster map; every cluster losing a member reports its
+    canonical re-election (same quality-desc/id-asc rule as x104) and
+    before/after sizes — deletion costs a state-sliver update, never a
+    corpus re-mine. Oracle recomputes clusters + election from the raw
+    tables (the x104b pattern: the driver hash proves state == truth)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _jaccard_cluster_state(spark, sf_dir)
+    deletes = docs.filter(F.col("doc_id") % 17 == 5).select("doc_id")
+    scores = text.quality_score(docs).select("doc_id", "quality")
+    return dedup.propagate_deletes(clusters, deletes, scores).orderBy(
+        "cluster_id"
+    )
+
+
 @query("x137_embedding_spectrum")
 def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 covariance eigenvalues + explained-variance ratios
