@@ -2703,6 +2703,166 @@ FROM b GROUP BY length_bucket, batch_id
 """
 
 
+# x139: the identical Morton interleave (stepwise shift/mask spreads) —
+# pure integer arithmetic, so every column is bit-exact across engines.
+# floor(a/b) parity: both engines do correctly-rounded IEEE division of
+# exactly-representable longs (< 2^53), so the quantized grid matches.
+EXTRA_ORACLES["x139_zorder_layout"] = """
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x_raw,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+           AS y_raw
+  FROM orders
+), bounds AS (
+  SELECT min(x_raw) AS x_min, max(x_raw) AS x_max,
+         min(y_raw) AS y_min, max(y_raw) AS y_max
+  FROM base
+), q AS (
+  SELECT x_raw, y_raw,
+         CAST(floor((x_raw - x_min) * 65535
+              / greatest(x_max - x_min, 1)) AS BIGINT) AS xq,
+         CAST(floor((y_raw - y_min) * 65535
+              / greatest(y_max - y_min, 1)) AS BIGINT) AS yq,
+         CAST(floor(x_min + (x_max - x_min) * 2 / 5) AS BIGINT) AS x_lo,
+         CAST(floor(x_min + (x_max - x_min) * 9 / 20) AS BIGINT) AS x_hi,
+         CAST(floor(y_min + (y_max - y_min) * 2 / 5) AS BIGINT) AS y_lo,
+         CAST(floor(y_min + (y_max - y_min) * 9 / 20) AS BIGINT) AS y_hi
+  FROM base CROSS JOIN bounds
+), s1 AS (
+  SELECT *, (xq | (xq << 8)) & 16711935 AS sx1,
+            (yq | (yq << 8)) & 16711935 AS sy1 FROM q
+), s2 AS (
+  SELECT *, (sx1 | (sx1 << 4)) & 252645135 AS sx2,
+            (sy1 | (sy1 << 4)) & 252645135 AS sy2 FROM s1
+), s3 AS (
+  SELECT *, (sx2 | (sx2 << 2)) & 858993459 AS sx3,
+            (sy2 | (sy2 << 2)) & 858993459 AS sy3 FROM s2
+), s4 AS (
+  SELECT *, (sx3 | (sx3 << 1)) & 1431655765 AS sx4,
+            (sy3 | (sy3 << 1)) & 1431655765 AS sy4 FROM s3
+), z AS (
+  SELECT x_raw, y_raw, xq, x_lo, x_hi, y_lo, y_hi,
+         (sx4 | (sy4 << 1)) AS zkey
+  FROM s4
+), zb AS (
+  SELECT zkey >> 25 AS bucket,
+         min(x_raw) AS bx_min, max(x_raw) AS bx_max,
+         min(y_raw) AS by_min, max(y_raw) AS by_max,
+         min(x_lo) AS x_lo, min(x_hi) AS x_hi,
+         min(y_lo) AS y_lo, min(y_hi) AS y_hi
+  FROM z GROUP BY 1
+), lb AS (
+  SELECT xq >> 9 AS bucket,
+         min(x_raw) AS bx_min, max(x_raw) AS bx_max,
+         min(y_raw) AS by_min, max(y_raw) AS by_max,
+         min(x_lo) AS x_lo, min(x_hi) AS x_hi,
+         min(y_lo) AS y_lo, min(y_hi) AS y_hi
+  FROM z GROUP BY 1
+), both_layouts AS (
+  SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+         SUM(CASE WHEN bx_min <= x_hi AND bx_max >= x_lo
+             THEN 1 ELSE 0 END) AS touched_x,
+         SUM(CASE WHEN by_min <= y_hi AND by_max >= y_lo
+             THEN 1 ELSE 0 END) AS touched_y
+  FROM zb
+  UNION ALL
+  SELECT 'linear', COUNT(*),
+         SUM(CASE WHEN bx_min <= x_hi AND bx_max >= x_lo
+             THEN 1 ELSE 0 END),
+         SUM(CASE WHEN by_min <= y_hi AND by_max >= y_lo
+             THEN 1 ELSE 0 END)
+  FROM lb
+)
+SELECT layout,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(touched_x AS BIGINT) AS touched_x,
+       CAST(touched_y AS BIGINT) AS touched_y,
+       CAST(touched_x AS DOUBLE) / n_buckets AS frac_x,
+       CAST(touched_y AS DOUBLE) / n_buckets AS frac_y
+FROM both_layouts ORDER BY layout
+"""
+
+# x140: same planted mirror overlay; md5 grouping == text equality
+EXTRA_ORACLES["x140_priority_dedup"] = """
+WITH corpus AS (
+  SELECT md5(text) AS content_hash,
+         CASE WHEN source = 'mirror' THEN 0 ELSE 1 END AS prio,
+         doc_id, source
+  FROM (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text, 'mirror' AS source
+    FROM documents WHERE doc_id % 7 = 3
+  )
+), kept AS (
+  SELECT content_hash, doc_id, source FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY content_hash ORDER BY prio, doc_id) AS rn
+    FROM corpus) WHERE rn = 1
+), stats AS (
+  SELECT content_hash, COUNT(*) AS n_copies,
+         COUNT(DISTINCT source) AS n_sources
+  FROM corpus GROUP BY content_hash
+)
+SELECT k.doc_id, k.source,
+       CAST(s.n_copies AS BIGINT) AS n_copies,
+       CAST(s.n_sources AS BIGINT) AS n_sources
+FROM kept k JOIN stats s USING (content_hash)
+ORDER BY k.doc_id
+"""
+
+# x141: clusters + quality recomputed from the raw tables (the x104b
+# pattern — the driver hash proves the materialized state matches this
+# ground truth), then the same election before/after the erase list.
+EXTRA_ORACLES["x141_delete_propagation"] = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+q AS (
+  SELECT doc_id,
+         ROUND(0.5 * (1.0 - CAST(len(list_filter({_TOKENS.format(t='text')},
+                 x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+               / len({_TOKENS.format(t='text')}))
+               + 0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0),
+               6) AS quality
+  FROM documents
+), member AS (
+  SELECT c.doc_id, c.cluster_id, q.quality FROM clu c JOIN q USING (doc_id)
+), del AS (
+  SELECT doc_id FROM documents WHERE doc_id % 17 = 5
+), aff AS (
+  SELECT DISTINCT cluster_id FROM clu
+  WHERE doc_id IN (SELECT doc_id FROM del)
+), m AS (
+  SELECT member.* FROM member JOIN aff USING (cluster_id)
+), oldc AS (
+  SELECT cluster_id, doc_id AS old_canonical FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM m) WHERE rn = 1
+), nb AS (
+  SELECT cluster_id, COUNT(*) AS n_before FROM m GROUP BY cluster_id
+), surv AS (
+  SELECT * FROM m WHERE doc_id NOT IN (SELECT doc_id FROM del)
+), newc AS (
+  SELECT cluster_id, doc_id AS new_canonical FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM surv) WHERE rn = 1
+), na AS (
+  SELECT cluster_id, COUNT(*) AS n_after FROM surv GROUP BY cluster_id
+)
+SELECT o.cluster_id, o.old_canonical, n.new_canonical,
+       CAST(nb.n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(na.n_after, 0) AS BIGINT) AS n_after
+FROM oldc o
+JOIN nb USING (cluster_id)
+LEFT JOIN newc n USING (cluster_id)
+LEFT JOIN na USING (cluster_id)
+ORDER BY o.cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

@@ -3834,13 +3834,19 @@ DRIVER_WINDOW: list[str] = [
     # sketches -> x76/x77/x130, time windows -> x88/x121, LM scoring ->
     # x82/x87)
     "x134_epoch_shuffle", "x135_length_batches", "x136_content_checksum",
+    # Round-6 continuation (no-prior-row rule): x139/x140/x141 take the
+    # slots of x83 / x86 / x95 (all driver-green in r05, oracles still
+    # pytest-asserted; families that keep rows — token/text stats ->
+    # x82/x85, classifier scoring -> x87, event sequences -> x88/x121)
+    "x139_zorder_layout", "x140_priority_dedup",
+    "x141_delete_propagation",
     "x80_bloom_incremental_dedup", "x81_scd2_merge",
-    "x82_bigram_pmi", "x83_token_counts", "x84_decontaminate",
-    "x85_repetition_stats", "x86_hashed_classifier",
+    "x82_bigram_pmi", "x84_decontaminate",
+    "x85_repetition_stats",
     "x87_dsir_importance", "x88_session_concurrency",
     "x89_fuzzy_join", "x90_source_drift",
     "x91_bitext_margin", "x92_containment_pairs",
-    "x95_event_transitions", "x96_pagerank",
+    "x96_pagerank",
     "x70_tpch_q21_onescan",
 ]
 

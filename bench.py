@@ -189,6 +189,10 @@ HEADLINE = [
     "x136_content_checksum",
     "x137_embedding_spectrum",
     "x138_snapshot_diff",
+    # layout + governance (round-6 continuation)
+    "x139_zorder_layout",
+    "x140_priority_dedup",
+    "x141_delete_propagation",
 ]
 
 

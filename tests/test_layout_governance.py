@@ -1,0 +1,178 @@
+"""Z-order layout, priority dedup, delete propagation — semantics
+against pure-Python references plus the plan shapes that make them
+scale (map-side Morton key, narrow dedup shuffle, broadcast deletes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_serverless_etl_pipeline_spark.operators import dedup
+from azure_serverless_etl_pipeline_spark.operators.layout import (
+    layout_pruning_stats,
+    morton_key,
+    spread_bits16,
+    zorder_frame,
+)
+
+
+def _py_spread(x: int) -> int:
+    x &= 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _py_morton(x: int, y: int) -> int:
+    return _py_spread(x) | (_py_spread(y) << 1)
+
+
+def test_morton_key_matches_bit_interleave_reference(spark):
+    vals = [0, 1, 2, 3, 255, 256, 4095, 65535, 12345, 54321]
+    df = spark.createDataFrame(
+        [(x, y) for x in vals for y in vals], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x in vals:
+        for y in vals:
+            assert got[(x, y)] == _py_morton(x, y), (x, y)
+    # interleave property: z-order of (x, y) sorts like the bit-merge
+    assert got[(0, 0)] == 0
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_spread_bits_is_monotonic_and_sparse(spark):
+    df = spark.createDataFrame([(i,) for i in range(1024)], "v long")
+    rows = df.select(spread_bits16(F.col("v")).alias("s")).collect()
+    seq = [r.s for r in rows]
+    assert seq == sorted(seq)  # spreading preserves order
+    for s in seq:  # odd bit positions stay clear for the y-lane
+        assert s & 0xAAAAAAAA == 0
+
+
+def test_zorder_prunes_both_dims_linear_only_leading(spark):
+    # a dense 2-d grid: the worst case for linear layout on dim y
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    stats = {
+        r.layout: r
+        for r in layout_pruning_stats(
+            grid, F.col("x"), F.col("y"), log2_buckets=4
+        ).collect()
+    }
+    lin, zed = stats["linear"], stats["zorder"]
+    assert lin.n_buckets == 16 and zed.n_buckets == 16
+    # linear: perfect on the leading dim, useless on the trailing one
+    assert lin.touched_x <= 2
+    assert lin.touched_y == 16
+    # zorder: bounded on BOTH dims, and strictly better than linear on y
+    assert zed.touched_y < lin.touched_y
+    assert zed.touched_x <= 8 and zed.touched_y <= 8
+
+
+def test_zorder_key_is_map_side_only(spark):
+    grid = spark.range(1000).select(
+        (F.col("id") % 50).alias("x"), (F.col("id") / 50).cast("long").alias("y")
+    )
+    plan = zorder_frame(grid, F.col("x"), F.col("y"))._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the only exchange is the 1-row bounds broadcast — the Morton key
+    # itself must not force a shuffle of the data side
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_priority_dedup_keeps_highest_priority_source(spark):
+    rows = [
+        # same text from three sources: curated must win regardless of id
+        (1, "alpha", "web"),
+        (2, "alpha", "curated"),
+        (3, "alpha", "books"),
+        # tie inside one source: lowest id wins
+        (10, "beta", "web"),
+        (11, "beta", "web"),
+        # unlisted source ranks after every listed one
+        (20, "gamma", "mystery"),
+        (21, "gamma", "books"),
+        # singleton passes through
+        (30, "delta", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in dedup.priority_dedup(
+            df, ["curated", "books", "web"]
+        ).collect()
+    }
+    assert set(out) == {2, 10, 21, 30}
+    assert out[2].source == "curated"
+    assert out[2].n_copies == 3 and out[2].n_sources == 3
+    assert out[10].n_copies == 2 and out[10].n_sources == 1
+    assert out[21].source == "books"
+    assert out[30].n_copies == 1
+
+
+def test_priority_dedup_shuffle_carries_hash_not_text(spark):
+    df = spark.createDataFrame(
+        [(i, "t" * 100, "web") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    plan = dedup.priority_dedup(df, ["web"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the text column must be projected away before any exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_propagate_deletes_reelection_and_full_erase(spark):
+    clusters = spark.createDataFrame(
+        # cluster 100: canonical 1 (best score) deleted -> 2 takes over
+        # cluster 200: untouched -> must NOT be reported
+        # cluster 300: all members deleted -> NULL canonical, n_after 0
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 300), (7, 300)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6), (5, 0.5), (6, 0.4), (7, 0.3)],
+        "doc_id long, quality double",
+    )
+    deletes = spark.createDataFrame([(1,), (6,), (7,)], "doc_id long")
+    out = {
+        r.cluster_id: r
+        for r in dedup.propagate_deletes(clusters, deletes, scores).collect()
+    }
+    assert set(out) == {100, 300}
+    assert out[100].old_canonical == 1 and out[100].new_canonical == 2
+    assert out[100].n_before == 3 and out[100].n_after == 2
+    assert out[300].new_canonical is None and out[300].n_after == 0
+    assert out[300].old_canonical == 6
+
+
+def test_propagate_deletes_broadcasts_the_erase_list(spark):
+    clusters = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, quality double"
+    )
+    deletes = spark.createDataFrame([(5,)], "doc_id long")
+    plan = dedup.propagate_deletes(
+        clusters, deletes, scores
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
