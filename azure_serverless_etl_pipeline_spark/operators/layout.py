@@ -72,6 +72,35 @@ def quantize16(v: Column, lo: Column, hi: Column) -> Column:
     return F.floor((v - lo).cast("long") * F.lit(65535) / rng).cast("long")
 
 
+def with_zorder_key(
+    df: DataFrame,
+    dim_x: Column,
+    dim_y: Column,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Attach the Z-order key to every row, keeping all original columns
+    (the writer-facing variant of `zorder_frame`). One 1-row bounds
+    aggregate broadcast back onto the scan; the key itself is map-side
+    shift/mask arithmetic."""
+    base = df.withColumn("_zx", dim_x.cast("long")).withColumn(
+        "_zy", dim_y.cast("long")
+    )
+    bounds = base.agg(
+        F.min("_zx").alias("_zx_min"),
+        F.max("_zx").alias("_zx_max"),
+        F.min("_zy").alias("_zy_min"),
+        F.max("_zy").alias("_zy_max"),
+    )
+    out = base.crossJoin(F.broadcast(bounds)).withColumn(
+        key_col,
+        morton_key(
+            quantize16(F.col("_zx"), F.col("_zx_min"), F.col("_zx_max")),
+            quantize16(F.col("_zy"), F.col("_zy_min"), F.col("_zy_max")),
+        ),
+    )
+    return out.drop("_zx", "_zy", "_zx_min", "_zx_max", "_zy_min", "_zy_max")
+
+
 def zorder_frame(
     df: DataFrame,
     dim_x: Column,

@@ -159,6 +159,37 @@ def write_clustered(
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_x,
+    dim_y,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: attach the Morton key
+    (``operators.layout.with_zorder_key``), range-partition on it into
+    ``n_files`` files, sort within each file, drop the key.
+
+    Where `write_clustered` makes footer stats selective on the LEADING
+    key only, this makes them selective on BOTH dimensions at once —
+    each file covers a square-ish tile of the (dim_x, dim_y) plane, so
+    a range predicate on either column skips ~all non-tile files. Cost
+    at 100 TB: one bounds pass + one range exchange, same as a linear
+    clustered write. ``dim_x`` / ``dim_y`` are Column expressions over
+    ``df``."""
+    from ..operators.layout import with_zorder_key
+
+    keyed = with_zorder_key(df, dim_x, dim_y, key_col="_zorder_key")
+    (
+        keyed.repartitionByRange(n_files, "_zorder_key")
+        .sortWithinPartitions("_zorder_key")
+        .drop("_zorder_key")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def scd2_apply(
     current: DataFrame,
     updates: DataFrame,

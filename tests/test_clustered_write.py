@@ -69,3 +69,60 @@ def test_point_query_skips_most_rowgroups(spark, clustered_orders):
         .count()
     )
     assert exact == orig > 0
+
+
+@pytest.fixture(scope="module")
+def zordered_orders(spark, tmp_path_factory):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.sources.writers import write_zordered
+
+    d = str(tmp_path_factory.mktemp("zordered") / "orders")
+    o = load_table(spark, SF_ORACLE, "orders")
+    write_zordered(
+        o,
+        d,
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        n_files=8,
+    )
+    return d
+
+
+def _touched(ranges, lo, hi):
+    return sum(1 for flo, fhi in ranges if flo <= hi and fhi >= lo)
+
+
+def test_zordered_write_prunes_both_dims_in_real_footers(spark, zordered_orders):
+    """The z-ordered files' REAL parquet footer stats must be selective
+    on BOTH clustered columns — a mid-range probe on either dim skips
+    most files, where the linear layout skips only on its leading key."""
+    cust = _file_ranges(zordered_orders, "o_custkey")
+    assert len(cust) >= 4
+    # probe = middle ~10% of each dim's corpus range
+    clo = min(r[0] for r in cust)
+    chi = max(r[1] for r in cust)
+    probe_c = (clo + (chi - clo) * 2 // 5, clo + (chi - clo) * 9 // 20)
+    assert _touched(cust, *probe_c) <= len(cust) // 2
+
+    dates = _file_ranges(zordered_orders, "o_orderdate")
+    dlo = min(r[0] for r in dates)
+    dhi = max(r[1] for r in dates)
+    probe_d = (
+        dlo + (dhi - dlo) * 2 / 5,
+        dlo + (dhi - dlo) * 9 / 20,
+    )
+    assert _touched(dates, *probe_d) <= len(dates) // 2
+
+
+def test_zordered_write_preserves_rows(spark, zordered_orders):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    orig = load_table(spark, SF_ORACLE, "orders")
+    back = spark.read.parquet(zordered_orders)
+    assert back.count() == orig.count()
+    assert sorted(back.columns) == sorted(orig.columns)
+    # content identity, not just counts
+    assert (
+        back.select("o_orderkey").exceptAll(orig.select("o_orderkey")).count()
+        == 0
+    )
