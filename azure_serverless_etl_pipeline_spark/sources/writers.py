@@ -159,6 +159,32 @@ def write_clustered(
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def _hash_partition_remap(spark: SparkSession, n: int) -> list[int]:
+    """For bucket ids 0..n-1, find n long values whose Spark hash-partition
+    id ``pmod(murmur3(value), n)`` covers 0..n-1 exactly once, so routing
+    bucket b through value remap[b] makes ``repartition(n, col)`` place
+    each bucket in its OWN output partition — a deterministic bijection,
+    where hashing the raw bucket id would collide tiles into one file
+    (~n!/n^n chance of a collision-free draw). Computed with the engine's
+    own hash (one tiny local job), so it is correct by construction."""
+    from pyspark.sql import functions as F
+
+    remap: list[int | None] = [None] * n
+    lo, found = 0, 0
+    while found < n:
+        rows = (
+            spark.range(lo, lo + 64 * n)
+            .select("id", F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            if remap[r["p"]] is None:
+                remap[r["p"]] = r["id"]
+                found += 1
+        lo += 64 * n
+    return remap  # type: ignore[return-value]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -168,23 +194,47 @@ def write_zordered(
     mode: str = "overwrite",
 ) -> None:
     """Z-order-clustered parquet write: attach the Morton key
-    (``operators.layout.with_zorder_key``), range-partition on it into
-    ``n_files`` files, sort within each file, drop the key.
+    (``operators.layout.with_zorder_key``), tile it into ``n_files``
+    files by the DETERMINISTIC top-bits bucket ``zkey >> (32 -
+    log2(n_files))`` — the same geometry ``operators.layout`` models —
+    sort within each file, drop the key.
 
     Where `write_clustered` makes footer stats selective on the LEADING
     key only, this makes them selective on BOTH dimensions at once —
     each file covers a square-ish tile of the (dim_x, dim_y) plane, so
     a range predicate on either column skips ~all non-tile files. Cost
-    at 100 TB: one bounds pass + one range exchange, same as a linear
+    at 100 TB: one bounds pass + one hash exchange, same as a linear
     clustered write. ``dim_x`` / ``dim_y`` are Column expressions over
-    ``df``."""
+    ``df``.
+
+    Why not ``repartitionByRange(n_files, zkey)``: RangePartitioner
+    boundaries are SAMPLE-based — nondeterministic and free to straddle
+    Z-curve tile seams, which widens a file's per-dimension min/max to
+    cover two tiles and destroys the two-dimensional pruning this write
+    exists to provide (observed: a mid-range probe touching 6/8 files
+    instead of <=4). The shift bucket has reproducible edges; routing it
+    through `_hash_partition_remap` gives every tile its own file."""
+    from pyspark.sql import functions as F
+
     from ..operators.layout import with_zorder_key
 
+    if n_files & (n_files - 1) or n_files <= 0:
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
+    log2n = n_files.bit_length() - 1
+    remap = _hash_partition_remap(df.sparkSession, n_files)
     keyed = with_zorder_key(df, dim_x, dim_y, key_col="_zorder_key")
+    bucket = F.shiftright(F.col("_zorder_key"), 32 - log2n)
+    # the remap was computed over LongType values — the route column must
+    # be LongType too (murmur3 of int(v) differs from long(v))
+    route = F.element_at(
+        F.array(*[F.lit(int(v)).cast("long") for v in remap]),
+        bucket.cast("int") + 1,
+    )
     (
-        keyed.repartitionByRange(n_files, "_zorder_key")
+        keyed.withColumn("_zroute", route)
+        .repartition(n_files, "_zroute")
         .sortWithinPartitions("_zorder_key")
-        .drop("_zorder_key")
+        .drop("_zorder_key", "_zroute")
         .write.mode(mode)
         .parquet(path)
     )
