@@ -154,7 +154,9 @@ def ngram_jaccard_pairs(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        return _verify_jaccard(cand, base, id_col, threshold)
+        out = _verify_jaccard(cand, base, id_col, threshold)
+        out._owned_caches = [sh]  # type: ignore[attr-defined]
+        return out
 
     if max_shingle_freq is not None:
         # capped inverted index: bound every posting list, pair-count the
@@ -212,7 +214,9 @@ def ngram_jaccard_pairs(
             )
             .select("id_a", "id_b")
         )
-        return _verify_jaccard(cand, base, id_col, threshold)
+        out = _verify_jaccard(cand, base, id_col, threshold)
+        out._owned_caches = [sh, tagged]  # type: ignore[attr-defined]
+        return out
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -228,7 +232,7 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     # sizes scales with |docs| — no broadcast hint; AQE picks BHJ when the
     # runtime size is under the threshold, SMJ at real scale
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -238,6 +242,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out._owned_caches = [sh]  # type: ignore[attr-defined]
+    return out
 
 
 def containment_pairs(
@@ -737,14 +743,18 @@ def incremental_dup_clusters(
     of star edges and iterations over the (tiny) frontier the batch
     actually perturbs.
 
-    CACHING CONTRACT: the incremental pair frame is ``.cache()``d here
-    (it feeds three branches; without the cache the whole candidate
-    generation + verify subplan re-executes per branch, measured 2-6x).
-    The entry is released lazily — long-lived callers that fold many
-    batches in one session (the dedup stream, a driver loop) must call
-    ``spark.catalog.clearCache()`` (or unpersist) after materializing
-    each returned map, as ``dedup_stream.fold_batch`` does; otherwise
-    cached pair frames accumulate for the session lifetime.
+    CACHING: the incremental pair frame is ``.cache()``d here (it feeds
+    three branches; without the cache the whole candidate generation +
+    verify subplan re-executes per branch, measured 2-6x) and RELEASED
+    before returning — the label propagation inside ``dup_clusters`` is
+    eager (per-round localCheckpoint), and the tiny touched-cluster-id
+    frame is eagerly checkpointed too, so by return time every consumer
+    of the cache has materialized and the returned plan references only
+    checkpointed frames + ``old_clusters``. Caches a pair-generator
+    attached to its frame via ``_owned_caches`` (see
+    ``ngram_jaccard_pairs_incremental_indexed``) are released the same
+    way, so long-lived callers folding many batches in one session (the
+    dedup stream, a driver loop) no longer leak cached frames.
     """
     # The pair frame is referenced by three branches below (touched-id
     # derivation, the propagation edge list, and transitively the
@@ -752,23 +762,34 @@ def incremental_dup_clusters(
     # cache it — without this the whole candidate-generation + verify
     # subplan re-executes once per reference (measured 2-6x blowup).
     # cache, not localCheckpoint: the eager checkpoint ran the pair
-    # subplan as a standalone job and cost ~30% on x117/x117b. Long-
-    # lived callers (the dedup stream) release these entries per batch —
-    # see dedup_stream.fold_batch's clearCache note.
+    # subplan as a standalone job and cost ~30% on x117/x117b.
     pairs = incremental_pairs.select("id_a", "id_b").cache()
     touched = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # Eager checkpoint of the (tiny: distinct affected cluster ids)
+    # frame — this is what lets the pair cache be released below: the
+    # untouched anti-join branch of the returned plan reads these
+    # checkpointed ids instead of re-deriving them through `pairs`.
     touched_clusters = (
-        old_clusters.join(touched, "doc_id").select("cluster_id").distinct()
+        old_clusters.join(touched, "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     affected = old_clusters.join(touched_clusters, "cluster_id")
     stars = affected.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
     resolved = dup_clusters(pairs.unionByName(stars), max_iter=max_iter)
+    # dup_clusters ran eagerly (per-round localCheckpoint) — every
+    # consumer of the pair cache has materialized; release it plus any
+    # caches the pair generator handed over with its frame.
+    pairs.unpersist()
+    for owned in getattr(incremental_pairs, "_owned_caches", ()):
+        owned.unpersist()
     untouched = old_clusters.join(touched_clusters, "cluster_id", "left_anti")
     return untouched.unionByName(resolved)
 
@@ -805,17 +826,21 @@ def materialize_incremental_state(
     sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/shingle_df")
-    old_map = dup_clusters(
-        ngram_jaccard_pairs(
-            old_docs,
-            threshold=threshold,
-            text_col=text_col,
-            id_col=id_col,
-            n=n,
-            max_shingle_freq=max_shingle_freq,
-        )
+    pairs = ngram_jaccard_pairs(
+        old_docs,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        max_shingle_freq=max_shingle_freq,
     )
+    old_map = dup_clusters(pairs)
     old_map.write.mode("overwrite").parquet(f"{state_dir}/old_map")
+    # every consumer of the pair generator's internal caches has now
+    # materialized (dup_clusters is eager, the map is written) — release
+    # them so a one-time build leaves no cached frames behind
+    for owned in getattr(pairs, "_owned_caches", ()):
+        owned.unpersist()
 
 
 def ngram_jaccard_pairs_incremental_indexed(
@@ -853,6 +878,10 @@ def ngram_jaccard_pairs_incremental_indexed(
     new_sh = new_base.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).cache()
+    # keep a handle on the CACHED frame — `new_sh` is reassigned below
+    # when the frequency cap filters it, and the cache handoff must
+    # release the original cached entry, not the derived join
+    cached_new_sh = new_sh
     # Re-delivered ids (same id in new_docs and old_base): the one-shot
     # corpus is (old \ new) UNION new — the old copy of a re-delivered
     # doc does not exist in it. Its stale postings must leave the
@@ -918,7 +947,13 @@ def ngram_jaccard_pairs_incremental_indexed(
     base = new_base.unionByName(
         old_base.join(new_base.select(id_col), id_col, "left_anti")
     )
-    return _verify_jaccard(cand, base, id_col, threshold)
+    out = _verify_jaccard(cand, base, id_col, threshold)
+    # Hand the batch-frame caches to the consumer: incremental_dup_clusters
+    # unpersists them once its eager propagation has materialized every
+    # plan that references this pair frame (closing the ADVICE leak where
+    # cached batch frames outlived the fold in long-lived sessions).
+    out._owned_caches = [new_base, cached_new_sh]  # type: ignore[attr-defined]
+    return out
 
 
 def canonical_map(
@@ -1355,12 +1390,23 @@ def priority_dedup(
     partitioned by the same key so AQE coalesces them into one
     exchange. Reference contrast: `blob_to_cosmosdb.py:32-38` upserts
     by id, so cross-source copies silently coexist.
+
+    NULL text: md5(NULL) is NULL, and NULL group keys would first
+    collapse every NULL-text row into one window partition and then
+    vanish entirely at the kept-join (NULL never equi-matches) — silent
+    data loss for rows the readers legitimately produce (null-on-error
+    casts). The key is therefore NULL-safe: each NULL-text row gets a
+    per-id sentinel key ('null:<id>' — cannot collide with 32-hex md5),
+    so it passes through as its own group with n_copies = 1.
     """
     prio: Column = F.lit(len(priority))
     for r, s in reversed(list(enumerate(priority))):
         prio = F.when(F.col(source_col) == s, r).otherwise(prio)
     slim = df.select(
-        F.md5(F.col(text_col)).alias("content_hash"),
+        F.coalesce(
+            F.md5(F.col(text_col)),
+            F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+        ).alias("content_hash"),
         prio.alias("prio"),
         F.col(id_col),
         F.col(source_col),
@@ -1403,8 +1449,14 @@ def propagate_deletes(
     restricts everything to AFFECTED clusters (a sliver of the state);
     the rank windows run only over those members. The corpus-sized
     frames appear in id-keyed hash joins only.
+
+    Membership comes from ``clusters`` ALONE; ``scores`` is left-joined
+    for the election ordering only (missing scores rank last, ids break
+    ties). An inner join here would silently drop scoreless members from
+    n_before/n_after and the election — and a deleted scoreless member
+    would still mark its cluster affected, emitting a no-change row.
     """
-    member = clusters.join(scores, id_col).select(
+    member = clusters.join(scores, id_col, "left").select(
         id_col, "cluster_id", score_col
     )
     affected = (
@@ -1413,7 +1465,9 @@ def propagate_deletes(
         .distinct()
     )
     m = member.join(F.broadcast(affected), "cluster_id")
-    w = W.partitionBy("cluster_id").orderBy(F.desc(score_col), F.col(id_col))
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last(score_col), F.col(id_col)
+    )
     old = (
         m.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -67,9 +67,26 @@ def quantize16(v: Column, lo: Column, hi: Column) -> Column:
     floor of an IEEE double division of exactly-representable longs —
     identical in Spark and DuckDB (both are correctly-rounded doubles,
     and |numerator| < 2^53 for any realistic key range).
+
+    Input bound: (hi - lo) must stay below 2^47, or (v - lo) * 65535
+    would overflow long SILENTLY (e.g. epoch-micro/nano timestamp dims)
+    and yield garbage Morton keys — callers passing such dims must
+    pre-scale (e.g. divide micros to seconds). Guarded at runtime with
+    an explicit error instead of wrong keys.
     """
     rng = F.greatest(hi - lo, F.lit(1))
-    return F.floor((v - lo).cast("long") * F.lit(65535) / rng).cast("long")
+    checked = F.when(
+        rng <= F.lit(1 << 47), (v - lo).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "quantize16: dimension range exceeds 2^47 — the 65535 "
+                "multiply would overflow long; pre-scale the dimension "
+                "(e.g. timestamp micros -> seconds) before z-ordering"
+            )
+        ).cast("long")
+    )
+    return F.floor(checked * F.lit(65535) / rng).cast("long")
 
 
 def with_zorder_key(
@@ -177,38 +194,66 @@ def layout_pruning_stats(
         ),
     )
 
-    def stats(frame: DataFrame, bucket: Column, layout: str) -> DataFrame:
-        per_bucket = (
-            frame.withColumn("bucket", bucket)
-            .groupBy("bucket")
-            .agg(
-                F.min("x_raw").alias("bx_min"),
-                F.max("x_raw").alias("bx_max"),
-                F.min("y_raw").alias("by_min"),
-                F.max("y_raw").alias("by_max"),
-                F.first("x_lo").alias("x_lo"),
-                F.first("x_hi").alias("x_hi"),
-                F.first("y_lo").alias("y_lo"),
-                F.first("y_hi").alias("y_hi"),
+    # ONE execution of the zorder_frame lineage: every row fans out to
+    # its (layout, bucket) assignment under BOTH layouts via a 2-element
+    # explode (zkey is 32-bit, xq is 16-bit — shift down to the bucket
+    # id), then one (layout, bucket) aggregation and one 2-row reduce.
+    # Two separate stats() branches of a final union would re-run the
+    # whole scan + bounds + quantize chain once per layout.
+    tagged = z.select(
+        "x_raw",
+        "y_raw",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("zkey"), 32 - log2_buckets).alias(
+                        "bucket"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.shiftright(F.col("xq"), 16 - log2_buckets).alias(
+                        "bucket"
+                    ),
+                ),
             )
-        )
-        hit_x = (F.col("bx_min") <= F.col("x_hi")) & (
-            F.col("bx_max") >= F.col("x_lo")
-        )
-        hit_y = (F.col("by_min") <= F.col("y_hi")) & (
-            F.col("by_max") >= F.col("y_lo")
-        )
-        return per_bucket.agg(
-            F.lit(layout).alias("layout"),
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(hit_x.cast("long")).alias("touched_x"),
-            F.sum(hit_y.cast("long")).alias("touched_y"),
-        )
-
-    # zkey is 32-bit; xq is 16-bit — shift down to the bucket id.
-    zed = stats(z, F.shiftright(F.col("zkey"), 32 - log2_buckets), "zorder")
-    lin = stats(z, F.shiftright(F.col("xq"), 16 - log2_buckets), "linear")
-    out = zed.unionByName(lin)
+        ).alias("lb"),
+    ).select(
+        "x_raw",
+        "y_raw",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.col("lb.layout").alias("layout"),
+        F.col("lb.bucket").alias("bucket"),
+    )
+    per_bucket = tagged.groupBy("layout", "bucket").agg(
+        F.min("x_raw").alias("bx_min"),
+        F.max("x_raw").alias("bx_max"),
+        F.min("y_raw").alias("by_min"),
+        F.max("y_raw").alias("by_max"),
+        F.first("x_lo").alias("x_lo"),
+        F.first("x_hi").alias("x_hi"),
+        F.first("y_lo").alias("y_lo"),
+        F.first("y_hi").alias("y_hi"),
+    )
+    hit_x = (F.col("bx_min") <= F.col("x_hi")) & (
+        F.col("bx_max") >= F.col("x_lo")
+    )
+    hit_y = (F.col("by_min") <= F.col("y_hi")) & (
+        F.col("by_max") >= F.col("y_lo")
+    )
+    out = per_bucket.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(hit_x.cast("long")).alias("touched_x"),
+        F.sum(hit_y.cast("long")).alias("touched_y"),
+    )
     return out.select(
         "layout",
         "n_buckets",

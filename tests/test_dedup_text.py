@@ -575,6 +575,43 @@ def test_incremental_indexed_equals_derived(spark, tmp_path):
     assert got_map == want_map
 
 
+def test_incremental_fold_releases_its_caches(spark, tmp_path):
+    """The fold caches the pair frame + the batch shingle frames for the
+    duration of the propagation, then must RELEASE them before returning
+    (ADVICE r6): a long-lived session folding many batches must not
+    accumulate cached frames. Asserted against the SQL CacheManager —
+    localCheckpoint blocks are lifecycle-bound results, not leaks."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        incremental_dup_clusters,
+        materialize_incremental_state,
+        ngram_jaccard_pairs_incremental_indexed,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    spark.catalog.clearCache()  # isolate from other tests' entries
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    materialize_incremental_state(old, state, threshold=0.5, max_shingle_freq=50)
+    merged = incremental_dup_clusters(
+        spark.read.parquet(f"{state}/old_map"),
+        ngram_jaccard_pairs_incremental_indexed(
+            new,
+            spark.read.parquet(f"{state}/old_base"),
+            spark.read.parquet(f"{state}/shingle_df"),
+            threshold=0.5,
+            max_shingle_freq=50,
+        ),
+    )
+    assert merged.count() > 0  # materialize the returned plan
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "fold leaked cached DataFrames"
+
+
 def test_incremental_indexed_redelivered_id_no_self_edges(spark):
     """A doc_id present in BOTH the new batch and the old base (an
     updated/re-delivered document) must not create a degenerate

@@ -160,6 +160,69 @@ def test_propagate_deletes_reelection_and_full_erase(spark):
     assert out[300].old_canonical == 6
 
 
+def test_priority_dedup_null_text_rows_pass_through(spark):
+    """md5(NULL) is NULL — without the NULL-safe key every NULL-text row
+    collapses into one window partition and then vanishes at the NULL
+    equi-join. Each NULL-text row must survive as its own singleton."""
+    rows = [
+        (1, "alpha", "web"),
+        (2, "alpha", "curated"),
+        (3, None, "web"),
+        (4, None, "curated"),
+        (5, None, "mystery"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in dedup.priority_dedup(df, ["curated", "web"]).collect()
+    }
+    # duplicate text resolves normally; EVERY NULL-text row is kept,
+    # each as a singleton group (NULL != NULL, so no two are "copies")
+    assert set(out) == {2, 3, 4, 5}
+    for i in (3, 4, 5):
+        assert out[i].n_copies == 1 and out[i].n_sources == 1
+
+
+def test_propagate_deletes_scoreless_members_still_count(spark):
+    """Membership comes from the cluster state alone: a member missing
+    from ``scores`` must still appear in n_before/n_after and rank LAST
+    in the election; a deleted scoreless member must still trigger a
+    re-election row with the counts reflecting the loss."""
+    clusters = spark.createDataFrame(
+        # cluster 100: scoreless member 3 deleted -> counts 3 -> 2
+        # cluster 200: scoreless member 5 survives -> ranks after scored 4
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (9, 200)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(  # 3 and 5 have no score row
+        [(1, 0.9), (2, 0.8), (4, 0.6), (9, 0.7)],
+        "doc_id long, quality double",
+    )
+    deletes = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    out = {
+        r.cluster_id: r
+        for r in dedup.propagate_deletes(clusters, deletes, scores).collect()
+    }
+    assert set(out) == {100, 200}
+    assert out[100].n_before == 3 and out[100].n_after == 2
+    assert out[100].old_canonical == 1 and out[100].new_canonical == 1
+    # cluster 200: 9 (best) deleted; survivor 4 (scored) beats scoreless 5
+    assert out[200].n_before == 3 and out[200].n_after == 2
+    assert out[200].old_canonical == 9 and out[200].new_canonical == 4
+
+
+def test_quantize16_overflow_guard_raises(spark):
+    """A dimension range >= 2^47 would overflow the 65535 multiply and
+    emit garbage Morton keys silently; the guard must raise instead."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    wide = spark.createDataFrame(
+        [(0, 0), (1 << 50, 1)], "x long, y long"
+    )
+    with pytest.raises(SparkRuntimeException, match="quantize16"):
+        zorder_frame(wide, F.col("x"), F.col("y")).collect()
+
+
 def test_propagate_deletes_broadcasts_the_erase_list(spark):
     clusters = spark.createDataFrame(
         [(i, i % 10) for i in range(100)], "doc_id long, cluster_id long"

@@ -510,11 +510,24 @@ def test_persisted_ivf_probe_prunes_partitions(spark):
 
 
 def test_indexed_incremental_reads_state_not_corpus(spark, queries):
-    """x117b's point is that the old corpus is never re-shingled: the
-    plan must read the materialized state (old_base / shingle_df /
-    old_map parquet) and scan documents.parquet only for the arriving
-    batch subplans — strictly fewer raw-corpus scans than x117's
-    full-recompute demo, which rebuilds everything from the raw table."""
+    """x117b's point is that the old corpus is never re-shingled. Two
+    gates: (a) the folded result plan reads the materialized state and
+    ZERO raw-corpus files (the fold is checkpoint-backed, so any
+    documents.parquet scan here would mean a lazy recompute leaked
+    through); (b) at the pair-GENERATION stage — where the work is
+    declared, before the eager fold consumes it — the indexed path
+    touches documents.parquet only for the arriving batch, strictly
+    fewer raw-corpus scans than the derive-from-raw path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import dedup
+    from azure_serverless_etl_pipeline_spark.plans.queries import (
+        _incremental_state_dir,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
     # scan-count assertions are cache-sensitive: a cached pair frame
     # from an earlier test replaces parquet scans with InMemoryRelation
     spark.catalog.clearCache()
@@ -522,7 +535,32 @@ def test_indexed_incremental_reads_state_not_corpus(spark, queries):
     pa = plan_of(queries["x117_incremental_clusters"](spark, SF_ORACLE))
     assert "incremental_state" in pb  # materialized artifacts feed the plan
     assert "incremental_state" not in pa
-    assert pb.count("documents.parquet") < pa.count("documents.parquet")
+    assert pb.count("documents.parquet") == 0
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 20 == 19)
+    old = docs.filter(F.col("doc_id") % 20 != 19)
+    state = _incremental_state_dir(SF_ORACLE)
+    assert os.path.exists(os.path.join(state, "old_map"))  # built above
+    pair_indexed = plan_of(
+        dedup.ngram_jaccard_pairs_incremental_indexed(
+            new,
+            spark.read.parquet(f"{state}/old_base"),
+            spark.read.parquet(f"{state}/shingle_df"),
+            threshold=0.5,
+            max_shingle_freq=50,
+        )
+    )
+    pair_derived = plan_of(
+        dedup.ngram_jaccard_pairs_incremental(
+            new, old, threshold=0.5, max_shingle_freq=50
+        )
+    )
+    assert "incremental_state" in pair_indexed
+    assert (
+        pair_indexed.count("documents.parquet")
+        < pair_derived.count("documents.parquet")
+    )
 
 
 def test_training_order_windows_stay_sharded(spark, queries):
