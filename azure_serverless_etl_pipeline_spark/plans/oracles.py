@@ -2547,6 +2547,31 @@ SELECT i, j, n,
 FROM agg
 """
 
+# x128c: the GEMM path's driver hash — identical math to x128's oracle
+# but on the 1e-6 grid, coarse enough to absorb float partial-sum
+# merge-order differences between Spark's per-partition numpy partials
+# and DuckDB's sequential double sums (~1e-13 absolute on this corpus).
+EXTRA_ORACLES["x128c_embedding_covariance_gemm_q6"] = f"""
+WITH cells AS (
+  SELECT i.g AS i, j.g AS j,
+         CAST(e.embedding[i.g] AS DOUBLE) * CAST(e.embedding[j.g] AS DOUBLE)
+           AS p,
+         CAST(e.embedding[i.g] AS DOUBLE) AS xi,
+         CAST(e.embedding[j.g] AS DOUBLE) AS xj
+  FROM embeddings e,
+       (SELECT UNNEST(generate_series(1, 64)) AS g) i,
+       (SELECT UNNEST(generate_series(1, 64)) AS g) j
+  WHERE i.g <= j.g
+), agg AS (
+  SELECT i, j, COUNT(*) AS n,
+         SUM(p) AS sp, SUM(xi) AS sxi, SUM(xj) AS sxj
+  FROM cells GROUP BY i, j
+)
+SELECT i, j, n,
+       floor((sp / n - (sxi / n) * (sxj / n)) * 1e6 + 0.5) / 1e6 AS cov
+FROM agg
+"""
+
 # x125 probes ALL cells of the persisted IVF index (nprobe == k), so the
 # result is exactly brute-force top-k — x06's SQL is the truth
 EXTRA_ORACLES["x125_ann_ivf_persisted"] = ORACLES["x06_ann_cosine_topk"]
@@ -2782,10 +2807,13 @@ SELECT layout,
 FROM both_layouts ORDER BY layout
 """
 
-# x140: same planted mirror overlay; md5 grouping == text equality
+# x140: same planted mirror overlay; md5 grouping == text equality.
+# NULL-safe key mirrors the engine: NULL-text rows keep a per-id
+# sentinel group (n_copies = 1) instead of vanishing at the NULL join.
 EXTRA_ORACLES["x140_priority_dedup"] = """
 WITH corpus AS (
-  SELECT md5(text) AS content_hash,
+  SELECT COALESCE(md5(text),
+                  'null:' || CAST(doc_id AS VARCHAR)) AS content_hash,
          CASE WHEN source = 'mirror' THEN 0 ELSE 1 END AS prio,
          doc_id, source
   FROM (
@@ -2825,7 +2853,10 @@ q AS (
                6) AS quality
   FROM documents
 ), member AS (
-  SELECT c.doc_id, c.cluster_id, q.quality FROM clu c JOIN q USING (doc_id)
+  -- membership from the cluster state ALONE; quality left-joined for
+  -- the election ordering only (matches propagate_deletes' contract)
+  SELECT c.doc_id, c.cluster_id, q.quality
+  FROM clu c LEFT JOIN q USING (doc_id)
 ), del AS (
   SELECT doc_id FROM documents WHERE doc_id % 17 = 5
 ), aff AS (
@@ -2837,7 +2868,7 @@ q AS (
   SELECT cluster_id, doc_id AS old_canonical FROM (
     SELECT cluster_id, doc_id,
            row_number() OVER (PARTITION BY cluster_id
-                              ORDER BY quality DESC, doc_id) AS rn
+                              ORDER BY quality DESC NULLS LAST, doc_id) AS rn
     FROM m) WHERE rn = 1
 ), nb AS (
   SELECT cluster_id, COUNT(*) AS n_before FROM m GROUP BY cluster_id
@@ -2847,7 +2878,7 @@ q AS (
   SELECT cluster_id, doc_id AS new_canonical FROM (
     SELECT cluster_id, doc_id,
            row_number() OVER (PARTITION BY cluster_id
-                              ORDER BY quality DESC, doc_id) AS rn
+                              ORDER BY quality DESC NULLS LAST, doc_id) AS rn
     FROM surv) WHERE rn = 1
 ), na AS (
   SELECT cluster_id, COUNT(*) AS n_after FROM surv GROUP BY cluster_id

@@ -3512,6 +3512,23 @@ def x128b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance_gemm(emb, dim=64)
 
 
+@query("x128c_embedding_covariance_gemm_q6")
+def x128c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEMM covariance path (x128b — the 100 TB DEFAULT) on a 1e-6
+    quantization grid, which absorbs the float partial-sum merge-order
+    noise (~1e-13 absolute here) and makes the SCALE path itself
+    hash-checkable against the DuckDB oracle — not just its exact
+    decimal twin x128. Same single-scan / zero-join / MapInPandas plan
+    as x128b; only the rounding quantum differs. (A cell sitting within
+    ~1e-7 of a rounding boundary could still flip — none of the 2080 do
+    on this corpus, and the 1e-9 gemm==exact pytest pin bounds the
+    noise three orders below the quantum.)"""
+    from ..operators.linalg import embedding_covariance_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance_gemm(emb, dim=64, quant=6)
+
+
 @query("x127_weighted_sample")
 def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic length-weighted document sampling per language
@@ -3819,8 +3836,21 @@ DRIVER_WINDOW: list[str] = [
     # pytest-oracle-checked; family reps that remain — quality gates ->
     # x85/x86, sampling -> x127, vector diagnostics -> x128, seasonal ->
     # x113's r04 row + pytest)
+    # ------------------------------------------------------------------
+    # Round-7 rotation (VERDICT r6 items 2-3): in come x138_snapshot_diff
+    # (the single oracle-backed query with no driver hash row across all
+    # six rounds) and x128c (the GEMM covariance — the 100 TB DEFAULT
+    # path — on a 1e-6 grid coarse enough to hash-match DuckDB, so the
+    # scale path itself earns a driver row, not just its exact twin).
+    # Out: x128 (x128c keeps the covariance family's hash slot — the
+    # x97b/x104b "materialized/scale variant takes the twin's slot"
+    # precedent) and x91 (bitext family keeps x122, which computes x91's
+    # exact SQL truth through the blocked plan). Both stay pytest-
+    # oracle-checked at sf0.001 with driver-green r6 rows on record.
+    # ------------------------------------------------------------------
     "x126_substring_span_dedup", "x127_weighted_sample",
-    "x128_embedding_covariance", "x129_token_budget_select",
+    "x128c_embedding_covariance_gemm_q6", "x129_token_budget_select",
+    "x138_snapshot_diff",
     # standing window (driver-green r04/r05, kept for family coverage).
     # Round-6 late swap (x97/x97b precedent): the materialized-path
     # variants x104b/x105b take their recomputing twins' slots with the
@@ -3845,7 +3875,7 @@ DRIVER_WINDOW: list[str] = [
     "x85_repetition_stats",
     "x87_dsir_importance", "x88_session_concurrency",
     "x89_fuzzy_join", "x90_source_drift",
-    "x91_bitext_margin", "x92_containment_pairs",
+    "x92_containment_pairs",
     "x96_pagerank",
     "x70_tpch_q21_onescan",
 ]

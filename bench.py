@@ -175,6 +175,9 @@ HEADLINE = [
     # x128b is the scale DEFAULT (per-partition GEMM partials, no 2080x
     # fan-out); x128 stays benched as its exact oracle twin
     "x128b_embedding_covariance_gemm",
+    # x128c: the GEMM path on the 1e-6 grid — the hash-checkable scale
+    # default (round-7); same plan as x128b, only the quantum differs
+    "x128c_embedding_covariance_gemm_q6",
     "x129_token_budget_select",
     "x130_histogram_quantiles",
     "x131_incremental_rollup",
