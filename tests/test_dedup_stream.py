@@ -192,3 +192,62 @@ def test_compact_state_crash_resume(spark, tmp_path):
     fold_batch(spark, b1, 1, state)
     got = current_map(spark, state).toPandas()
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_streamed_state_serves_governance_across_crash_resume(spark, tmp_path):
+    """E2E governance on the STREAMED state (round-7): file arrivals ->
+    dedup_stream(compact_every=2) -> crash (stream stops after draining
+    two files) -> a third file lands -> a RESUMED stream on the same
+    checkpoint folds it -> current_map -> propagate_deletes. The delete
+    propagation computed from the streamed/compacted/resumed state must
+    equal the one computed from one-shot batch truth — the RTBF path
+    must not depend on how the state was built."""
+    from azure_serverless_etl_pipeline_spark.operators import text as text_ops
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+        propagate_deletes,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        start_dedup_stream,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two files land; the stream drains them (availableNow) and stops —
+    # the "crash" point, with a compaction pass already behind it
+    for part in range(2):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = start_dedup_stream(spark, landing, state, ckpt, compact_every=2)
+    q.awaitTermination(300)
+
+    # a third file lands; a NEW stream on the SAME checkpoint resumes
+    # exactly where the dead one stopped (no refold of files 0-1)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = start_dedup_stream(spark, landing, state, ckpt, compact_every=2)
+    q2.awaitTermination(300)
+
+    streamed = current_map(spark, state)
+    truth_clusters = dup_clusters(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=50)
+    )
+
+    scores = text_ops.quality_score(docs).select("doc_id", "quality")
+    deletes = docs.filter(F.col("doc_id") % 17 == 5).select("doc_id")
+
+    def report(clusters):
+        out = propagate_deletes(clusters, deletes, scores).toPandas()
+        return sorted(map(tuple, out.fillna(-1).values.tolist()))
+
+    assert report(streamed) == report(truth_clusters)
+    assert report(streamed), "erase list must affect at least one cluster"
