@@ -743,18 +743,16 @@ def incremental_dup_clusters(
     of star edges and iterations over the (tiny) frontier the batch
     actually perturbs.
 
-    CACHING: the incremental pair frame is ``.cache()``d here (it feeds
-    three branches; without the cache the whole candidate generation +
-    verify subplan re-executes per branch, measured 2-6x) and RELEASED
-    before returning — the label propagation inside ``dup_clusters`` is
-    eager (per-round localCheckpoint), and the tiny touched-cluster-id
-    frame is eagerly checkpointed too, so by return time every consumer
-    of the cache has materialized and the returned plan references only
-    checkpointed frames + ``old_clusters``. Caches a pair-generator
-    attached to its frame via ``_owned_caches`` (see
-    ``ngram_jaccard_pairs_incremental_indexed``) are released the same
-    way, so long-lived callers folding many batches in one session (the
-    dedup stream, a driver loop) no longer leak cached frames.
+    MATERIALIZATION: the batch-bounded pair frame is eagerly
+    localCheckpoint-ed on entry — one execution of the candidate
+    generation + verify subplan, whose tiny (id, id) result blocks feed
+    the three consuming branches (without this the subplan re-executes
+    per branch, measured 2-6x). Caches a pair generator attached to its
+    frame via ``_owned_caches`` (see
+    ``ngram_jaccard_pairs_incremental_indexed``) are released
+    immediately after, so long-lived callers folding many batches in
+    one session (the dedup stream, a driver loop) accumulate no cached
+    frames — only the checkpoint blocks that back each returned map.
     """
     # The pair frame is referenced by three branches below (touched-id
     # derivation, the propagation edge list, and transitively the
@@ -763,33 +761,37 @@ def incremental_dup_clusters(
     # subplan re-executes once per reference (measured 2-6x blowup).
     # cache, not localCheckpoint: the eager checkpoint ran the pair
     # subplan as a standalone job and cost ~30% on x117/x117b.
-    pairs = incremental_pairs.select("id_a", "id_b").cache()
+    # ONE execution of the candidate-generation + verify subplan: the
+    # pair frame is batch-bounded (two long ids per near-dup pair), so
+    # eagerly checkpoint it — a single standalone job whose tiny result
+    # blocks then feed every branch below (touched-id derivation, the
+    # propagation edge list, the untouched anti-join). A .cache() here
+    # is strictly worse: multi-branch jobs over a COLD cache race its
+    # per-partition population and re-execute the whole subplan per
+    # branch (the r6 shape — in-session A/B medians 12.9s vs 10.3s on
+    # x117's fold), it is evictable under session memory pressure, and
+    # it leaks a CacheManager entry the caller must clear. The
+    # checkpoint also lets the generator's batch-frame caches (handed
+    # over via ``_owned_caches``) release immediately, so long-lived
+    # callers folding many batches accumulate nothing.
+    pairs = incremental_pairs.select("id_a", "id_b").localCheckpoint(
+        eager=True
+    )
+    for owned in getattr(incremental_pairs, "_owned_caches", ()):
+        owned.unpersist()
     touched = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # Eager checkpoint of the (tiny: distinct affected cluster ids)
-    # frame — this is what lets the pair cache be released below: the
-    # untouched anti-join branch of the returned plan reads these
-    # checkpointed ids instead of re-deriving them through `pairs`.
     touched_clusters = (
-        old_clusters.join(touched, "doc_id")
-        .select("cluster_id")
-        .distinct()
-        .localCheckpoint(eager=True)
+        old_clusters.join(touched, "doc_id").select("cluster_id").distinct()
     )
     affected = old_clusters.join(touched_clusters, "cluster_id")
     stars = affected.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
     resolved = dup_clusters(pairs.unionByName(stars), max_iter=max_iter)
-    # dup_clusters ran eagerly (per-round localCheckpoint) — every
-    # consumer of the pair cache has materialized; release it plus any
-    # caches the pair generator handed over with its frame.
-    pairs.unpersist()
-    for owned in getattr(incremental_pairs, "_owned_caches", ()):
-        owned.unpersist()
     untouched = old_clusters.join(touched_clusters, "cluster_id", "left_anti")
     return untouched.unionByName(resolved)
 
