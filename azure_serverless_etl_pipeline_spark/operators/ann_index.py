@@ -136,10 +136,173 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """(cell-partitioned corpus frame, centroid matrix) from a
     save_ivf_index directory. The corpus frame carries the parquet
     partitioning metadata, so probe_ivf's cell join partition-prunes."""
-    indexed = spark.read.parquet(f"{path}/cells")
+    # normalize the partition column: directory-derived values can come
+    # back as strings depending on partition-type inference, and a
+    # string cell would silently type-coerce every downstream cell join
+    indexed = spark.read.parquet(f"{path}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     return indexed, centroids
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment for a batch of vectors under the
+    index's quantizer rule (squared-euclidean argmin — what MLlib KMeans
+    ``transform`` computes; ties break to the lowest cell id, numpy's
+    argmin convention). Fully map-side: the tiny codebook broadcasts,
+    each vector cross-joins it, one per-row rank window picks the cell —
+    no KMeans refit, no shuffle of the batch beyond the window's
+    batch-sized exchange. Returns the input columns + ``cell``."""
+    spark = vectors.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, __cent array<double>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dist = (
+        dot(v, v)
+        - 2.0 * dot(v, F.col("__cent"))
+        + dot(F.col("__cent"), F.col("__cent"))
+    )
+    w = W.partitionBy("__rid").orderBy(F.asc("__dist"), F.asc("cell"))
+    return (
+        vectors.withColumn("__rid", F.monotonically_increasing_id())
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__dist", dist)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__cent", "__dist", "__rk", "__rid")
+    )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold a batch of NEW vectors into a persisted IVF index without
+    refitting the codebook: assign each vector its nearest existing
+    cell map-side (`assign_cells`) and APPEND the assigned rows to the
+    cell-partitioned corpus — the write touches only the cell
+    directories the batch lands in, never the standing index files.
+
+    This is the vector-store ingestion path at scale: index build is a
+    k-means fit over the corpus (expensive, amortized), but arriving
+    embeddings must not trigger it — they quantize against the frozen
+    codebook in one map-side pass. The standard operational caveat
+    applies and is measurable here via `ivf_cell_stats`: as the corpus
+    drifts from the codebook's fit distribution, cell sizes skew and
+    probe cost/recall degrade — the rebuild trigger is a size-imbalance
+    threshold, not a timer."""
+    spark = new_vectors.sparkSession
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    deleted_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Right-to-be-forgotten for the vector store: erase ids from a
+    persisted IVF index by rewriting ONLY the cell partitions that
+    contain them. Returns the per-cell audit report
+    (cell, n_before, n_removed, n_after).
+
+    Scale shape: the erase list broadcasts into a semi-join that finds
+    the AFFECTED cells (a bounded list — at most |deletes| of them);
+    the survivor rewrite scans just those cells' files (partition
+    pruning on the cell filter) and swaps them in with a dynamic
+    partition overwrite, so a deletion touching 3 of 10k cells rewrites
+    3 directories — never the standing index. Cells erased to empty are
+    removed outright (dynamic overwrite cannot replace a partition with
+    zero rows). Mirrors `dedup.propagate_deletes`' contract for the
+    cluster state: deletion costs a state sliver, not a rebuild."""
+    dels = deleted_ids.select(id_col)
+    cells = spark.read.parquet(f"{path}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    affected = sorted(
+        r.cell
+        for r in cells.join(F.broadcast(dels), id_col, "semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return spark.createDataFrame(
+            [], "cell int, n_before long, n_removed long, n_after long"
+        )
+    sliver = cells.filter(F.col("cell").isin([int(c) for c in affected]))
+    report = (
+        sliver.join(
+            F.broadcast(dels.withColumn("__del", F.lit(1))), id_col, "left"
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.coalesce(F.col("__del"), F.lit(0))).alias("n_removed"),
+        )
+        .withColumn("n_after", F.col("n_before") - F.col("n_removed"))
+        .select("cell", "n_before", "n_removed", "n_after")
+        .localCheckpoint(eager=True)  # materialize BEFORE the rewrite
+    )
+    survivors = sliver.join(F.broadcast(dels), id_col, "anti")
+    # stage the survivors: the rewrite overwrites the directories this
+    # plan reads (same staged-overwrite discipline as upsert_parquet)
+    staged = survivors.localCheckpoint(eager=True)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    # dynamic overwrite leaves a fully-erased cell's old files in place
+    # (no rows -> no partition to replace): drop those directories.
+    empty = [r.cell for r in report.filter(F.col("n_after") == 0).collect()]
+    if empty:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for c in empty:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/cells/cell={int(c)}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
+    return report
+
+
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Per-cell occupancy report for a persisted index: (cell, n_vecs,
+    frac, imbalance) where imbalance = n_vecs / mean-cell-size. The
+    rebuild trigger for an append-maintained index: when max imbalance
+    drifts past ~4-8x, hot cells dominate probe cost and the codebook
+    should be refit. One partition-pruned count aggregation."""
+    cells = spark.read.parquet(f"{path}/cells")
+    per = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = per.agg(
+        F.sum("n_vecs").alias("__t"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("__t"), 6).alias("frac"),
+            F.round(
+                F.col("n_vecs") * F.col("__k") / F.col("__t"), 6
+            ).alias("imbalance"),
+        )
+        .orderBy("cell")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,155 @@ def zorder_frame(
     return q.withColumn("zkey", morton_key(F.col("xq"), F.col("yq")))
 
 
+def _hilbert_fold(frame: DataFrame, order: int = 16, key_col: str = "hkey") -> DataFrame:
+    """Fold quantized (xq, yq) into the Hilbert-curve index of the given
+    order (the classic per-bit rotate-and-accumulate walk, unrolled into
+    ``order`` projection stages). Expects ``xq``/``yq`` columns; emits
+    ``key_col``.
+
+    Why projection stages and not one composed expression: each
+    iteration's (x, y) feed the next through multiple references, so an
+    inlined expression tree grows ~3^order nodes and kills codegen; a
+    per-iteration ``withColumns`` keeps every stage flat (Catalyst keeps
+    multiply-referenced projections separate). All integer when/and/xor
+    arithmetic — bit-exact in any engine, no UDF, no shuffle."""
+    f = (
+        frame.withColumn("_hx", F.col("xq").cast("long"))
+        .withColumn("_hy", F.col("yq").cast("long"))
+        .withColumn(key_col, F.lit(0).cast("long"))
+    )
+    s = 1 << (order - 1)
+    while s:
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        d2 = F.col(key_col) + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        tx = F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+            F.col("_hx")
+        )
+        ty = F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+            F.col("_hy")
+        )
+        f = f.withColumns(
+            {
+                key_col: d2,
+                "_hx": F.when(ry == 0, ty).otherwise(F.col("_hx")),
+                "_hy": F.when(ry == 0, tx).otherwise(F.col("_hy")),
+            }
+        )
+        s >>= 1
+    return f.drop("_hx", "_hy")
+
+
+def curve_pruning_stats(
+    df: DataFrame,
+    dim_x: Column,
+    dim_y: Column,
+    log2_buckets: int = 7,
+) -> DataFrame:
+    """`layout_pruning_stats` extended to THREE layouts: linear (sort on
+    the leading dim), Z-order (Morton), and Hilbert. Same single-scan
+    explode shape — every row fans out to its (layout, bucket) under all
+    three curves, one aggregation, one 3-row reduce.
+
+    Why Hilbert exists next to Morton: both interleave the dims, but
+    the Z-curve's diagonal seams join points that are far apart in the
+    plane, so some tiles span a wide range of one dimension; the
+    Hilbert curve is continuous (consecutive indexes are always grid
+    neighbors), which tightens per-file min/max spans and is why
+    large-table clustering implementations moved from Z-order to
+    Hilbert for their default layout. Both keys here are pure integer
+    map-side arithmetic with bit-exact DuckDB twins."""
+    z = zorder_frame(df, dim_x, dim_y)
+    probes = (
+        F.col("x_min") + (F.col("x_max") - F.col("x_min")) * 2 / F.lit(5),
+        F.col("x_min") + (F.col("x_max") - F.col("x_min")) * 9 / F.lit(20),
+        F.col("y_min") + (F.col("y_max") - F.col("y_min")) * 2 / F.lit(5),
+        F.col("y_min") + (F.col("y_max") - F.col("y_min")) * 9 / F.lit(20),
+    )
+    z = z.select(
+        "x_raw",
+        "y_raw",
+        "xq",
+        "yq",
+        "zkey",
+        *(
+            F.floor(p).cast("long").alias(n)
+            for p, n in zip(probes, ("x_lo", "x_hi", "y_lo", "y_hi"))
+        ),
+    )
+    h = _hilbert_fold(z)
+    tagged = h.select(
+        "x_raw",
+        "y_raw",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("zkey"), 32 - log2_buckets).alias(
+                        "bucket"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.shiftright(F.col("xq"), 16 - log2_buckets).alias(
+                        "bucket"
+                    ),
+                ),
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.shiftright(F.col("hkey"), 32 - log2_buckets).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("lb"),
+    ).select(
+        "x_raw",
+        "y_raw",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.col("lb.layout").alias("layout"),
+        F.col("lb.bucket").alias("bucket"),
+    )
+    per_bucket = tagged.groupBy("layout", "bucket").agg(
+        F.min("x_raw").alias("bx_min"),
+        F.max("x_raw").alias("bx_max"),
+        F.min("y_raw").alias("by_min"),
+        F.max("y_raw").alias("by_max"),
+        F.first("x_lo").alias("x_lo"),
+        F.first("x_hi").alias("x_hi"),
+        F.first("y_lo").alias("y_lo"),
+        F.first("y_hi").alias("y_hi"),
+    )
+    hit_x = (F.col("bx_min") <= F.col("x_hi")) & (
+        F.col("bx_max") >= F.col("x_lo")
+    )
+    hit_y = (F.col("by_min") <= F.col("y_hi")) & (
+        F.col("by_max") >= F.col("y_lo")
+    )
+    out = per_bucket.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(hit_x.cast("long")).alias("touched_x"),
+        F.sum(hit_y.cast("long")).alias("touched_y"),
+    )
+    return out.select(
+        "layout",
+        "n_buckets",
+        "touched_x",
+        "touched_y",
+        (F.col("touched_x") / F.col("n_buckets")).alias("frac_x"),
+        (F.col("touched_y") / F.col("n_buckets")).alias("frac_y"),
+    ).orderBy("layout")
+
+
 def layout_pruning_stats(
     df: DataFrame,
     dim_x: Column,

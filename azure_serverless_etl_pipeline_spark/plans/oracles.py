@@ -2576,6 +2576,32 @@ FROM agg
 # result is exactly brute-force top-k — x06's SQL is the truth
 EXTRA_ORACLES["x125_ann_ivf_persisted"] = ORACLES["x06_ann_cosine_topk"]
 
+# x142 appends 10% of the corpus into the 90%-built index, then probes
+# ALL cells — exact, so build-90 + append-10 must equal brute force
+# over the WHOLE corpus: x06's SQL unchanged.
+EXTRA_ORACLES["x142_ann_index_append"] = ORACLES["x06_ann_cosine_topk"]
+
+# x143 erases vec_id % 17 == 5 from the persisted index by rewriting
+# only the affected cell partitions, then probes ALL cells — exact, so
+# the truth is brute force over the SURVIVING corpus (x06's shape with
+# the erase predicate on both the query and corpus sides).
+EXTRA_ORACLES["x143_ann_index_delete"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10 AND vec_id % 17 <> 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 17 <> 5),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_cos('q.qv', 'c.cv')} AS cos_sim
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 12) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
 # x124: the oracle is the UNSALTED join — salting must be semantically
 # invisible (skew.salted_join docstring)
 EXTRA_ORACLES["x124_skew_salted_join"] = f"""
@@ -2806,6 +2832,124 @@ SELECT layout,
        CAST(touched_y AS DOUBLE) / n_buckets AS frac_y
 FROM both_layouts ORDER BY layout
 """
+
+# x144: the three-way layout comparison. The Hilbert index is the same
+# per-bit rotate-and-accumulate walk as the Spark fold, unrolled into 16
+# generated CTE stages — all integer CASE/&/xor arithmetic, bit-exact.
+def _hilbert_layout_oracle() -> str:
+    base = """
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x_raw,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+           AS y_raw
+  FROM orders
+), bounds AS (
+  SELECT min(x_raw) AS x_min, max(x_raw) AS x_max,
+         min(y_raw) AS y_min, max(y_raw) AS y_max
+  FROM base
+), q AS (
+  SELECT x_raw, y_raw,
+         CAST(floor((x_raw - x_min) * 65535
+              / greatest(x_max - x_min, 1)) AS BIGINT) AS xq,
+         CAST(floor((y_raw - y_min) * 65535
+              / greatest(y_max - y_min, 1)) AS BIGINT) AS yq,
+         CAST(floor(x_min + (x_max - x_min) * 2 / 5) AS BIGINT) AS x_lo,
+         CAST(floor(x_min + (x_max - x_min) * 9 / 20) AS BIGINT) AS x_hi,
+         CAST(floor(y_min + (y_max - y_min) * 2 / 5) AS BIGINT) AS y_lo,
+         CAST(floor(y_min + (y_max - y_min) * 9 / 20) AS BIGINT) AS y_hi
+  FROM base CROSS JOIN bounds
+), s1 AS (
+  SELECT *, (xq | (xq << 8)) & 16711935 AS sx1,
+            (yq | (yq << 8)) & 16711935 AS sy1 FROM q
+), s2 AS (
+  SELECT *, (sx1 | (sx1 << 4)) & 252645135 AS sx2,
+            (sy1 | (sy1 << 4)) & 252645135 AS sy2 FROM s1
+), s3 AS (
+  SELECT *, (sx2 | (sx2 << 2)) & 858993459 AS sx3,
+            (sy2 | (sy2 << 2)) & 858993459 AS sy3 FROM s2
+), s4 AS (
+  SELECT *, (sx3 | (sx3 << 1)) & 1431655765 AS sx4,
+            (sy3 | (sy3 << 1)) & 1431655765 AS sy4 FROM s3
+), h0 AS (
+  SELECT x_raw, y_raw, xq, x_lo, x_hi, y_lo, y_hi,
+         (sx4 | (sy4 << 1)) AS zkey,
+         xq AS hx, yq AS hy, CAST(0 AS BIGINT) AS hkey
+  FROM s4
+)"""
+    keep = "x_raw, y_raw, xq, x_lo, x_hi, y_lo, y_hi, zkey"
+    stages, prev, s, k = [], "h0", 1 << 15, 0
+    while s:
+        k += 1
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        stages.append(
+            f""", h{k} AS (
+  SELECT {keep},
+         hkey + CAST({s * s} AS BIGINT) * xor(3 * {rx}, {ry}) AS hkey,
+         CASE WHEN {ry} = 0 THEN
+              (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)
+         ELSE hx END AS hx,
+         CASE WHEN {ry} = 0 THEN
+              (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)
+         ELSE hy END AS hy
+  FROM {prev})"""
+        )
+        prev = f"h{k}"
+        s >>= 1
+    buckets = f""", zb AS (
+  SELECT zkey >> 25 AS bucket,
+         min(x_raw) AS bx_min, max(x_raw) AS bx_max,
+         min(y_raw) AS by_min, max(y_raw) AS by_max,
+         min(x_lo) AS x_lo, min(x_hi) AS x_hi,
+         min(y_lo) AS y_lo, min(y_hi) AS y_hi
+  FROM {prev} GROUP BY 1
+), lb AS (
+  SELECT xq >> 9 AS bucket,
+         min(x_raw) AS bx_min, max(x_raw) AS bx_max,
+         min(y_raw) AS by_min, max(y_raw) AS by_max,
+         min(x_lo) AS x_lo, min(x_hi) AS x_hi,
+         min(y_lo) AS y_lo, min(y_hi) AS y_hi
+  FROM {prev} GROUP BY 1
+), hb AS (
+  SELECT hkey >> 25 AS bucket,
+         min(x_raw) AS bx_min, max(x_raw) AS bx_max,
+         min(y_raw) AS by_min, max(y_raw) AS by_max,
+         min(x_lo) AS x_lo, min(x_hi) AS x_hi,
+         min(y_lo) AS y_lo, min(y_hi) AS y_hi
+  FROM {prev} GROUP BY 1
+), all_layouts AS (
+  SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+         SUM(CASE WHEN bx_min <= x_hi AND bx_max >= x_lo
+             THEN 1 ELSE 0 END) AS touched_x,
+         SUM(CASE WHEN by_min <= y_hi AND by_max >= y_lo
+             THEN 1 ELSE 0 END) AS touched_y
+  FROM zb
+  UNION ALL
+  SELECT 'linear', COUNT(*),
+         SUM(CASE WHEN bx_min <= x_hi AND bx_max >= x_lo
+             THEN 1 ELSE 0 END),
+         SUM(CASE WHEN by_min <= y_hi AND by_max >= y_lo
+             THEN 1 ELSE 0 END)
+  FROM lb
+  UNION ALL
+  SELECT 'hilbert', COUNT(*),
+         SUM(CASE WHEN bx_min <= x_hi AND bx_max >= x_lo
+             THEN 1 ELSE 0 END),
+         SUM(CASE WHEN by_min <= y_hi AND by_max >= y_lo
+             THEN 1 ELSE 0 END)
+  FROM hb
+)
+SELECT layout,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(touched_x AS BIGINT) AS touched_x,
+       CAST(touched_y AS BIGINT) AS touched_y,
+       CAST(touched_x AS DOUBLE) / n_buckets AS frac_x,
+       CAST(touched_y AS DOUBLE) / n_buckets AS frac_y
+FROM all_layouts ORDER BY layout"""
+    return base + "".join(stages) + buckets
+
+
+EXTRA_ORACLES["x144_hilbert_layout"] = _hilbert_layout_oracle()
 
 # x140: same planted mirror overlay; md5 grouping == text equality.
 # NULL-safe key mirrors the engine: NULL-text rows keep a per-id

@@ -3349,6 +3349,29 @@ def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x144_hilbert_layout")
+def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way layout comparison (operators/layout.curve_pruning_stats):
+    linear vs Z-order vs HILBERT clustering of orders on (o_custkey,
+    orderdate-epoch-day), scored by min/max file-stats pruning for a ~5%
+    probe on each dimension. The Hilbert fold is the classic per-bit
+    rotate-and-accumulate walk unrolled into 16 flat projection stages —
+    pure integer when/and/xor arithmetic, map-side, no UDF, bit-exact
+    against the generated DuckDB CTE chain. The continuity property
+    (consecutive indexes are grid neighbors — pytest-pinned) is what
+    tightens per-tile spans vs the Z-curve's diagonal seams; this query
+    quantifies that on real footer-stat geometry."""
+    from ..operators.layout import curve_pruning_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    return curve_pruning_stats(
+        o,
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        log2_buckets=7,
+    )
+
+
 @query("x140_priority_dedup")
 def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source exact dedup with survivorship (operators/dedup.
@@ -3578,6 +3601,74 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann_index.probe_ivf(
         indexed, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=16
     )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
+@query("x142_ann_index_append")
+def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental APPEND to the persisted IVF index (ann_index.
+    append_to_ivf_index): the index is built once over 90% of the
+    corpus, then the arriving 10% (vec_id % 10 == 7) quantizes against
+    the FROZEN codebook in one map-side pass and appends into its cell
+    directories — no k-means refit, no standing-file rewrite. Probing
+    the maintained index with nprobe == k is exact, so the oracle is
+    x06's brute-force cosine SQL over the WHOLE corpus: the driver hash
+    proves build-90 + append-10 == index-over-100 == truth. Cell
+    assignment parity with the quantizer rule (euclidean argmin) and
+    the append-touches-only-its-cells write are pytest-gated."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivf_append")
+    marker = os.path.join(idx, "_appended")
+    if not os.path.exists(marker):
+        ann_index.save_ivf_index(
+            emb.filter(F.col("vec_id") % 10 != 7), idx, k=16
+        )
+        ann_index.append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 10 == 7), idx
+        )
+        open(marker, "w").close()
+    indexed, centroids = ann_index.load_ivf_index(spark, idx)
+    out = ann_index.probe_ivf(
+        indexed, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=16
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
+@query("x143_ann_index_delete")
+def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the persisted IVF index (ann_index.
+    delete_from_ivf_index): the deterministic erase list
+    (vec_id % 17 == 5) broadcasts into a semi-join that finds the
+    affected cells; ONLY those cell directories are rewritten (dynamic
+    partition overwrite of the partition-pruned survivor slice), cells
+    erased to empty are dropped. The vector-store counterpart of x141's
+    cluster-state delete propagation: deletion costs a state sliver,
+    never an index rebuild. Probing the post-delete index with
+    nprobe == k is exact, so the oracle is brute-force cosine SQL over
+    the surviving corpus — the driver hash proves the sliver rewrite
+    left exactly the right vectors behind."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivf_rtbf")
+    marker = os.path.join(idx, "_deleted")
+    if not os.path.exists(marker):
+        ann_index.save_ivf_index(emb, idx, k=16)
+        ann_index.delete_from_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") % 17 == 5).select("vec_id")
+        )
+        open(marker, "w").close()
+    indexed, centroids = ann_index.load_ivf_index(spark, idx)
+    queries_df = emb.filter(
+        (F.col("vec_id") < 10) & (F.col("vec_id") % 17 != 5)
+    )
+    out = ann_index.probe_ivf(indexed, queries_df, centroids, k=5, nprobe=16)
     return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
@@ -3827,10 +3918,17 @@ DRIVER_WINDOW: list[str] = [
     "x97b_contrastive_triplets_materialized", "x121_type_cooccurrence",
     "x75_ann_pq_topk", "x76_sketch_rollup", "x77_theta_overlap",
     "x78_table_profile_approx", "x79_semantic_dedup", "x99_corpus_prep",
+    # Round-7 continuation (no-prior-row rule): x142 takes x125's slot
+    # with the SAME x06 oracle — the hash now proves build-90 +
+    # append-10 == brute force, strictly more than x125's full-build
+    # check (x125 stays pytest-oracle-checked; r5/r6-green rows stand).
+    # x143 takes x80's slot (r6-green; incremental-dedup family keeps
+    # x117b) with a new surviving-corpus oracle — the vector-store RTBF
+    # counterpart of x141.
     "x117b_incremental_clusters_indexed", "x122_bitext_margin_blocked",
     "x123_isoforest_score", "x124_skew_salted_join",
-    "x125_ann_ivf_persisted", "x130_histogram_quantiles",
-    "x131_incremental_rollup",
+    "x142_ann_index_append", "x130_histogram_quantiles",
+    "x131_incremental_rollup", "x143_ann_index_delete",
     # round-5 late additions (same no-prior-row rule): x126-x129 take the
     # slots of x103 / x110 / x112 / x107 (all driver-green in r04, still
     # pytest-oracle-checked; family reps that remain — quality gates ->
@@ -3868,9 +3966,13 @@ DRIVER_WINDOW: list[str] = [
     # slots of x83 / x86 / x95 (all driver-green in r05, oracles still
     # pytest-asserted; families that keep rows — token/text stats ->
     # x82/x85, classifier scoring -> x87, event sequences -> x88/x121)
-    "x139_zorder_layout", "x140_priority_dedup",
+    # Round-7: x144 takes x139's slot — its 3-row report contains the
+    # SAME zorder/linear geometry (identical probes/buckets) plus the
+    # Hilbert row, strictly more driver signal for the layout family;
+    # x139 stays pytest-oracle-checked with its r6-green row on record.
+    "x144_hilbert_layout", "x140_priority_dedup",
     "x141_delete_propagation",
-    "x80_bloom_incremental_dedup", "x81_scd2_merge",
+    "x81_scd2_merge",
     "x82_bigram_pmi", "x84_decontaminate",
     "x85_repetition_stats",
     "x87_dsir_importance", "x88_session_concurrency",

@@ -169,6 +169,11 @@ HEADLINE = [
     # warm-up, cached per sf_dir) — the amortized vector-store serving
     # cost, vs x79/x122 which pay the k-means fit per run
     "x125_ann_ivf_persisted",
+    # x142/x143: index lifecycle maintenance (append batch to frozen
+    # codebook; RTBF sliver delete) — state built on warm-up per sf_dir,
+    # timed runs pay the exact nprobe==k probe like x125
+    "x142_ann_index_append",
+    "x143_ann_index_delete",
     "x126_substring_span_dedup",
     "x127_weighted_sample",
     "x128_embedding_covariance",
@@ -196,6 +201,8 @@ HEADLINE = [
     "x139_zorder_layout",
     "x140_priority_dedup",
     "x141_delete_propagation",
+    # round-7: three-way curve comparison (linear / Z-order / Hilbert)
+    "x144_hilbert_layout",
 ]
 
 

@@ -247,3 +247,157 @@ def test_embedding_spectrum_matches_numpy(spark, corpus):
     cov = np.cov(x, rowvar=False, bias=True)
     want = np.linalg.eigvalsh(cov)[::-1][:8]
     assert np.abs(got["eigenvalue"].to_numpy() - want).max() <= 1e-7
+
+
+def test_assign_cells_matches_quantizer_rule(spark, corpus):
+    """Map-side cell assignment must reproduce the index quantizer's
+    rule (squared-euclidean argmin over the codebook, ties to lowest
+    cell) — checked against numpy on the collected vectors AND against
+    MLlib's own transform assignments for the same codebook."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+    )
+
+    indexed, centroids = build_ivf_index(corpus, k=8)
+    got = {
+        r.vec_id: r.cell
+        for r in assign_cells(corpus, centroids).select("vec_id", "cell").collect()
+    }
+    # vs MLlib transform (the build-time assignment)
+    want = {r.vec_id: r.cell for r in indexed.select("vec_id", "cell").collect()}
+    mismatch = [i for i in want if got[i] != want[i]]
+    # float-expression vs MLlib distance may differ only on exact ties;
+    # demand bit-level agreement on this corpus (no ties in practice)
+    assert not mismatch, mismatch[:5]
+    # vs numpy argmin
+    rows = corpus.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    np_cells = d.argmin(axis=1)
+    agree = sum(
+        1 for r, c in zip(rows, np_cells) if got[r.vec_id] == int(c)
+    )
+    assert agree >= len(rows) - 2  # ULP-order near-ties at most
+
+
+def test_append_touches_only_its_cells(spark, corpus, tmp_path_factory):
+    """Appending a batch must add files ONLY under the cell directories
+    the batch lands in; every other cell's file set is untouched, and
+    the updated index serves the union of old and new ids."""
+    import glob
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivf_index,
+        assign_cells,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_append") / "index")
+    base = corpus.filter(F.col("vec_id") % 10 != 7)
+    batch = corpus.filter(F.col("vec_id") % 10 == 7)
+    save_ivf_index(base, path, k=8)
+
+    def file_sets():
+        out = {}
+        for d in glob.glob(f"{path}/cells/cell=*"):
+            out[os.path.basename(d)] = sorted(os.listdir(d))
+        return out
+
+    before = file_sets()
+    append_to_ivf_index(batch, path)
+    after = file_sets()
+
+    _, centroids = load_ivf_index(spark, path)
+    batch_cells = {
+        f"cell={r.cell}"
+        for r in assign_cells(batch, centroids).select("cell").distinct().collect()
+    }
+    for cell, files in before.items():
+        if cell not in batch_cells:
+            assert after[cell] == files, f"untouched cell {cell} changed"
+    for cell in batch_cells:
+        assert set(after.get(cell, [])) > set(before.get(cell, [])), (
+            f"batch cell {cell} gained no files"
+        )
+    indexed, _ = load_ivf_index(spark, path)
+    assert indexed.count() == corpus.count()
+    assert (
+        indexed.select("vec_id").exceptAll(corpus.select("vec_id")).count() == 0
+    )
+
+
+def test_delete_rewrites_only_affected_cells(spark, corpus, tmp_path_factory):
+    """The RTBF delete must rewrite only the cells containing erased
+    ids (other cells' files byte-identical), report exact per-cell
+    counts, drop fully-erased cells, and leave the surviving corpus
+    exactly equal to the anti-join truth."""
+    import glob
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_rtbf") / "index")
+    save_ivf_index(corpus, path, k=8)
+    indexed, _ = load_ivf_index(spark, path)
+    # erase every member of one whole cell + a scattered modulus slice
+    one_cell = indexed.filter(F.col("cell") == 3).select("vec_id")
+    scattered = corpus.filter(F.col("vec_id") % 23 == 1).select("vec_id")
+    dels = one_cell.union(scattered).distinct()
+    del_ids = {r.vec_id for r in dels.collect()}
+    affected = {
+        r.cell for r in indexed.join(dels, "vec_id", "semi").select("cell").distinct().collect()
+    }
+
+    def file_sets():
+        return {
+            os.path.basename(d): sorted(os.listdir(d))
+            for d in glob.glob(f"{path}/cells/cell=*")
+        }
+
+    before = file_sets()
+    report = delete_from_ivf_index(spark, path, dels)
+    after = file_sets()
+
+    rep = {r.cell: r for r in report.collect()}
+    assert set(rep) == affected
+    for c, r in rep.items():
+        assert r.n_before - r.n_removed == r.n_after
+    # fully-erased cell directory is gone
+    assert rep[3].n_after == 0 and "cell=3" not in after
+    # untouched cells byte-stable (same file names)
+    for cell, files in before.items():
+        cid = int(cell.split("=")[1])
+        if cid not in affected:
+            assert after[cell] == files, f"untouched cell {cell} rewritten"
+    survivors, _ = load_ivf_index(spark, path)
+    want = corpus.filter(~F.col("vec_id").isin(list(del_ids)))
+    assert survivors.count() == want.count()
+    assert (
+        survivors.select("vec_id").exceptAll(want.select("vec_id")).count() == 0
+    )
+
+
+def test_delete_sliver_scan_partition_prunes(spark, corpus, tmp_path_factory):
+    """The survivor rewrite's scan must carry the cell partition filter
+    (touching only affected cells' files), not scan the whole index."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_prune") / "index")
+    save_ivf_index(corpus, path, k=8)
+    cells = spark.read.parquet(f"{path}/cells")
+    sliver = cells.filter(F.col("cell").isin([1, 4]))
+    plan = sliver._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # pruned scan reads only the two cells
+    assert sliver.select("cell").distinct().count() == 2

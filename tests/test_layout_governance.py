@@ -239,3 +239,103 @@ def test_propagate_deletes_broadcasts_the_erase_list(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _py_hilbert(order: int, x: int, y: int) -> int:
+    d, s = 0, 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_fold_matches_python_reference(spark):
+    from azure_serverless_etl_pipeline_spark.operators.layout import (
+        _hilbert_fold,
+    )
+
+    vals = [0, 1, 2, 3, 255, 256, 4095, 65535, 12345, 54321]
+    df = spark.createDataFrame(
+        [(x, y) for x in vals for y in vals], "xq long, yq long"
+    )
+    got = {
+        (r.xq, r.yq): r.hkey for r in _hilbert_fold(df).collect()
+    }
+    for x in vals:
+        for y in vals:
+            assert got[(x, y)] == _py_hilbert(16, x, y), (x, y)
+    # full-order corners
+    assert got[(0, 0)] == 0
+    assert max(got.values()) < 1 << 32
+
+
+def test_hilbert_is_continuous_morton_is_not(spark):
+    """The property that makes Hilbert the better clustering curve:
+    consecutive Hilbert indexes are always GRID NEIGHBORS (|dx|+|dy| ==
+    1), while the Z-curve jumps across diagonal seams. Checked on a
+    full 32x32 grid (order-5 reference walk)."""
+    inv = {}
+    for x in range(32):
+        for y in range(32):
+            inv[_py_hilbert(5, x, y)] = (x, y)
+    assert len(inv) == 1024  # bijective on the grid
+    for d in range(1023):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, inv[d], inv[d + 1])
+    # morton, by contrast, has non-neighbor steps (the seam jumps)
+    jumps = 0
+    minv = {}
+    for x in range(32):
+        for y in range(32):
+            minv[_py_morton(x, y)] = (x, y)
+    for d in range(1023):
+        (x1, y1), (x2, y2) = minv[d], minv[d + 1]
+        if abs(x1 - x2) + abs(y1 - y2) != 1:
+            jumps += 1
+    assert jumps > 0
+
+
+def test_curve_pruning_stats_hilbert_bounds_both_dims(spark):
+    from azure_serverless_etl_pipeline_spark.operators.layout import (
+        curve_pruning_stats,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    stats = {
+        r.layout: r
+        for r in curve_pruning_stats(
+            grid, F.col("x"), F.col("y"), log2_buckets=4
+        ).collect()
+    }
+    assert set(stats) == {"hilbert", "linear", "zorder"}
+    lin, zed, hil = stats["linear"], stats["zorder"], stats["hilbert"]
+    assert lin.touched_y == 16  # linear useless on the trailing dim
+    for r in (zed, hil):
+        assert r.touched_x <= 8 and r.touched_y <= 8
+    # hilbert never worse than zorder on the worst dim here
+    assert max(hil.touched_x, hil.touched_y) <= max(
+        zed.touched_x, zed.touched_y
+    )
+
+
+def test_hilbert_fold_is_map_side_only(spark):
+    from azure_serverless_etl_pipeline_spark.operators.layout import (
+        _hilbert_fold,
+    )
+
+    grid = spark.range(1000).select(
+        (F.col("id") % 50).alias("xq"), (F.col("id") / 50).cast("long").alias("yq")
+    )
+    plan = _hilbert_fold(grid)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan  # 16 projection stages, zero shuffles
