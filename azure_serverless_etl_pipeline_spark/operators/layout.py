@@ -94,11 +94,17 @@ def with_zorder_key(
     dim_x: Column,
     dim_y: Column,
     key_col: str = "zkey",
+    curve: str = "morton",
 ) -> DataFrame:
-    """Attach the Z-order key to every row, keeping all original columns
-    (the writer-facing variant of `zorder_frame`). One 1-row bounds
-    aggregate broadcast back onto the scan; the key itself is map-side
-    shift/mask arithmetic."""
+    """Attach a space-filling-curve key to every row, keeping all
+    original columns (the writer-facing variant of `zorder_frame`). One
+    1-row bounds aggregate broadcast back onto the scan; the key itself
+    is map-side integer arithmetic. ``curve`` picks the interleave:
+    ``morton`` (bit shuffle — 4 projection steps) or ``hilbert``
+    (rotate-and-accumulate walk — 16 flat projection steps, tighter
+    per-tile spans thanks to curve continuity)."""
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"curve must be morton|hilbert, got {curve!r}")
     base = df.withColumn("_zx", dim_x.cast("long")).withColumn(
         "_zy", dim_y.cast("long")
     )
@@ -108,13 +114,18 @@ def with_zorder_key(
         F.min("_zy").alias("_zy_min"),
         F.max("_zy").alias("_zy_max"),
     )
-    out = base.crossJoin(F.broadcast(bounds)).withColumn(
-        key_col,
-        morton_key(
-            quantize16(F.col("_zx"), F.col("_zx_min"), F.col("_zx_max")),
-            quantize16(F.col("_zy"), F.col("_zy_min"), F.col("_zy_max")),
-        ),
-    )
+    qx = quantize16(F.col("_zx"), F.col("_zx_min"), F.col("_zx_max"))
+    qy = quantize16(F.col("_zy"), F.col("_zy_min"), F.col("_zy_max"))
+    joined = base.crossJoin(F.broadcast(bounds))
+    if curve == "morton":
+        out = joined.withColumn(key_col, morton_key(qx, qy))
+    else:
+        out = _hilbert_fold(
+            joined.withColumn("_zqx", qx).withColumn("_zqy", qy),
+            key_col=key_col,
+            x_col="_zqx",
+            y_col="_zqy",
+        ).drop("_zqx", "_zqy")
     return out.drop("_zx", "_zy", "_zx_min", "_zx_max", "_zy_min", "_zy_max")
 
 
@@ -153,7 +164,13 @@ def zorder_frame(
     return q.withColumn("zkey", morton_key(F.col("xq"), F.col("yq")))
 
 
-def _hilbert_fold(frame: DataFrame, order: int = 16, key_col: str = "hkey") -> DataFrame:
+def _hilbert_fold(
+    frame: DataFrame,
+    order: int = 16,
+    key_col: str = "hkey",
+    x_col: str = "xq",
+    y_col: str = "yq",
+) -> DataFrame:
     """Fold quantized (xq, yq) into the Hilbert-curve index of the given
     order (the classic per-bit rotate-and-accumulate walk, unrolled into
     ``order`` projection stages). Expects ``xq``/``yq`` columns; emits
@@ -166,8 +183,8 @@ def _hilbert_fold(frame: DataFrame, order: int = 16, key_col: str = "hkey") -> D
     multiply-referenced projections separate). All integer when/and/xor
     arithmetic — bit-exact in any engine, no UDF, no shuffle."""
     f = (
-        frame.withColumn("_hx", F.col("xq").cast("long"))
-        .withColumn("_hy", F.col("yq").cast("long"))
+        frame.withColumn("_hx", F.col(x_col).cast("long"))
+        .withColumn("_hy", F.col(y_col).cast("long"))
         .withColumn(key_col, F.lit(0).cast("long"))
     )
     s = 1 << (order - 1)

@@ -192,6 +192,7 @@ def write_zordered(
     dim_y,
     n_files: int = 8,
     mode: str = "overwrite",
+    curve: str = "morton",
 ) -> None:
     """Z-order-clustered parquet write: attach the Morton key
     (``operators.layout.with_zorder_key``), tile it into ``n_files``
@@ -222,7 +223,10 @@ def write_zordered(
         raise ValueError(f"n_files must be a power of two, got {n_files}")
     log2n = n_files.bit_length() - 1
     remap = _hash_partition_remap(df.sparkSession, n_files)
-    keyed = with_zorder_key(df, dim_x, dim_y, key_col="_zorder_key")
+    # curve="hilbert" swaps the Morton interleave for the Hilbert walk —
+    # same 32-bit key domain, same shift-bucket tiling, tighter per-file
+    # spans on seam-straddling data (curve continuity)
+    keyed = with_zorder_key(df, dim_x, dim_y, key_col="_zorder_key", curve=curve)
     bucket = F.shiftright(F.col("_zorder_key"), 32 - log2n)
     # the remap was computed over LongType values — the route column must
     # be LongType too (murmur3 of int(v) differs from long(v))

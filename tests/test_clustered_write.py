@@ -126,3 +126,50 @@ def test_zordered_write_preserves_rows(spark, zordered_orders):
         back.select("o_orderkey").exceptAll(orig.select("o_orderkey")).count()
         == 0
     )
+
+
+@pytest.fixture(scope="module")
+def hilbert_orders(spark, tmp_path_factory):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.sources.writers import write_zordered
+
+    d = str(tmp_path_factory.mktemp("hilbert") / "orders")
+    o = load_table(spark, SF_ORACLE, "orders")
+    write_zordered(
+        o,
+        d,
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        n_files=8,
+        curve="hilbert",
+    )
+    return d
+
+
+def test_hilbert_write_prunes_both_dims_in_real_footers(spark, hilbert_orders):
+    """The Hilbert-clustered files' real parquet footer stats must be
+    selective on BOTH dimensions, same contract as the Morton write."""
+    cust = _file_ranges(hilbert_orders, "o_custkey")
+    assert len(cust) >= 4
+    clo = min(r[0] for r in cust)
+    chi = max(r[1] for r in cust)
+    probe_c = (clo + (chi - clo) * 2 // 5, clo + (chi - clo) * 9 // 20)
+    assert _touched(cust, *probe_c) <= len(cust) // 2
+
+    dates = _file_ranges(hilbert_orders, "o_orderdate")
+    dlo = min(r[0] for r in dates)
+    dhi = max(r[1] for r in dates)
+    probe_d = (dlo + (dhi - dlo) * 2 / 5, dlo + (dhi - dlo) * 9 / 20)
+    assert _touched(dates, *probe_d) <= len(dates) // 2
+
+
+def test_hilbert_write_preserves_rows(spark, hilbert_orders):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    orig = load_table(spark, SF_ORACLE, "orders")
+    back = spark.read.parquet(hilbert_orders)
+    assert back.count() == orig.count()
+    assert (
+        back.select("o_orderkey").exceptAll(orig.select("o_orderkey")).count()
+        == 0
+    )
