@@ -155,29 +155,30 @@ def assign_cells(
     """Nearest-centroid cell assignment for a batch of vectors under the
     index's quantizer rule (squared-euclidean argmin — what MLlib KMeans
     ``transform`` computes; ties break to the lowest cell id, numpy's
-    argmin convention). Fully map-side: the tiny codebook broadcasts,
-    each vector cross-joins it, one per-row rank window picks the cell —
-    no KMeans refit, no shuffle of the batch beyond the window's
-    batch-sized exchange. Returns the input columns + ``cell``."""
-    spark = vectors.sparkSession
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, __cent array<double>",
-    )
+    argmin convention). The codebook is a bounded driver-side constant,
+    so the argmin is ONE map-side expression — ``array_min`` over
+    per-centroid (distance, cell) structs with literal centroid arrays —
+    ZERO shuffle, zero joins, stays in the scan's projection (plan-
+    gated). That is the shape ingestion needs at 100 TB: a crossJoin +
+    per-row rank window would exchange the whole arriving corpus just
+    to pick each row's minimum of k numbers. Returns the input columns
+    + ``cell``."""
     v = F.col(vec_col).cast("array<double>")
-    dist = (
-        dot(v, v)
-        - 2.0 * dot(v, F.col("__cent"))
-        + dot(F.col("__cent"), F.col("__cent"))
-    )
-    w = W.partitionBy("__rid").orderBy(F.asc("__dist"), F.asc("cell"))
-    return (
-        vectors.withColumn("__rid", F.monotonically_increasing_id())
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__dist", dist)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__cent", "__dist", "__rk", "__rid")
+    vv = dot(v, v)
+    candidates = []
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        c_sq = 0.0  # sequential fold — the exact order Spark's dot uses
+        for x in c:
+            c_sq += float(x) * float(x)
+        d = vv - 2.0 * dot(v, clit) + c_sq
+        candidates.append(
+            F.struct(d.alias("d"), F.lit(int(i)).alias("cell"))
+        )
+    # array_min on structs is lexicographic: (min distance, then lowest
+    # cell id) — exactly the argmin tie rule
+    return vectors.withColumn(
+        "cell", F.array_min(F.array(*candidates))["cell"]
     )
 
 

@@ -401,3 +401,20 @@ def test_delete_sliver_scan_partition_prunes(spark, corpus, tmp_path_factory):
     assert "PartitionFilters" in plan and "cell" in plan
     # pruned scan reads only the two cells
     assert sliver.select("cell").distinct().count() == 2
+
+
+def test_assign_cells_is_map_side_only(spark, corpus):
+    """Cell assignment must be one projection over the scan — zero
+    exchanges, zero joins: the codebook is a literal constant, not a
+    join side (ingestion must not shuffle the arriving corpus)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+    )
+
+    _, centroids = build_ivf_index(corpus, k=8)
+    plan = assign_cells(corpus, centroids)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
