@@ -1,0 +1,205 @@
+"""Streaming vector ingestion into the persisted IVF index.
+
+The batch half of the vector-store lifecycle lives in
+``operators/ann_index``: build (k-means fit, amortized), append
+(map-side quantize + cell-dir append), delete (sliver rewrite). This
+module is the STREAMING ingestion front end — arriving embedding files
+fold into the standing index per micro-batch with exactly-once
+semantics, the same availableNow + idempotent-per-epoch discipline as
+``dedup_stream`` (reference T-1/T-3: blob-trigger ingestion with safe
+re-delivery, `function_app.py:16-29` / `blob_to_cosmosdb.py:32-38`).
+
+Design (LSM-ish, two tiers):
+
+- ``start_vector_ingest_stream``: each micro-batch is cell-assigned
+  against the FROZEN codebook (one map-side expression — no k-means,
+  no shuffle) and written to ``{index}/appends/batch={epoch}`` with
+  ``mode=overwrite`` — a replayed epoch overwrites its own directory,
+  so re-delivery is idempotent by construction.
+- ``load_live_index``: the standing ``cells`` tier UNION the append
+  tier, deduped by id. The dedup is what makes the maintenance fold
+  crash-tolerant: in the one crash window where a fold has committed
+  its cells rewrite but not yet deleted the folded append dirs, a row
+  exists in both tiers — the reader still serves it exactly once.
+- ``fold_appends``: maintenance pass that merges the append tier into
+  the cell-partitioned standing tier (dynamic partition overwrite of
+  ONLY the affected cells, survivors staged first), then removes the
+  folded append dirs. Crash-safe via a write-ahead delete manifest
+  (the ``operators/compaction`` pattern): the manifest naming the
+  folded dirs is committed atomically BEFORE any deletion; a fold that
+  finds a pending manifest finishes those deletes first and replays
+  idempotently.
+
+Scale shape: the recurring per-batch cost is one map-side projection
+plus one small write (measured flat at the 10x probe — SCALE.md); the
+fold touches only cells the appends land in; probe cost over the live
+index is cells-partition-pruned plus the (small, bounded by fold
+cadence) append tier.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.compaction import _read_fully, _write_atomic
+from .dedup_stream import _list_batches
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+_FOLD_MANIFEST = "_fold_pending.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def append_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Assign the batch against the frozen codebook and write it to its
+    own epoch directory (overwrite -> idempotent per epoch)."""
+    import numpy as np
+
+    from ..operators.ann_index import assign_cells
+
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    assigned = assign_cells(batch_df, centroids, vec_col=vec_col)
+    assigned.write.mode("overwrite").parquet(
+        f"{index_dir}/appends/batch={int(epoch_id)}"
+    )
+
+
+def start_vector_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    fold_every: int | None = None,
+):
+    """Tail a landing directory of embedding parquet files; every
+    micro-batch quantizes against the standing codebook and lands in
+    the append tier. ``fold_every=N`` runs the ``fold_appends``
+    maintenance pass after every Nth batch (the between-batches window
+    is the one moment without a concurrent writer — the same cadence
+    ownership as ``dedup_stream``'s compaction)."""
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        append_batch(spark, batch_df, int(epoch_id), index_dir)
+        if fold_every and (int(epoch_id) + 1) % fold_every == 0:
+            fold_appends(spark, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_live_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The standing cells tier UNION any unfolded append batches,
+    exactly-once per id (the dedup covers the fold's post-commit /
+    pre-delete crash window, where a row transiently exists in both
+    tiers). Column order matches ``load_ivf_index``."""
+    cells = spark.read.parquet(f"{index_dir}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    batches = _list_batches(spark, f"{index_dir}/appends")
+    if not batches:
+        return cells
+    appends = spark.read.parquet(*[p for _, p in batches]).select(
+        *cells.columns
+    )
+    # appends win on id collision, deterministically, without a
+    # corpus-wide dedup shuffle: the append tier is small (bounded by
+    # fold cadence), so it broadcasts into an anti-join on the standing
+    # tier
+    survivors = cells.join(
+        F.broadcast(appends.select("vec_id")), "vec_id", "anti"
+    )
+    return survivors.unionByName(appends)
+
+
+def fold_appends(spark: SparkSession, index_dir: str) -> dict:
+    """Merge the append tier into the cell-partitioned standing tier.
+
+    Order of operations (each step idempotent under replay):
+    1. finish any PENDING delete manifest from a prior crashed fold;
+    2. stage (affected standing cells ∪ appends), deduped by id, via
+       an eager localCheckpoint (the rewrite overwrites directories
+       this plan reads);
+    3. dynamic-partition-overwrite ONLY the affected cells;
+    4. atomically commit a manifest naming the folded append dirs;
+    5. delete them; remove the manifest.
+    A crash before 4 leaves the appends in place — the committed cell
+    rewrite already contains them, and ``load_live_index``'s id-dedup
+    keeps reads exactly-once until the next fold's step 1/5 cleans up.
+    """
+    jvm, approot, fs = _fs(spark, f"{index_dir}/appends")
+    manifest_path = jvm.org.apache.hadoop.fs.Path(approot, _FOLD_MANIFEST)
+    if fs.exists(manifest_path):
+        raw = _read_fully(spark, fs, manifest_path)
+        pending = json.loads(raw.decode("utf-8"))
+        for d in pending["folded_dirs"]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        fs.delete(manifest_path, False)
+
+    batches = _list_batches(spark, f"{index_dir}/appends")
+    if not batches:
+        return {"folded_batches": 0, "affected_cells": 0}
+
+    cells = spark.read.parquet(f"{index_dir}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    appends = spark.read.parquet(*[p for _, p in batches]).select(
+        *cells.columns
+    )
+    affected = sorted(
+        r.cell for r in appends.select("cell").distinct().collect()
+    )
+    standing = cells.filter(F.col("cell").isin([int(c) for c in affected]))
+    # appends win on id collision (a re-delivered vector carries the
+    # newest payload) — same deterministic anti-join rule as
+    # load_live_index, so a fold never changes what a reader serves
+    merged = (
+        standing.join(F.broadcast(appends.select("vec_id")), "vec_id", "anti")
+        .unionByName(appends)
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/cells")
+    )
+    payload = json.dumps(
+        {"folded_dirs": [p for _, p in batches]}
+    ).encode("utf-8")
+    _write_atomic(jvm, fs, approot, _FOLD_MANIFEST, payload)
+    for _, p in batches:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+    fs.delete(manifest_path, False)
+    return {"folded_batches": len(batches), "affected_cells": len(affected)}
+
+
+__all__ = [
+    "append_batch",
+    "start_vector_ingest_stream",
+    "load_live_index",
+    "fold_appends",
+]

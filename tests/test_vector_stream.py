@@ -1,0 +1,159 @@
+"""Streaming vector ingestion into the persisted IVF index
+(streaming/vector_stream): per-epoch idempotent appends, a live-index
+reader serving exactly-once across tiers, and a crash-safe fold that
+merges the append tier into the cell-partitioned standing tier."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def corpus(spark):
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+def _ids(df):
+    return {r.vec_id for r in df.select("vec_id").collect()}
+
+
+def test_stream_appends_fold_and_probe_equal_brute_force(
+    spark, corpus, tmp_path
+):
+    """E2E: build the index on 70% of the corpus, stream the remaining
+    30% in three arrival files (fold_every=2 -> one mid-stream fold),
+    then probe the LIVE index with nprobe == k — must equal brute-force
+    cosine top-k over the whole corpus."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        probe_ivf,
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        fold_appends,
+        load_live_index,
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    base = corpus.filter(F.col("vec_id") % 10 < 7)
+    arriving = corpus.filter(F.col("vec_id") % 10 >= 7)
+    save_ivf_index(base, idx, k=8)
+
+    for part in range(3):
+        arriving.filter(F.col("vec_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = start_vector_ingest_stream(
+        spark, landing, idx, str(tmp_path / "ckpt"), fold_every=2
+    )
+    q.awaitTermination(300)
+
+    live = load_live_index(spark, idx)
+    assert _ids(live) == _ids(corpus)
+    assert live.count() == corpus.count()
+
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    )
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = probe_ivf(live, queries, centroids, k=5, nprobe=8).toPandas()
+    want = cosine_topk(corpus, queries, k=5).toPandas()
+    key = lambda df: sorted(
+        map(
+            tuple,
+            df[["query_id", "neighbor_id", "rank"]].values.tolist(),
+        )
+    )
+    assert key(got) == key(want)
+
+    # final fold drains the append tier entirely; the live index then
+    # IS the standing tier, and nothing changes for readers
+    fold_appends(spark, idx)
+    assert not glob.glob(f"{idx}/appends/batch=*")
+    refolded = load_live_index(spark, idx)
+    assert _ids(refolded) == _ids(corpus)
+
+
+def test_append_epochs_are_idempotent(spark, corpus, tmp_path):
+    """Re-delivering the same epoch (a foreachBatch replay) must leave
+    exactly one copy of each vector in the live index."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    save_ivf_index(base, idx, k=8)
+    append_batch(spark, batch, 0, idx)
+    append_batch(spark, batch, 0, idx)  # replayed epoch
+    live = load_live_index(spark, idx)
+    assert live.count() == corpus.count()
+    assert live.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_fold_crash_window_stays_exactly_once(spark, corpus, tmp_path):
+    """Simulate the fold's post-commit / pre-delete crash: the cells
+    rewrite landed but the folded append dirs (and the delete manifest)
+    are still on disk. The reader must still serve each id exactly
+    once, and the NEXT fold must finish the pending deletes without
+    duplicating anything."""
+    import json
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        _FOLD_MANIFEST,
+        append_batch,
+        fold_appends,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    save_ivf_index(base, idx, k=8)
+    append_batch(spark, batch, 0, idx)
+
+    fold_appends(spark, idx)  # clean fold: appends now live in cells
+    assert not glob.glob(f"{idx}/appends/batch=*")
+
+    # recreate the crash window: the SAME rows exist in cells AND in a
+    # leftover append dir, with the manifest naming it for deletion
+    append_batch(spark, batch, 7, idx)
+    leftover = f"{idx}/appends/batch=7"
+    os.makedirs(f"{idx}/appends", exist_ok=True)
+    with open(f"{idx}/appends/{_FOLD_MANIFEST}", "w") as fh:
+        json.dump({"folded_dirs": [leftover]}, fh)
+
+    # reader: exactly-once despite the double presence
+    live = load_live_index(spark, idx)
+    assert live.count() == corpus.count()
+    assert live.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+    # next fold replays the pending deletes, then has nothing to fold
+    stats = fold_appends(spark, idx)
+    assert stats["folded_batches"] == 0
+    assert not os.path.exists(f"{idx}/appends/{_FOLD_MANIFEST}")
+    assert not os.path.exists(leftover)
+    assert load_live_index(spark, idx).count() == corpus.count()
