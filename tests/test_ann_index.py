@@ -418,3 +418,43 @@ def test_assign_cells_is_map_side_only(spark, corpus):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ivf_cell_stats_flags_append_drift(spark, corpus, tmp_path_factory):
+    """ivf_cell_stats is the rebuild trigger for an append-maintained
+    index: appending a batch concentrated near ONE centroid must raise
+    that cell's imbalance above the others', while fracs still sum
+    to 1."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivf_index,
+        ivf_cell_stats,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_stats") / "index")
+    save_ivf_index(corpus, path, k=8)
+    before = {r.cell: r for r in ivf_cell_stats(spark, path).collect()}
+    assert abs(sum(r.frac for r in before.values()) - 1.0) < 1e-6
+
+    # a drifted batch: every vector IS a centroid-0 clone (jittered) —
+    # all land in one cell
+    _, centroids = load_ivf_index(spark, path)
+    c0 = centroids[0]
+    rows = [
+        (10_000 + i, [float(x) + 1e-4 * i for x in c0], 0)
+        for i in range(200)
+    ]
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    append_to_ivf_index(batch, path)
+    after = {r.cell: r for r in ivf_cell_stats(spark, path).collect()}
+    hot = max(after.values(), key=lambda r: r.n_vecs)
+    assert hot.n_vecs >= before[hot.cell].n_vecs + 200
+    assert hot.imbalance > max(
+        r.imbalance for c, r in after.items() if c != hot.cell
+    )
+    assert abs(sum(r.frac for r in after.values()) - 1.0) < 1e-6
