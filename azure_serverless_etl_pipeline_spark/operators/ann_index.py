@@ -162,7 +162,11 @@ def assign_cells(
     gated). That is the shape ingestion needs at 100 TB: a crossJoin +
     per-row rank window would exchange the whole arriving corpus just
     to pick each row's minimum of k numbers. Returns the input columns
-    + ``cell``."""
+    + ``cell``.
+
+    Expression size is O(k * dim) literals — fine for coarse-quantizer
+    codebooks (k <= ~256); a much larger codebook should switch to a
+    broadcast-join + min_by aggregation instead of a literal plan."""
     v = F.col(vec_col).cast("array<double>")
     vv = dot(v, v)
     candidates = []

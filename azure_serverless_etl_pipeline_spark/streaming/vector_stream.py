@@ -197,9 +197,29 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
     return {"folded_batches": len(batches), "affected_cells": len(affected)}
 
 
+def delete_from_live_index(
+    spark: SparkSession,
+    index_dir: str,
+    deleted_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RTBF on a LIVE (two-tier) index: ``ann_index.
+    delete_from_ivf_index`` only rewrites the standing cells tier, so
+    an erased id still sitting in an unfolded append batch would
+    survive it. This wrapper folds the append tier first (after which
+    the standing tier is the whole index) and then runs the sliver
+    delete — the composition a deployment's erasure endpoint calls.
+    Returns the per-cell audit report."""
+    from ..operators.ann_index import delete_from_ivf_index
+
+    fold_appends(spark, index_dir)
+    return delete_from_ivf_index(spark, index_dir, deleted_ids, id_col=id_col)
+
+
 __all__ = [
     "append_batch",
     "start_vector_ingest_stream",
     "load_live_index",
     "fold_appends",
+    "delete_from_live_index",
 ]

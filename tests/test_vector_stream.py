@@ -157,3 +157,36 @@ def test_fold_crash_window_stays_exactly_once(spark, corpus, tmp_path):
     assert not os.path.exists(f"{idx}/appends/{_FOLD_MANIFEST}")
     assert not os.path.exists(leftover)
     assert load_live_index(spark, idx).count() == corpus.count()
+
+
+def test_delete_from_live_index_covers_the_append_tier(
+    spark, corpus, tmp_path
+):
+    """An erased id sitting in an UNFOLDED append batch must not
+    survive erasure: delete_from_live_index folds first, then runs the
+    sliver delete, so the live index afterwards contains exactly the
+    non-erased corpus."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        delete_from_live_index,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    save_ivf_index(base, idx, k=8)
+    append_batch(spark, batch, 0, idx)
+
+    # erase ids from BOTH tiers: some standing, some append-only
+    dels = corpus.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    report = delete_from_live_index(spark, idx, dels)
+    assert report.count() > 0
+
+    live = load_live_index(spark, idx)
+    want = corpus.join(dels, "vec_id", "anti")
+    assert live.count() == want.count()
+    assert _ids(live) == _ids(want)
