@@ -622,3 +622,18 @@ def test_covariance_gemm_no_fanout(spark, queries):
 
     plan_exact = plan_of(queries["x128_embedding_covariance"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in plan_exact
+
+
+def test_curve_comparison_scans_corpus_once(spark, queries):
+    """x144 compares THREE layouts but must execute the zorder/hilbert
+    lineage over ONE corpus scan: the (layout, bucket) fan-out is an
+    explode, not three subplans — a per-layout branch would re-run the
+    scan + bounds + quantize chain once per layout."""
+    plan = plan_of(queries["x144_hilbert_layout"](spark, SF_ORACLE))
+    # exactly TWO scans: the 1-row bounds aggregate + the data pass the
+    # bounds broadcast back onto; a per-layout branch would add a full
+    # scan+quantize chain per layout (4+)
+    assert plan.count("orders.parquet") == 2
+    assert "Generate" in plan  # the explode fan-out
+    # the bounds pass broadcasts back onto the scan; no range exchange
+    assert "Exchange rangepartitioning" not in plan
