@@ -754,13 +754,6 @@ def incremental_dup_clusters(
     one session (the dedup stream, a driver loop) accumulate no cached
     frames — only the checkpoint blocks that back each returned map.
     """
-    # The pair frame is referenced by three branches below (touched-id
-    # derivation, the propagation edge list, and transitively the
-    # untouched anti-join); it is batch-bounded by construction, so
-    # cache it — without this the whole candidate-generation + verify
-    # subplan re-executes once per reference (measured 2-6x blowup).
-    # cache, not localCheckpoint: the eager checkpoint ran the pair
-    # subplan as a standalone job and cost ~30% on x117/x117b.
     # ONE execution of the candidate-generation + verify subplan: the
     # pair frame is batch-bounded (two long ids per near-dup pair), so
     # eagerly checkpoint it — a single standalone job whose tiny result
