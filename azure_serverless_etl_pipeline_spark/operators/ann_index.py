@@ -233,7 +233,10 @@ def delete_from_ivf_index(
     removed outright (dynamic overwrite cannot replace a partition with
     zero rows). Mirrors `dedup.propagate_deletes`' contract for the
     cluster state: deletion costs a state sliver, not a rebuild."""
-    dels = deleted_ids.select(id_col)
+    # distinct: a duplicate id in the erase list would fan out the audit
+    # left join below, inflating n_before/n_removed (the survivor
+    # anti-join is idempotent either way)
+    dels = deleted_ids.select(id_col).distinct()
     cells = spark.read.parquet(f"{path}/cells").withColumn(
         "cell", F.col("cell").cast("int")
     )

@@ -667,9 +667,12 @@ def ngram_jaccard_pairs_incremental(
     old_base = old_docs.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    new_sh = new_base.select(
+    # keep the cached handle: max_shingle_freq rebinds new_sh below, and
+    # the HANDLE is what the _owned_caches handover must release
+    cached_new_sh = new_base.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).cache()
+    new_sh = cached_new_sh
     old_sh = old_base.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
@@ -709,7 +712,13 @@ def ngram_jaccard_pairs_incremental(
     )
     cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])
     base = new_base.unionByName(old_base)
-    return _verify_jaccard(cand, base, id_col, threshold)
+    out = _verify_jaccard(cand, base, id_col, threshold)
+    # hand the cached batch frame to the consumer (incremental_dup_
+    # clusters releases _owned_caches after its eager checkpoint), so a
+    # fold through this non-indexed path leaks no CacheManager entry —
+    # same contract as ngram_jaccard_pairs_incremental_indexed
+    out._owned_caches = [cached_new_sh]  # type: ignore[attr-defined]
+    return out
 
 
 def incremental_dup_clusters(

@@ -2581,6 +2581,19 @@ EXTRA_ORACLES["x125_ann_ivf_persisted"] = ORACLES["x06_ann_cosine_topk"]
 # over the WHOLE corpus: x06's SQL unchanged.
 EXTRA_ORACLES["x142_ann_index_append"] = ORACLES["x06_ann_cosine_topk"]
 
+# x145 probes the LIVE two-tier index mid-fold (standing 70% + three
+# overlapping unfolded append epochs) with nprobe == k — the deduped
+# union is the whole corpus and the probe is exact, so x06's SQL is the
+# truth; any duplicate surviving the reader's exactly-once dedup would
+# take a rank slot and break the hash.
+EXTRA_ORACLES["x145_live_index_probe"] = ORACLES["x06_ann_cosine_topk"]
+
+# x75b runs the PQ/ADC pipeline with shortlist == |corpus| + exact
+# cosine re-rank: the refine step determines top-k regardless of
+# quantization error, so the result is exactly brute force (the
+# nprobe == k trick applied to PQ) — x06's SQL unchanged.
+EXTRA_ORACLES["x75b_ann_pq_exact_rerank"] = ORACLES["x06_ann_cosine_topk"]
+
 # x143 erases vec_id % 17 == 5 from the persisted index by rewriting
 # only the affected cell partitions, then probes ALL cells — exact, so
 # the truth is brute force over the SURVIVING corpus (x06's shape with

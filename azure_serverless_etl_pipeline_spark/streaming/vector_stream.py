@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.compaction import _read_fully, _write_atomic
@@ -111,20 +112,48 @@ def start_vector_ingest_stream(
     )
 
 
+def _appends_deduped(
+    spark: SparkSession,
+    index_dir: str,
+    batches: list[tuple[int, str]],
+    columns: list[str],
+) -> DataFrame:
+    """The append tier as exactly one row per vec_id, LATEST epoch
+    winning: cross-epoch blob re-delivery (the same vector landing in
+    two different epoch batch dirs) would otherwise survive twice in
+    the union and a fold would bake both copies into the standing tier.
+    Reading the epoch dirs through ``basePath`` surfaces the ``batch=K``
+    directory name as a partition column, so the winner rule is one
+    row_number window over the (small, fold-cadence-bounded) append
+    tier — the standing tier is never touched here. Within one epoch
+    ids are unique by construction (a Structured Streaming micro-batch
+    delivers each row once; a replay overwrites the whole dir)."""
+    raw = spark.read.option("basePath", f"{index_dir}/appends").parquet(
+        *[p for _, p in batches]
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("batch"))
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*columns)
+    )
+
+
 def load_live_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The standing cells tier UNION any unfolded append batches,
-    exactly-once per id (the dedup covers the fold's post-commit /
-    pre-delete crash window, where a row transiently exists in both
-    tiers). Column order matches ``load_ivf_index``."""
+    exactly-once per id: the append tier is first deduped against
+    ITSELF (latest epoch wins — cross-epoch re-delivery), then the
+    standing tier anti-joins away ids the appends superseded (which
+    also covers the fold's post-commit / pre-delete crash window, where
+    a row transiently exists in both tiers). Column order matches
+    ``load_ivf_index``."""
     cells = spark.read.parquet(f"{index_dir}/cells").withColumn(
         "cell", F.col("cell").cast("int")
     )
     batches = _list_batches(spark, f"{index_dir}/appends")
     if not batches:
         return cells
-    appends = spark.read.parquet(*[p for _, p in batches]).select(
-        *cells.columns
-    )
+    appends = _appends_deduped(spark, index_dir, batches, cells.columns)
     # appends win on id collision, deterministically, without a
     # corpus-wide dedup shuffle: the append tier is small (bounded by
     # fold cadence), so it broadcasts into an anti-join on the standing
@@ -166,11 +195,22 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
     cells = spark.read.parquet(f"{index_dir}/cells").withColumn(
         "cell", F.col("cell").cast("int")
     )
-    appends = spark.read.parquet(*[p for _, p in batches]).select(
-        *cells.columns
-    )
+    appends = _appends_deduped(spark, index_dir, batches, cells.columns)
+    # The affected set is (cells the appends LAND in) UNION (standing
+    # cells that already HOLD an appended id): a re-delivered vector
+    # whose changed embedding quantizes to a different cell leaves a
+    # stale standing copy in its OLD cell — that cell must join the
+    # rewrite so the anti-join can evict the stale row, or the fold
+    # would change what a reader serves (pre-fold the corpus-wide
+    # anti-join hid it). The stale-cell lookup is one semi-join over
+    # the standing tier column-pruned to (vec_id, cell) — two long-ish
+    # columns, a metadata-weight scan paid once per fold, not per read.
+    landing = appends.select("cell")
+    stale = cells.join(
+        F.broadcast(appends.select("vec_id")), "vec_id", "semi"
+    ).select("cell")
     affected = sorted(
-        r.cell for r in appends.select("cell").distinct().collect()
+        r.cell for r in landing.union(stale).distinct().collect()
     )
     standing = cells.filter(F.col("cell").isin([int(c) for c in affected]))
     # appends win on id collision (a re-delivered vector carries the
@@ -187,6 +227,19 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
         .partitionBy("cell")
         .parquet(f"{index_dir}/cells")
     )
+    # dynamic overwrite cannot replace a partition with zero rows: an
+    # affected cell the merge drained (its only rows were superseded
+    # ids) keeps its old files unless removed outright — same guard as
+    # delete_from_ivf_index's empty-cell cleanup.
+    present = {r.cell for r in merged.select("cell").distinct().collect()}
+    for c in affected:
+        if c not in present:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir}/cells/cell={int(c)}"
+                ),
+                True,
+            )
     payload = json.dumps(
         {"folded_dirs": [p for _, p in batches]}
     ).encode("utf-8")

@@ -386,6 +386,35 @@ def test_delete_rewrites_only_affected_cells(spark, corpus, tmp_path_factory):
     )
 
 
+def test_delete_audit_ignores_duplicate_erase_ids(
+    spark, corpus, tmp_path_factory
+):
+    """A duplicate id in the erase list must not fan out the audit left
+    join: n_before/n_removed/n_after are identical whether the list
+    arrives distinct or with every id repeated 3x (ADVICE r7)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        save_ivf_index,
+    )
+
+    dels = corpus.filter(F.col("vec_id") % 23 == 1).select("vec_id")
+    tripled = dels.union(dels).union(dels)
+
+    reports = []
+    for erase in (dels, tripled):
+        path = str(tmp_path_factory.mktemp("ivf_dupdel") / "index")
+        save_ivf_index(corpus, path, k=8)
+        rep = delete_from_ivf_index(spark, path, erase)
+        reports.append(
+            sorted(
+                (r.cell, r.n_before, r.n_removed, r.n_after)
+                for r in rep.collect()
+            )
+        )
+    assert reports[0] == reports[1]
+    assert sum(r[2] for r in reports[0]) == dels.count()
+
+
 def test_delete_sliver_scan_partition_prunes(spark, corpus, tmp_path_factory):
     """The survivor rewrite's scan must carry the cell partition filter
     (touching only affected cells' files), not scan the whole index."""

@@ -612,6 +612,41 @@ def test_incremental_fold_releases_its_caches(spark, tmp_path):
     assert cache_mgr.isEmpty(), "fold leaked cached DataFrames"
 
 
+def test_incremental_fold_nonindexed_path_releases_its_caches(spark):
+    """Same cache-emptiness contract for the NON-indexed arrival path
+    (ADVICE r7): ngram_jaccard_pairs_incremental caches its batch
+    shingle frame and must hand it over via _owned_caches so
+    incremental_dup_clusters releases it — with and without the
+    max_shingle_freq cap (the cap rebinds the frame; the handover must
+    release the cached HANDLE, not the rebound plan)."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        incremental_dup_clusters,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old_map = dup_clusters(ngram_jaccard_pairs(old, threshold=0.5))
+    for cap in (None, 50):
+        spark.catalog.clearCache()  # isolate from other tests' entries
+        merged = incremental_dup_clusters(
+            old_map,
+            ngram_jaccard_pairs_incremental(
+                new, old, threshold=0.5, max_shingle_freq=cap
+            ),
+        )
+        assert merged.count() > 0  # materialize the returned plan
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        assert cache_mgr.isEmpty(), f"fold leaked caches (cap={cap})"
+
+
 def test_incremental_indexed_redelivered_id_no_self_edges(spark):
     """A doc_id present in BOTH the new batch and the old base (an
     updated/re-delivered document) must not create a degenerate

@@ -80,7 +80,9 @@ def test_every_oracle_has_query():
 # the only registry entries that had never earned any driver row. Every
 # other window slot must stay oracle-backed.
 WINDOW_ROWS_ONLY = {
-    "x75_ann_pq_topk",
+    # x75's slot became the hash slot x75b in round 8 (exact re-rank
+    # over a corpus-wide shortlist == brute force); the approximate
+    # path stays registered in the extras, benched for RECALL.md.
     "x76_sketch_rollup",
     "x77_theta_overlap",
     "x78_table_profile_approx",

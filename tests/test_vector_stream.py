@@ -159,6 +159,106 @@ def test_fold_crash_window_stays_exactly_once(spark, corpus, tmp_path):
     assert load_live_index(spark, idx).count() == corpus.count()
 
 
+def test_cross_epoch_redelivery_latest_epoch_wins(spark, corpus, tmp_path):
+    """The same vec_id arriving in TWO different epoch dirs (cross-epoch
+    blob re-delivery) must survive exactly once, with the LATEST
+    epoch's payload — in the live reader AND after a fold bakes the
+    append tier into the standing cells (ADVICE r7: the append tier
+    must be deduped against itself, not just against standing)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        fold_appends,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    save_ivf_index(base, idx, k=8)
+    append_batch(spark, batch, 0, idx)
+    # epoch 3 re-delivers the SAME ids with a changed payload
+    append_batch(spark, batch.withColumn("label", F.col("label") + 1000), 3, idx)
+
+    def check(live):
+        assert live.count() == corpus.count()
+        assert live.groupBy("vec_id").count().filter("count > 1").count() == 0
+        # every re-delivered id serves the epoch-3 payload
+        assert (
+            live.join(batch.select("vec_id"), "vec_id", "semi")
+            .filter(F.col("label") < 1000)
+            .count()
+            == 0
+        )
+
+    check(load_live_index(spark, idx))
+    fold_appends(spark, idx)  # the fold must bake in the same winners
+    check(load_live_index(spark, idx))
+
+
+def test_fold_evicts_stale_copy_in_a_different_cell(spark, corpus, tmp_path):
+    """A re-delivered id whose CHANGED embedding quantizes to a
+    different cell leaves its stale standing copy in the old cell; the
+    fold must include that cell in the rewrite so the stale row is
+    evicted (ADVICE r7) — and a cell drained to empty by the eviction
+    must lose its directory outright. Reader-visible state is identical
+    before and after the fold."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        fold_appends,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    save_ivf_index(corpus, idx, k=8)
+    indexed, _ = load_ivf_index(spark, idx)
+    # materialize the victim ids: the lazy plan reads cell=3's files,
+    # which the fold under test deletes
+    victim_ids = sorted(
+        r.vec_id
+        for r in indexed.filter(F.col("cell") == 3).select("vec_id").collect()
+    )
+    assert victim_ids
+    victims = spark.createDataFrame(
+        [(int(v),) for v in victim_ids], "vec_id long"
+    )
+    donor = indexed.filter(F.col("cell") == 0).limit(1).collect()[0]
+    donor_emb = F.array(
+        *[F.lit(float(x)) for x in donor.embedding]
+    ).cast("array<float>")
+    # every cell-3 member re-delivers with a cell-0 embedding
+    moved = corpus.join(victims, "vec_id").select(
+        "vec_id", donor_emb.alias("embedding"), "label"
+    )
+    append_batch(spark, moved, 0, idx)
+
+    pre = load_live_index(spark, idx)
+    pre_cells = {
+        r.vec_id: r.cell
+        for r in pre.join(victims, "vec_id", "semi").collect()
+    }
+    assert set(pre_cells.values()) == {0}  # appends win pre-fold
+
+    fold_appends(spark, idx)
+    post = load_live_index(spark, idx)
+    # the fold changed nothing a reader sees
+    assert post.count() == corpus.count()
+    assert post.groupBy("vec_id").count().filter("count > 1").count() == 0
+    post_cells = {
+        r.vec_id: r.cell
+        for r in post.join(victims, "vec_id", "semi").collect()
+    }
+    assert post_cells == pre_cells
+    # the drained cell directory is gone
+    assert not os.path.exists(f"{idx}/cells/cell=3")
+
+
 def test_delete_from_live_index_covers_the_append_tier(
     spark, corpus, tmp_path
 ):
