@@ -151,22 +151,36 @@ def assign_cells(
     vectors: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
+    max_literal_cells: int = 32,
 ) -> DataFrame:
     """Nearest-centroid cell assignment for a batch of vectors under the
     index's quantizer rule (squared-euclidean argmin — what MLlib KMeans
     ``transform`` computes; ties break to the lowest cell id, numpy's
-    argmin convention). The codebook is a bounded driver-side constant,
-    so the argmin is ONE map-side expression — ``array_min`` over
-    per-centroid (distance, cell) structs with literal centroid arrays —
-    ZERO shuffle, zero joins, stays in the scan's projection (plan-
-    gated). That is the shape ingestion needs at 100 TB: a crossJoin +
-    per-row rank window would exchange the whole arriving corpus just
-    to pick each row's minimum of k numbers. Returns the input columns
-    + ``cell``.
+    argmin convention). Returns the input columns + ``cell``. Both
+    regimes are map-side only — ZERO shuffle, zero joins (plan-gated):
+    ingestion at 100 TB must not exchange the arriving corpus just to
+    pick each row's minimum of k numbers.
 
-    Expression size is O(k * dim) literals — fine for coarse-quantizer
-    codebooks (k <= ~256); a much larger codebook should switch to a
-    broadcast-join + min_by aggregation instead of a literal plan."""
+    - ``k <= max_literal_cells``: ONE codegen'd expression —
+      ``array_min`` over per-centroid (distance, cell) structs with
+      literal centroid arrays, staying inside the scan's projection:
+      no Python boundary, so the assignment fuses with surrounding JVM
+      expressions in one codegen stage. The price is O(k * dim)
+      literals of driver-side planning/codegen PER BATCH — measured
+      ~75 ms per centroid at dim 64 (SCALE.md round 8), which is why
+      the bound sits at 32, not the few hundred Catalyst can
+      technically swallow.
+    - ``k > max_literal_cells``: Arrow-batched ``mapInPandas`` with the
+      codebook broadcast once per executor; each batch computes the
+      argmin as one (batch x k) float64 GEMM — constant planning cost,
+      flat measured wall from 256 through 4096 cells (production IVF
+      codebook sizes). A broadcast-JOIN argmin was rejected: it fans
+      every arriving row out k ways and pays an aggregation exchange
+      to fold them back; the GEMM keeps the whole decision inside one
+      vectorized projection per Arrow batch.
+    """
+    if len(centroids) > max_literal_cells:
+        return _assign_cells_gemm(vectors, centroids, vec_col)
     v = F.col(vec_col).cast("array<double>")
     vv = dot(v, v)
     candidates = []
@@ -184,6 +198,45 @@ def assign_cells(
     return vectors.withColumn(
         "cell", F.array_min(F.array(*candidates))["cell"]
     )
+
+
+def _assign_cells_gemm(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Big-codebook half of ``assign_cells``: the codebook broadcasts
+    once per executor and every Arrow batch resolves its argmin as one
+    (batch x k) float64 GEMM — ||x-c||^2 argmin == (|c|^2 - 2 x.c)
+    argmin, the per-row |x|^2 term being constant. np.argmin ties to
+    the lowest index, the same tie rule as the literal path's
+    lexicographic struct min. Map-side only: no shuffle, no join, any
+    number of cells."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(centroids, dtype=np.float64)
+    )
+    out_schema = StructType(
+        vectors.schema.fields + [StructField("cell", IntegerType())]
+    )
+
+    def assign(batches):
+        cent = bc.value
+        c_sq = (cent**2).sum(1)
+        for pdf in batches:
+            out = pdf.copy()
+            if not len(pdf):
+                out["cell"] = pd.Series([], dtype="int32")
+                yield out
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out["cell"] = (c_sq - 2.0 * (x @ cent.T)).argmin(1).astype("int32")
+            yield out
+
+    return vectors.mapInPandas(assign, schema=out_schema)
 
 
 def append_to_ivf_index(
