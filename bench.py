@@ -203,6 +203,12 @@ HEADLINE = [
     "x141_delete_propagation",
     # round-7: three-way curve comparison (linear / Z-order / Hilbert)
     "x144_hilbert_layout",
+    # round-8: the live two-tier reader probe (state built on warm-up
+    # like x142/x143; timed runs pay the mid-fold union + exact probe)
+    # and the PQ exactness pin (corpus-wide shortlist + exact re-rank;
+    # x75's approximate path stays benched above for the recall curve)
+    "x145_live_index_probe",
+    "x75b_ann_pq_exact_rerank",
 ]
 
 
