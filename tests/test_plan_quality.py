@@ -482,6 +482,38 @@ def test_aqe_splits_skewed_partition(spark):
                 conf.set(k, v)
 
 
+def test_live_index_probe_prunes_partitions(spark, tmp_path):
+    """The two-tier live reader must not cost the pruning the standing
+    tier was written for: probing load_live_index with nprobe < k must
+    still engage dynamic partition pruning on the standing cells scan —
+    the broadcast anti-join and the union with the append tier sit ABOVE
+    the scan and must not block the probe list's partition filter."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        load_live_index,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    idx = str(tmp_path / "live_idx")
+    ann_index.save_ivf_index(emb.filter(F.col("vec_id") % 10 < 7), idx, k=16)
+    append_batch(spark, emb.filter(F.col("vec_id") % 10 >= 7), 0, idx)
+    live = load_live_index(spark, idx)
+    import numpy as np
+
+    rows = spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    cent = np.vstack([np.asarray(r.centroid) for r in rows])
+    out = ann_index.probe_ivf(
+        live, emb.filter(F.col("vec_id") < 10), cent, k=5, nprobe=2
+    )
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed, executed[:3000]
+
+
 def test_persisted_ivf_probe_prunes_partitions(spark):
     """x125's deployment shape: probing the persisted cell-partitioned
     index with nprobe < k must engage dynamic partition pruning — the
