@@ -259,6 +259,66 @@ def test_fold_evicts_stale_copy_in_a_different_cell(spark, corpus, tmp_path):
     assert not os.path.exists(f"{idx}/cells/cell=3")
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_interleavings_equal_last_write_wins(spark, tmp_path, seed):
+    """The LSM contract under RANDOM interleavings: any sequence of
+    epoch appends (random id subsets, payloads that change per epoch
+    and so may re-quantize to different cells) with folds injected at
+    random points must leave the live reader serving EXACTLY the
+    last-write-wins map — one row per id, the latest epoch's payload.
+    Generalizes the two hand-built re-delivery scenarios above."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        fold_appends,
+        load_live_index,
+    )
+
+    rng = np.random.default_rng(seed)
+    dim, ids = 8, list(range(40))
+
+    def payload(i, epoch):
+        # deterministic, epoch-dependent, spread across cells
+        return [float((i * 7 + epoch * 13 + j * 3) % 17) for j in range(dim)]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(int(i), payload(i, e), int(e)) for i, e in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    idx = str(tmp_path / "index")
+    save_ivf_index(frame([(i, -1) for i in ids]), idx, k=4)
+    expected = {i: -1 for i in ids}
+
+    for epoch in range(5):
+        subset = [i for i in ids if rng.random() < 0.4]
+        if not subset:
+            continue
+        append_batch(spark, frame([(i, epoch) for i in subset]), epoch, idx)
+        for i in subset:
+            expected[i] = epoch
+        if rng.random() < 0.5:
+            fold_appends(spark, idx)
+        got = {
+            r.vec_id: (r.label, list(r.embedding))
+            for r in load_live_index(spark, idx).collect()
+        }
+        want = {i: (e, payload(i, e)) for i, e in expected.items()}
+        assert got == want, f"epoch {epoch} diverged"
+
+    fold_appends(spark, idx)  # final fold: standing tier == truth
+    got = {
+        r.vec_id: (r.label, list(r.embedding))
+        for r in load_live_index(spark, idx).collect()
+    }
+    assert got == {i: (e, payload(i, e)) for i, e in expected.items()}
+
+
 def test_delete_from_live_index_covers_the_append_tier(
     spark, corpus, tmp_path
 ):
