@@ -151,7 +151,7 @@ def assign_cells(
     vectors: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
-    max_literal_cells: int = 32,
+    max_literal_cells: int = 0,
 ) -> DataFrame:
     """Nearest-centroid cell assignment for a batch of vectors under the
     index's quantizer rule (squared-euclidean argmin — what MLlib KMeans
@@ -161,23 +161,26 @@ def assign_cells(
     ingestion at 100 TB must not exchange the arriving corpus just to
     pick each row's minimum of k numbers.
 
-    - ``k <= max_literal_cells``: ONE codegen'd expression —
+    - DEFAULT (``k > max_literal_cells``, i.e. always unless opted in):
+      Arrow-batched ``mapInPandas`` with the codebook broadcast once
+      per executor; each batch computes the argmin as one (batch x k)
+      float64 GEMM — constant planning cost, flat measured wall from
+      16 through 4096 cells (SCALE.md round 8). A broadcast-JOIN
+      argmin was rejected: it fans every arriving row out k ways and
+      pays an aggregation exchange to fold them back; the GEMM keeps
+      the whole decision inside one vectorized projection per Arrow
+      batch.
+    - ``k <= max_literal_cells`` (opt-in): ONE codegen'd expression —
       ``array_min`` over per-centroid (distance, cell) structs with
       literal centroid arrays, staying inside the scan's projection:
       no Python boundary, so the assignment fuses with surrounding JVM
-      expressions in one codegen stage. The price is O(k * dim)
-      literals of driver-side planning/codegen PER BATCH — measured
-      ~75 ms per centroid at dim 64 (SCALE.md round 8), which is why
-      the bound sits at 32, not the few hundred Catalyst can
-      technically swallow.
-    - ``k > max_literal_cells``: Arrow-batched ``mapInPandas`` with the
-      codebook broadcast once per executor; each batch computes the
-      argmin as one (batch x k) float64 GEMM — constant planning cost,
-      flat measured wall from 256 through 4096 cells (production IVF
-      codebook sizes). A broadcast-JOIN argmin was rejected: it fans
-      every arriving row out k ways and pays an aggregation exchange
-      to fold them back; the GEMM keeps the whole decision inside one
-      vectorized projection per Arrow batch.
+      expression work in one codegen stage. The price is O(k * dim)
+      literals of DRIVER planning/codegen PER INVOCATION — measured
+      ~75 ms per centroid at dim 64, which loses to the GEMM at every
+      measured k on micro-batch-sized inputs (the repo's own streaming
+      ingest shape). Opt in only where a huge batch amortizes the
+      planning AND the assignment must fuse with downstream JVM
+      expressions without an Arrow boundary.
     """
     if len(centroids) > max_literal_cells:
         return _assign_cells_gemm(vectors, centroids, vec_col)

@@ -195,7 +195,14 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
     cells = spark.read.parquet(f"{index_dir}/cells").withColumn(
         "cell", F.col("cell").cast("int")
     )
-    appends = _appends_deduped(spark, index_dir, batches, cells.columns)
+    # eagerly materialize the deduped append tier: the frame is
+    # fold-cadence-bounded and feeds FOUR consumers below (landing
+    # cells, the stale semi-join's broadcast build, the anti-join
+    # build, the union side) — without this the windowed dedup subplan
+    # (parquet scan + row_number exchange) re-executes per consumer
+    appends = _appends_deduped(
+        spark, index_dir, batches, cells.columns
+    ).localCheckpoint(eager=True)
     # The affected set is (cells the appends LAND in) UNION (standing
     # cells that already HOLD an appended id): a re-delivered vector
     # whose changed embedding quantizes to a different cell leaves a

@@ -98,22 +98,28 @@ def assign_probe(spark) -> list[tuple]:
             )
         )
 
-    cents256 = rng.normal(size=(256, 64))
-    # alternating A/B: literal and GEMM interleave inside one session so
-    # JIT/session warmth cancels (bench-measurement discipline)
-    lit = []
-    gem = []
-    noop(assign_cells(emb, cents256))  # warm both paths
-    noop(assign_cells(emb, cents256, max_literal_cells=0))
-    for _ in range(3):
-        t0 = time.time()
-        noop(assign_cells(emb, cents256))
-        lit.append(time.time() - t0)
-        t0 = time.time()
-        noop(assign_cells(emb, cents256, max_literal_cells=0))
-        gem.append(time.time() - t0)
-    rows.append(("assign_256_literal", round(statistics.median(lit), 2), 0))
-    rows.append(("assign_256_gemm", round(statistics.median(gem), 2), 0))
+    # crossover sweep + the 256-cell headline: literal and GEMM
+    # interleave inside one session so JIT/session warmth cancels
+    # (bench-measurement discipline). The literal arm must be FORCED —
+    # the production default routes everything through the GEMM.
+    for k in (16, 32, 64, 128, 256):
+        cents = rng.normal(size=(k, 64))
+        lit_force = {"max_literal_cells": 10**9}
+        noop(assign_cells(emb, cents, **lit_force))  # warm both paths
+        noop(assign_cells(emb, cents))
+        s0 = shuffle_bytes(sc)
+        lit = []
+        gem = []
+        for _ in range(3):
+            t0 = time.time()
+            noop(assign_cells(emb, cents, **lit_force))
+            lit.append(time.time() - t0)
+            t0 = time.time()
+            noop(assign_cells(emb, cents))
+            gem.append(time.time() - t0)
+        mb = (shuffle_bytes(sc) - s0) >> 20  # both arms' six runs
+        rows.append((f"assign_{k}_literal", round(statistics.median(lit), 2), mb))
+        rows.append((f"assign_{k}_gemm", round(statistics.median(gem), 2), mb))
     for k in (1024, 4096):
         cents = rng.normal(size=(k, 64))
         timed3(f"assign_{k}_gemm", lambda c=cents: noop(assign_cells(emb, c)))

