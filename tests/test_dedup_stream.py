@@ -251,3 +251,39 @@ def test_streamed_state_serves_governance_across_crash_resume(spark, tmp_path):
 
     assert report(streamed) == report(truth_clusters)
     assert report(streamed), "erase list must affect at least one cluster"
+
+
+def test_random_batch_splits_fold_to_batch_truth(spark, tmp_path):
+    """Randomized fold contract (the vector-stream LSM test's text
+    twin): a SEEDED random partition of the corpus into uneven batches,
+    folded one at a time with compaction injected at random points,
+    must serve current_map == one-shot batch truth over everything
+    delivered so far AFTER EVERY FOLD — not just at drain. Catches
+    prefix-state bugs (stale df sums, wrong 'latest map' pick) that an
+    end-only comparison can mask."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        compact_state,
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    rng = np.random.default_rng(11)
+    n_batches = 4
+    # uneven random assignment, engine-side (hash of doc_id + seed)
+    assign = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(11)), F.lit(n_batches))
+    state = str(tmp_path / "state")
+    delivered = None
+    for b in range(n_batches):
+        batch = docs.filter(assign == b)
+        fold_batch(spark, batch, b, state)
+        delivered = batch if delivered is None else delivered.unionByName(batch)
+        if rng.random() < 0.5:
+            compact_state(spark, state)
+        got = current_map(spark, state).toPandas()
+        got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+        assert got_map == _truth(delivered), f"diverged after batch {b}"
