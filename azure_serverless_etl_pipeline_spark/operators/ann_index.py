@@ -181,6 +181,11 @@ def assign_cells(
       ingest shape). Opt in only where a huge batch amortizes the
       planning AND the assignment must fuse with downstream JVM
       expressions without an Arrow boundary.
+
+    Either regime maps a NULL vector to a NULL cell (the null-on-error
+    cast convention): a missing embedding has no nearest centroid, and
+    silently parking it in an arbitrary cell would hide the data error
+    from downstream quarantine.
     """
     if len(centroids) > max_literal_cells:
         return _assign_cells_gemm(vectors, centroids, vec_col)
@@ -197,9 +202,15 @@ def assign_cells(
             F.struct(d.alias("d"), F.lit(int(i)).alias("cell"))
         )
     # array_min on structs is lexicographic: (min distance, then lowest
-    # cell id) — exactly the argmin tie rule
+    # cell id) — exactly the argmin tie rule. The isNotNull guard is
+    # the null->null contract: without it a null vector's all-null
+    # distances let the lexicographic min degenerate to cell 0.
     return vectors.withColumn(
-        "cell", F.array_min(F.array(*candidates))["cell"]
+        "cell",
+        F.when(
+            F.col(vec_col).isNotNull(),
+            F.array_min(F.array(*candidates))["cell"],
+        ),
     )
 
 
@@ -213,8 +224,10 @@ def _assign_cells_gemm(
     (batch x k) float64 GEMM — ||x-c||^2 argmin == (|c|^2 - 2 x.c)
     argmin, the per-row |x|^2 term being constant. np.argmin ties to
     the lowest index, the same tie rule as the literal path's
-    lexicographic struct min. Map-side only: no shuffle, no join, any
-    number of cells."""
+    lexicographic struct min. NULL vectors get NULL cells (nullable
+    Int32 — the literal path's contract); an existing ``cell`` column
+    is replaced, as ``withColumn`` replaces it on the literal path.
+    Map-side only: no shuffle, no join, any number of cells."""
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -223,21 +236,29 @@ def _assign_cells_gemm(
         np.ascontiguousarray(centroids, dtype=np.float64)
     )
     out_schema = StructType(
-        vectors.schema.fields + [StructField("cell", IntegerType())]
+        [f for f in vectors.schema.fields if f.name != "cell"]
+        + [StructField("cell", IntegerType())]
     )
+    names = [f.name for f in out_schema.fields]
 
     def assign(batches):
         cent = bc.value
         c_sq = (cent**2).sum(1)
         for pdf in batches:
             out = pdf.copy()
-            if not len(pdf):
-                out["cell"] = pd.Series([], dtype="int32")
-                yield out
-                continue
-            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            out["cell"] = (c_sq - 2.0 * (x @ cent.T)).argmin(1).astype("int32")
-            yield out
+            valid = (
+                out[vec_col].notna().to_numpy()
+                if len(out)
+                else np.array([], dtype=bool)
+            )
+            cells = np.full(len(out), -1, dtype=np.int64)
+            if valid.any():
+                x = np.vstack(out[vec_col].to_numpy()[valid]).astype(np.float64)
+                cells[valid] = (c_sq - 2.0 * (x @ cent.T)).argmin(1)
+            out["cell"] = pd.array(
+                [int(c) if c >= 0 else None for c in cells], dtype="Int32"
+            )
+            yield out[names]
 
     return vectors.mapInPandas(assign, schema=out_schema)
 

@@ -12,8 +12,9 @@ re-delivery, `function_app.py:16-29` / `blob_to_cosmosdb.py:32-38`).
 Design (LSM-ish, two tiers):
 
 - ``start_vector_ingest_stream``: each micro-batch is cell-assigned
-  against the FROZEN codebook (one map-side expression — no k-means,
-  no shuffle) and written to ``{index}/appends/batch={epoch}`` with
+  against the FROZEN codebook (read once at stream start; one map-side
+  Arrow-GEMM projection — no k-means, no shuffle) and written to
+  ``{index}/appends/batch={epoch}`` with
   ``mode=overwrite`` — a replayed epoch overwrites its own directory,
   so re-delivery is idempotent by construction.
 - ``load_live_index``: the standing ``cells`` tier UNION the append
@@ -65,15 +66,23 @@ def append_batch(
     epoch_id: int,
     index_dir: str,
     vec_col: str = "embedding",
+    centroids=None,
 ) -> None:
     """Assign the batch against the frozen codebook and write it to its
-    own epoch directory (overwrite -> idempotent per epoch)."""
+    own epoch directory (overwrite -> idempotent per epoch). Pass
+    ``centroids`` (the codebook matrix) to skip the per-call read of
+    the centroids parquet — the stream sink reads it ONCE at start,
+    because the codebook is frozen for the stream's whole life by
+    design (only a rebuild changes it)."""
     import numpy as np
 
     from ..operators.ann_index import assign_cells
 
-    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
-    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    if centroids is None:
+        rows = (
+            spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+        )
+        centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     assigned = assign_cells(batch_df, centroids, vec_col=vec_col)
     assigned.write.mode("overwrite").parquet(
         f"{index_dir}/appends/batch={int(epoch_id)}"
@@ -93,14 +102,21 @@ def start_vector_ingest_stream(
     maintenance pass after every Nth batch (the between-batches window
     is the one moment without a concurrent writer — the same cadence
     ownership as ``dedup_stream``'s compaction)."""
+    import numpy as np
+
     stream = (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing_dir)
     )
+    # the codebook is frozen for the stream's life: read it once here,
+    # not once per micro-batch
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        append_batch(spark, batch_df, int(epoch_id), index_dir)
+        append_batch(spark, batch_df, int(epoch_id), index_dir,
+                     centroids=centroids)
         if fold_every and (int(epoch_id) + 1) % fold_every == 0:
             fold_appends(spark, index_dir)
 
@@ -222,12 +238,15 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
     standing = cells.filter(F.col("cell").isin([int(c) for c in affected]))
     # appends win on id collision (a re-delivered vector carries the
     # newest payload) — same deterministic anti-join rule as
-    # load_live_index, so a fold never changes what a reader serves
-    merged = (
-        standing.join(F.broadcast(appends.select("vec_id")), "vec_id", "anti")
-        .unionByName(appends)
-        .localCheckpoint(eager=True)
-    )
+    # load_live_index, so a fold never changes what a reader serves.
+    # Only the SURVIVORS need staging (their scan reads the directories
+    # the write below overwrites); the appends side is already
+    # checkpoint-backed, so the union stays lazy — the fold pins
+    # exactly one copy of each tier's rows, not a second merged copy.
+    survivors = standing.join(
+        F.broadcast(appends.select("vec_id")), "vec_id", "anti"
+    ).localCheckpoint(eager=True)
+    merged = survivors.unionByName(appends)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

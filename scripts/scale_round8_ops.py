@@ -107,19 +107,24 @@ def assign_probe(spark) -> list[tuple]:
         lit_force = {"max_literal_cells": 10**9}
         noop(assign_cells(emb, cents, **lit_force))  # warm both paths
         noop(assign_cells(emb, cents))
-        s0 = shuffle_bytes(sc)
         lit = []
         gem = []
+        lit_mb = gem_mb = 0
         for _ in range(3):
-            t0 = time.time()
+            s0, t0 = shuffle_bytes(sc), time.time()
             noop(assign_cells(emb, cents, **lit_force))
             lit.append(time.time() - t0)
-            t0 = time.time()
+            lit_mb += shuffle_bytes(sc) - s0
+            s0, t0 = shuffle_bytes(sc), time.time()
             noop(assign_cells(emb, cents))
             gem.append(time.time() - t0)
-        mb = (shuffle_bytes(sc) - s0) >> 20  # both arms' six runs
-        rows.append((f"assign_{k}_literal", round(statistics.median(lit), 2), mb))
-        rows.append((f"assign_{k}_gemm", round(statistics.median(gem), 2), mb))
+            gem_mb += shuffle_bytes(sc) - s0
+        rows.append(
+            (f"assign_{k}_literal", round(statistics.median(lit), 2), lit_mb >> 20)
+        )
+        rows.append(
+            (f"assign_{k}_gemm", round(statistics.median(gem), 2), gem_mb >> 20)
+        )
     for k in (1024, 4096):
         cents = rng.normal(size=(k, 64))
         timed3(f"assign_{k}_gemm", lambda c=cents: noop(assign_cells(emb, c)))

@@ -329,9 +329,61 @@ def test_assign_cells_big_codebook_matches_numpy(spark, corpus):
         r.vec_id: r.cell
         for r in assign_cells(corpus, centroids).select("vec_id", "cell").collect()
     }
-    want = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(2).argmin(1)
-    agree = sum(1 for r, c in zip(rows, want) if got[r.vec_id] == int(c))
-    assert agree >= len(rows) - 2  # ULP-order near-ties at most
+    d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(2)
+    want = d.argmin(1)
+    # any disagreement must be a genuine near-tie (BLAS vs
+    # broadcast-subtract summation order), never a misassignment: the
+    # got cell's distance must match the argmin distance to float noise
+    for i, (r, c) in enumerate(zip(rows, want)):
+        if got[r.vec_id] != int(c):
+            assert abs(d[i, got[r.vec_id]] - d[i, int(c)]) < 1e-9 * (
+                1.0 + d[i, int(c)]
+            ), f"vec {r.vec_id}: real misassignment, not a tie"
+
+
+def test_assign_cells_null_vector_gets_null_cell(spark):
+    """Both regimes must map a NULL embedding to a NULL cell (the
+    null-on-error cast convention) — not crash (GEMM np.vstack on
+    None) and not silently park it in cell 0 (the literal path's old
+    lexicographic-min degeneration)."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        assign_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = np.array([[0.0, 0.0], [1.0, 2.0]])
+    for kwargs in ({}, {"max_literal_cells": 10**9}):
+        got = {
+            r.vec_id: r.cell
+            for r in assign_cells(df, cents, **kwargs).collect()
+        }
+        assert got == {1: 1, 2: None, 3: 0}, kwargs
+
+
+def test_assign_cells_replaces_existing_cell_column(spark, corpus):
+    """Re-assigning an already-indexed frame (e.g. the standing tier
+    after a codebook refresh) must REPLACE the cell column in both
+    regimes, not emit a duplicate field."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        assign_cells,
+        build_ivf_index,
+    )
+
+    indexed, centroids = build_ivf_index(corpus, k=8)
+    for kwargs in ({}, {"max_literal_cells": 10**9}):
+        re_assigned = assign_cells(indexed, centroids, **kwargs)
+        assert re_assigned.columns.count("cell") == 1, kwargs
+        same = {
+            r.vec_id: r.cell
+            for r in re_assigned.select("vec_id", "cell").collect()
+        }
+        want = {r.vec_id: r.cell for r in indexed.select("vec_id", "cell").collect()}
+        assert same == want, kwargs
 
 
 def test_assign_cells_big_codebook_plan_is_arrow_map_only(spark, corpus):
