@@ -226,7 +226,10 @@ def _assign_cells_gemm(
     the lowest index, the same tie rule as the literal path's
     lexicographic struct min. NULL vectors get NULL cells (nullable
     Int32 — the literal path's contract); an existing ``cell`` column
-    is replaced, as ``withColumn`` replaces it on the literal path.
+    is replaced IN PLACE, as ``withColumn`` replaces it on the literal
+    path — the two regimes must emit identical column ORDER, or
+    positional consumers (DDL-string schemas, union, mergeSchema-off
+    parquet readers) would misbind depending on codebook size.
     Map-side only: no shuffle, no join, any number of cells."""
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -235,10 +238,14 @@ def _assign_cells_gemm(
     bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(centroids, dtype=np.float64)
     )
-    out_schema = StructType(
-        [f for f in vectors.schema.fields if f.name != "cell"]
-        + [StructField("cell", IntegerType())]
-    )
+    cell_field = StructField("cell", IntegerType())
+    if "cell" in vectors.columns:
+        out_schema = StructType(
+            [cell_field if f.name == "cell" else f
+             for f in vectors.schema.fields]
+        )
+    else:
+        out_schema = StructType(list(vectors.schema.fields) + [cell_field])
     names = [f.name for f in out_schema.fields]
 
     def assign(batches):
@@ -282,12 +289,30 @@ def append_to_ivf_index(
     applies and is measurable here via `ivf_cell_stats`: as the corpus
     drifts from the codebook's fit distribution, cell sizes skew and
     probe cost/recall degrade — the rebuild trigger is a size-imbalance
-    threshold, not a timer."""
+    threshold, not a timer.
+
+    NULL embeddings (NULL cell under the assign_cells contract) are
+    QUARANTINED to ``{path}/quarantine`` instead of entering the cells
+    tier: partitionBy would park them in __HIVE_DEFAULT_PARTITION__,
+    where probes never see them while occupancy counts include them —
+    an index row that silently serves nothing. The null count is
+    measured with an Observation on the main write (zero extra jobs
+    when the batch is clean — the common case)."""
+    from pyspark.sql import Observation
+
     spark = new_vectors.sparkSession
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    obs = Observation()
+    valid = assigned.observe(
+        obs, F.count(F.when(F.col("cell").isNull(), 1)).alias("n_null")
+    ).filter(F.col("cell").isNotNull())
+    valid.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    if obs.get["n_null"]:
+        assigned.filter(F.col("cell").isNull()).drop("cell").write.mode(
+            "append"
+        ).parquet(f"{path}/quarantine")
 
 
 def delete_from_ivf_index(

@@ -3051,6 +3051,109 @@ ORDER BY o.cluster_id
 """
 
 
+# x99: the composed five-stage corpus-prep chain (VERDICT r8 item 2 — the
+# rows-only slot had "no structural reason": each stage is deterministic
+# and individually oracle-verified, so the composed oracle is their
+# CONCATENATION as one CTE chain). Stage twins: quality gate = x46's
+# per-doc rules; exact dedup = x01's min-id representative; decontam =
+# x84's 5-gram semi-join vs the doc_id%10=0 eval slice of the FULL corpus
+# (prepare_training_corpus receives eval_df before gating); DSIR = x87's
+# bucket log-ratio model with raw = the CLEAN slice and target = the
+# full-corpus English slice, n_buckets=1000, then top-floor(n*0.5) by
+# (importance DESC, doc_id) with k >= 1 (select_top_fraction's
+# max(1, int(n*f))); chunking = x67's slice explode at chunk_tokens=64,
+# stride=48.
+EXTRA_ORACLES["x99_corpus_prep"] = f"""
+WITH t0 AS (
+  SELECT doc_id, text, {_TOKENS.format(t='text')} AS toks FROM documents
+), gated AS (
+  SELECT doc_id, text FROM t0
+  WHERE len(toks) BETWEEN 10 AND 1000
+    AND CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        / len(text) >= 0.6
+    AND len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) >= 1
+    AND (CASE WHEN len(toks) >= 2 THEN
+           1 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+             / (len(toks) - 1)
+         ELSE 0.0 END) <= 0.5
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM gated GROUP BY text
+), evtoks AS (
+  SELECT {_TOKENS.format(t='text')} AS t FROM documents WHERE doc_id % 10 = 0
+), ev AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         || ' ' || t[i+4] AS gram
+  FROM (SELECT t, UNNEST(generate_series(1, len(t) - 4)) AS i
+        FROM evtoks WHERE len(t) >= 5)
+), rgrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         || ' ' || t[i+4] AS gram
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i
+        FROM (SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM reps)
+        WHERE len(t) >= 5)
+), clean AS (
+  SELECT doc_id, text FROM reps
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM rgrams JOIN ev USING (gram))
+), rb AS (
+  SELECT doc_id, {_hash_bucket_mod('tok', 1000)} AS bucket
+  FROM (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS tok FROM clean)
+), tb AS (
+  SELECT {_hash_bucket_mod('tok', 1000)} AS bucket
+  FROM (SELECT unnest({_TOKENS.format(t='text')}) AS tok
+        FROM documents WHERE lang = 'en')
+), tc AS (
+  SELECT bucket, COUNT(*) AS c_t FROM tb GROUP BY bucket
+), rc AS (
+  SELECT bucket, COUNT(*) AS c_r FROM rb GROUP BY bucket
+), j AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+), tot AS (
+  SELECT SUM(c_t) AS tot_t, SUM(c_r) AS tot_r FROM j
+), lr AS (
+  SELECT bucket,
+         ROUND(ln((c_t + 1) / CAST(tot_t + 1000 AS DOUBLE))
+             - ln((c_r + 1) / CAST(tot_r + 1000 AS DOUBLE)), 9) AS log_ratio
+  FROM j CROSS JOIN tot
+), scored AS (
+  SELECT rb.doc_id,
+         CAST(CAST(SUM(CAST(log_ratio AS DECIMAL(38,12))) AS VARCHAR)
+              AS DOUBLE) AS importance
+  FROM rb JOIN lr USING (bucket) GROUP BY rb.doc_id
+), allsc AS (
+  SELECT c.doc_id, COALESCE(s.importance, 0.0) AS importance
+  FROM clean c LEFT JOIN scored s USING (doc_id)
+), kn AS (
+  SELECT GREATEST(1, CAST(FLOOR(COUNT(*) * 0.5) AS BIGINT)) AS k FROM allsc
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id) AS rnk
+  FROM allsc
+), sel AS (
+  SELECT c.doc_id, c.text FROM clean c
+  JOIN ranked USING (doc_id) CROSS JOIN kn WHERE ranked.rnk <= kn.k
+), sized AS (
+  SELECT doc_id, t, len(t) AS n_tokens
+  FROM (SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM sel)
+  WHERE len(t) >= 1
+), exploded AS (
+  SELECT doc_id, n_tokens, t,
+         UNNEST(generate_series(0, n_tokens - 1, 48)) AS chunk_start
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       CAST(chunk_start / 48 AS INTEGER) AS chunk_id,
+       chunk_start,
+       len(t[chunk_start + 1 : chunk_start + 64]) AS chunk_len,
+       array_to_string(t[chunk_start + 1 : chunk_start + 64], ' ') AS chunk_text
+FROM exploded
+ORDER BY doc_id, chunk_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

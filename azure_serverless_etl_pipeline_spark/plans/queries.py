@@ -2287,9 +2287,12 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full batch training-data prep chain as one lazy plan
     (operators/corpus_pipeline.prepare_training_corpus): quality gate ->
     exact dedup -> decontamination vs the eval slice -> DSIR top-50%
-    selection toward English -> fixed-budget chunking. Rows-only driver
-    check (the composed oracle would be the concatenation of five
-    already-verified oracles); stage-equivalence pytest-asserted."""
+    selection toward English -> fixed-budget chunking. HASH-checked
+    since round 9: the composed oracle is the concatenation of the five
+    already-verified stage oracles (x46 gate rules, x01 min-id dedup,
+    x84 5-gram decontam, x87 DSIR log-ratios + select_top_fraction's
+    max(1, int(n*f)) cut, x67 chunk slices at 64/48) as one CTE chain;
+    stage-equivalence additionally pytest-asserted."""
     from ..operators.corpus_pipeline import prepare_training_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3998,7 +4001,9 @@ DRIVER_WINDOW: list[str] = [
     # re-rank machinery is now driver-hashed. x75's approximate path
     # stays registered in the extras (rows-only, benched for the
     # RECALL.md curve); the remaining designated rows-only slots are
-    # x76-x79 and x99.
+    # x76-x79 (x99 converted to a hash slot in round 9 — its composed
+    # five-stage oracle is the concatenation of the verified stage
+    # oracles, VERDICT r8 item 2).
     "x75b_ann_pq_exact_rerank", "x76_sketch_rollup", "x77_theta_overlap",
     "x78_table_profile_approx", "x79_semantic_dedup", "x99_corpus_prep",
     # Round-7 continuation (no-prior-row rule): x142 takes x125's slot

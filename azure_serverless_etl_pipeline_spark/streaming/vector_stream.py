@@ -73,8 +73,19 @@ def append_batch(
     ``centroids`` (the codebook matrix) to skip the per-call read of
     the centroids parquet — the stream sink reads it ONCE at start,
     because the codebook is frozen for the stream's whole life by
-    design (only a rebuild changes it)."""
+    design (only a rebuild changes it).
+
+    A NULL embedding gets a NULL cell from assign_cells (no nearest
+    centroid); such rows are QUARANTINED to
+    ``{index_dir}/quarantine/batch={epoch}`` (overwrite — idempotent
+    under replay, like the append tier itself) rather than written to
+    the appends dir: a NULL-cell row in the append tier would crash
+    every subsequent fold's affected-cell derivation and permanently
+    wedge maintenance on one bad record. The null count is measured
+    with an Observation riding the main write — zero extra jobs on a
+    clean batch (the common case)."""
     import numpy as np
+    from pyspark.sql import Observation
 
     from ..operators.ann_index import assign_cells
 
@@ -84,9 +95,17 @@ def append_batch(
         )
         centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     assigned = assign_cells(batch_df, centroids, vec_col=vec_col)
-    assigned.write.mode("overwrite").parquet(
+    obs = Observation()
+    valid = assigned.observe(
+        obs, F.count(F.when(F.col("cell").isNull(), 1)).alias("n_null")
+    ).filter(F.col("cell").isNotNull())
+    valid.write.mode("overwrite").parquet(
         f"{index_dir}/appends/batch={int(epoch_id)}"
     )
+    if obs.get["n_null"]:
+        assigned.filter(F.col("cell").isNull()).drop("cell").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/quarantine/batch={int(epoch_id)}")
 
 
 def start_vector_ingest_stream(
@@ -142,12 +161,20 @@ def _appends_deduped(
     directory name as a partition column, so the winner rule is one
     row_number window over the (small, fold-cadence-bounded) append
     tier — the standing tier is never touched here. Within one epoch
-    ids are unique by construction (a Structured Streaming micro-batch
-    delivers each row once; a replay overwrites the whole dir)."""
+    the stream sink delivers each id once, but ``append_batch`` is also
+    a public API (x145, tests, scale scripts) with no uniqueness guard,
+    so the window carries a SECONDARY deterministic key — the xxhash64
+    of the full payload row — making the winner a pure function of the
+    stored data: a duplicated id within one epoch picks the same row on
+    every read and in the fold (rows tying on the hash are, outside
+    adversarial collisions, identical rows, where winner identity is
+    moot)."""
     raw = spark.read.option("basePath", f"{index_dir}/appends").parquet(
         *[p for _, p in batches]
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("batch"))
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("batch"), F.desc(F.xxhash64(*raw.columns))
+    )
     return (
         raw.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -378,6 +378,11 @@ def test_assign_cells_replaces_existing_cell_column(spark, corpus):
     for kwargs in ({}, {"max_literal_cells": 10**9}):
         re_assigned = assign_cells(indexed, centroids, **kwargs)
         assert re_assigned.columns.count("cell") == 1, kwargs
+        # column ORDER too: the GEMM regime must replace cell in place
+        # like withColumn does on the literal path, or positional
+        # consumers (DDL schemas, union, mergeSchema-off readers) would
+        # misbind depending on codebook size (ADVICE r8)
+        assert re_assigned.columns == indexed.columns, kwargs
         same = {
             r.vec_id: r.cell
             for r in re_assigned.select("vec_id", "cell").collect()

@@ -83,11 +83,13 @@ WINDOW_ROWS_ONLY = {
     # x75's slot became the hash slot x75b in round 8 (exact re-rank
     # over a corpus-wide shortlist == brute force); the approximate
     # path stays registered in the extras, benched for RECALL.md.
+    # x99 converted to a HASH slot in round 9 (VERDICT r8 item 2): its
+    # five stages were each individually oracle-verified, so the
+    # composed oracle is their concatenation as one CTE chain.
     "x76_sketch_rollup",
     "x77_theta_overlap",
     "x78_table_profile_approx",
     "x79_semantic_dedup",
-    "x99_corpus_prep",
 }
 
 

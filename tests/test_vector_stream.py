@@ -350,3 +350,129 @@ def test_delete_from_live_index_covers_the_append_tier(
     want = corpus.join(dels, "vec_id", "anti")
     assert live.count() == want.count()
     assert _ids(live) == _ids(want)
+
+
+def test_null_embedding_is_quarantined_not_folded(spark, corpus, tmp_path):
+    """A NULL embedding in a streamed batch maps to a NULL cell
+    (assign_cells contract) and must be QUARANTINED by append_batch:
+    were it written to the append tier, every subsequent fold's
+    affected-cell derivation would crash comparing None with int and
+    maintenance would wedge permanently on one bad record. The
+    quarantined row is visible under quarantine/, absent from reads,
+    and the fold still runs."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        fold_appends,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    save_ivf_index(base, idx, k=8)
+
+    good = corpus.filter(F.col("vec_id") % 2 == 1)
+    bad = spark.createDataFrame(
+        [(10_000_001, None, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    append_batch(spark, good.unionByName(bad), 0, idx)
+
+    quarantined = spark.read.parquet(f"{idx}/quarantine/batch=0")
+    assert _ids(quarantined) == {10_000_001}
+    # replay of the same epoch overwrites the quarantine dir too
+    append_batch(spark, good.unionByName(bad), 0, idx)
+    assert spark.read.parquet(f"{idx}/quarantine/batch=0").count() == 1
+
+    live = load_live_index(spark, idx)
+    assert 10_000_001 not in _ids(live)
+    report = fold_appends(spark, idx)
+    assert report["folded_batches"] == 1
+    after = load_live_index(spark, idx)
+    assert _ids(after) == _ids(corpus)
+    assert after.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_null_embedding_quarantined_on_batch_append_and_delete(
+    spark, corpus, tmp_path
+):
+    """Batch path twin (ADVICE r8): append_to_ivf_index must not write a
+    NULL-cell row into the cells tier (partitionBy would park it in
+    __HIVE_DEFAULT_PARTITION__ — counted but never probed), and
+    delete_from_ivf_index must keep working afterwards."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivf_index,
+        delete_from_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    save_ivf_index(base, idx, k=8)
+
+    good = corpus.filter(F.col("vec_id") % 2 == 1)
+    bad = spark.createDataFrame(
+        [(10_000_002, None, 1)], "vec_id long, embedding array<float>, label int"
+    )
+    append_to_ivf_index(good.unionByName(bad), idx)
+
+    indexed, _ = load_ivf_index(spark, idx)
+    assert indexed.filter(F.col("cell").isNull()).count() == 0
+    assert 10_000_002 not in _ids(indexed)
+    assert _ids(spark.read.parquet(f"{idx}/quarantine")) == {10_000_002}
+
+    dels = corpus.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    report = delete_from_ivf_index(spark, idx, dels)
+    assert report.count() > 0
+    survivors, _ = load_ivf_index(spark, idx)
+    assert _ids(survivors) == _ids(corpus.join(dels, "vec_id", "anti"))
+
+
+def test_intra_epoch_duplicate_id_resolves_deterministically(
+    spark, corpus, tmp_path
+):
+    """append_batch is a public API with no per-epoch uniqueness guard:
+    a duplicated vec_id WITHIN one epoch must still resolve to the same
+    winner on every read and in the fold (secondary payload-hash sort
+    key — a pure function of the stored data, not of partitioning)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        fold_appends,
+        load_live_index,
+    )
+
+    idx = str(tmp_path / "index")
+    save_ivf_index(corpus.filter(F.col("vec_id") % 2 == 0), idx, k=8)
+
+    dup_id = 10_000_003
+    dups = spark.createDataFrame(
+        [
+            (dup_id, [float(i) for i in range(64)], 0),
+            (dup_id, [float(i + 1) for i in range(64)], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).repartition(4)
+    append_batch(spark, dups, 0, idx)
+
+    # the reader's winner is stable across repeated reads...
+    labels = {
+        load_live_index(spark, idx)
+        .filter(F.col("vec_id") == dup_id)
+        .collect()[0]
+        .label
+        for _ in range(3)
+    }
+    assert len(labels) == 1
+    # ...and the fold bakes in the SAME winner the reader served
+    fold_appends(spark, idx)
+    folded = (
+        load_live_index(spark, idx)
+        .filter(F.col("vec_id") == dup_id)
+        .collect()
+    )
+    assert len(folded) == 1 and folded[0].label == labels.pop()
