@@ -316,6 +316,22 @@ def main() -> None:
             time.sleep(1.0)
 
     total = round(sum(timings.values()), 4)
+    # per-query ratios vs the standing medians (STANDING.json — generated
+    # by scripts/standing.py; the machine-readable record BASELINE.md's
+    # prose narrates). Only meaningful at the recorded protocol's scale.
+    ratios: dict[str, float] = {}
+    standing_path = REPO / "STANDING.json"
+    if standing_path.exists() and sf_dir.rstrip("/").endswith("sf0.1"):
+        standing = json.loads(standing_path.read_text())["queries"]
+        ratios = {
+            n: round(t / standing[n], 3)
+            for n, t in timings.items()
+            if standing.get(n)
+        }
+    ratio_vals = sorted(ratios.values())
+    median_ratio = (
+        round(statistics.median(ratio_vals), 4) if ratio_vals else None
+    )
     print(
         json.dumps(
             {
@@ -327,6 +343,17 @@ def main() -> None:
                 "runs": runs,
                 "calibration": calibration,
                 "drift": drift,
+                **(
+                    {
+                        "vs_standing_median_ratio": median_ratio,
+                        "vs_standing_over_2x": sorted(
+                            n for n, r in ratios.items() if r > 2.0
+                        ),
+                        "vs_standing": ratios,
+                    }
+                    if ratios
+                    else {}
+                ),
                 **({"errors": errors} if errors else {}),
             }
         )

