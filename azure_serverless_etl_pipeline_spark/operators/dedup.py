@@ -1007,6 +1007,31 @@ def ngram_jaccard_pairs_incremental_indexed(
     return out
 
 
+def _keys_pruned(
+    scan: DataFrame,
+    col: str,
+    values: list,
+    key_frame: DataFrame,
+    max_in: int,
+) -> DataFrame:
+    """Row-prune ``scan`` to rows whose ``col`` is in a batch-derived
+    key set. Two regimes (SCALE.md round 9 measured both):
+
+    - ``len(values) <= max_in``: a literal ``isin`` — Catalyst pushes
+      the In to the parquet scan, and on a layout sorted by ``col``
+      row-group/page min-max stats skip everything but the matched
+      groups (the micro-batch regime: I/O tracks matches);
+    - larger sets: a broadcast SEMI-JOIN on ``key_frame`` — a
+      thousands-literal In costs seconds of driver/plan overhead
+      (measured 8-9s at 17k literals, pushdown on or off) while the
+      semi-join is ~1s; row skipping is lost but the scan stays
+      columnar, map-side, and never shuffles.
+    """
+    if len(values) <= max_in:
+        return scan.filter(F.col(col).isin(values))
+    return scan.join(F.broadcast(key_frame), col, "semi")
+
+
 def ngram_jaccard_pairs_incremental_bucketed(
     spark,
     new_docs: DataFrame,
@@ -1016,44 +1041,53 @@ def ngram_jaccard_pairs_incremental_bucketed(
     id_col: str = "doc_id",
     n: int = 3,
     max_shingle_freq: int | None = None,
+    max_in_pushdown: int = 2048,
 ) -> DataFrame:
     """``ngram_jaccard_pairs_incremental_indexed`` with the per-batch
     old-corpus scans replaced by PRUNED INDEX LOOKUPS — identical output
     (same candidates, same union document frequencies, same exact-verify
-    rule), sublinear per-batch I/O in the standing corpus.
+    rule), per-batch posting I/O bounded by the MATCH volume instead of
+    the standing corpus (the round-8 residual: SCALE.md measured the
+    batch tail growing 2.69x at a 10x corpus, entirely the map-side
+    posting scan of ``old_base``).
 
-    The round-8 residual (SCALE.md: batch tail 2.69x at a 10x corpus,
-    shuffle flat — the growth was entirely the map-side posting scan of
-    ``old_base``) falls to three index properties of
-    ``materialize_incremental_state``'s layout:
+    Lookup order is CAP-FIRST, which is what makes the capped tail
+    corpus-independent for a fixed batch:
 
-    1. the postings are partitioned by ``pmod(xxhash64(shingle), B)`` —
-       the scan PARTITION-PRUNES to the buckets the batch's shingles
-       hash into (decisive for micro-batches whose distinct-shingle
-       count under-fills B);
-    2. within each bucket the postings are SORTED by ``shingle_h`` and
-       the batch's distinct shingle hashes are pushed as an ``In``
-       parquet filter — row-group/page min-max skipping reads only the
-       groups that hold MATCHED posting lists, so bytes read track the
-       match volume, not the corpus (decisive for large batches, where
-       every bucket is hit);
+    1. union document frequency is resolved for the batch's shingles
+       BEFORE any posting is read — persisted per-shingle df (a pruned
+       lookup on the bucket-partitioned ``shingle_df``), minus the
+       re-delivered docs' stale counts (their old rows fetched from the
+       id-sorted ``old_base`` by id — a batch-bounded pruned read, not
+       a posting scan), plus the batch counts;
+    2. only shingles SURVIVING the cap reach the posting index, so the
+       matched posting volume is <= max_shingle_freq x |capped batch
+       shingles| rows — bounded by the batch and the cap, NOT the
+       corpus. (Uncapped runs have no such bound by definition: every
+       match is a candidate that must be verified, and match volume is
+       the workload's own size.)
     3. the verify stage re-fetches only CANDIDATE old docs from the
-       id-sorted ``old_base`` through a pushed ``In(id)`` filter — the
-       full-array scan the non-bucketed paths pay per batch.
+       id-sorted ``old_base`` — never the full array column.
+
+    Each pruned read goes through ``_keys_pruned``: a literal pushed
+    ``In`` when the key set is small (parquet row-group/page skipping
+    on the sorted layout — the micro-batch regime), a broadcast
+    semi-join past ``max_in_pushdown`` keys (a thousands-literal In
+    measured 8-9s of Catalyst/serialization overhead at 17k literals vs
+    ~1s for the equivalent semi-join — SCALE.md round 9). Directory
+    pruning on the shingle-hash bucket applies in both regimes.
 
     Exactness is never delegated to the hash: pruned postings re-join
     the batch on the shingle STRING (a colliding hash admits extra scan
-    rows that drop out of the equi-join), document frequencies come
-    from the persisted per-shingle table corrected for re-delivered
-    stale counts exactly as the indexed path computes them, and every
-    candidate is verified against FULL shingle sets — so output is
-    bit-identical to the one-shot batch operator's touching-new subset
-    (property-tested against both).
+    rows that drop out of the equi-join), and every candidate is
+    verified against FULL shingle sets — so output is bit-identical to
+    the one-shot batch operator's touching-new subset (property-tested
+    against both).
 
     Driver-bounded collects (the same discipline as the ANN fold's
-    affected-cell list): the batch's distinct (bucket, shingle_h) keys
-    and the candidate old-id list — both proportional to the BATCH,
-    never the corpus.
+    affected-cell list): the batch's ids, its distinct (bucket, hash)
+    shingle keys, and the candidate old-id list — all proportional to
+    the BATCH, never the corpus.
     """
     new_base = (
         new_docs.select(
@@ -1070,11 +1104,9 @@ def ngram_jaccard_pairs_incremental_bucketed(
     n_buckets = int(
         spark.read.parquet(f"{state_dir}/meta").collect()[0].posting_buckets
     )
+    bucket_of = F.pmod("shingle_h", F.lit(n_buckets)).cast("int")
     keys = (
-        new_sh.select(
-            F.pmod("shingle_h", F.lit(n_buckets)).cast("int").alias("bucket"),
-            "shingle_h",
-        )
+        new_sh.select(bucket_of.alias("bucket"), "shingle_h")
         .distinct()
         .collect()
     )
@@ -1088,39 +1120,39 @@ def ngram_jaccard_pairs_incremental_bucketed(
         return spark.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, jaccard double"
         )
-    buckets = sorted({int(r.bucket) for r in keys})
-    hashes = sorted({int(r.shingle_h) for r in keys})
 
-    postings = spark.read.parquet(f"{state_dir}/postings").filter(
-        F.col("bucket").isin(buckets) & F.col("shingle_h").isin(hashes)
-    )
     new_ids = new_base.select(id_col)
-    # re-delivered ids: the one-shot corpus is (old \\ new) UNION new —
-    # stale postings of a re-delivered doc leave the candidate side
-    live_post = postings.join(F.broadcast(new_ids), id_col, "left_anti")
+    base_scan = spark.read.parquet(f"{state_dir}/old_base")
+    owned = [new_base, new_sh]
 
-    nsh = new_sh
     if max_shingle_freq is not None:
         # union df per BATCH shingle only (non-batch shingles generate no
         # candidates, so their cap status is irrelevant): persisted old
         # df, minus the re-delivered docs' stale counts, plus the batch
-        # counts — the same reconstruction as the indexed path, but the
-        # old-df lookup and the stale-count scan are both pruned reads
-        new_cnt = new_sh.groupBy("shingle").agg(
+        # counts — the indexed path's reconstruction, from pruned reads
+        batch_ids = sorted(r[0] for r in new_ids.collect())
+        redeliv = _keys_pruned(
+            base_scan, id_col, batch_ids, new_ids, max_in_pushdown
+        ).select(F.explode("shingles").alias("shingle"))
+        stale_cnt = redeliv.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("sdf")
+        )
+        new_cnt = new_sh.groupBy("shingle", "shingle_h").agg(
             F.count(F.lit(1)).alias("ndf")
         )
-        stale_cnt = (
-            postings.join(F.broadcast(new_ids), id_col, "semi")
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
+        df_scan = spark.read.parquet(f"{state_dir}/shingle_df").filter(
+            F.col("bucket").isin(sorted({int(r.bucket) for r in keys}))
         )
-        old_df_b = (
-            spark.read.parquet(f"{state_dir}/shingle_df")
-            .filter(
-                F.col("bucket").isin(buckets) & F.col("shingle_h").isin(hashes)
-            )
-            .select("shingle", "df")
-        )
+        old_df_b = _keys_pruned(
+            df_scan,
+            "shingle_h",
+            sorted({int(r.shingle_h) for r in keys}),
+            new_sh.select("shingle_h").distinct(),
+            max_in_pushdown,
+        ).select("shingle", "df")
+        # freq is the CAPPED batch-shingle set — batch-bounded; cached
+        # because it feeds the lookup-key collect, the posting prune,
+        # and the batch-side join below
         freq = (
             new_cnt.join(F.broadcast(old_df_b), "shingle", "left")
             .join(F.broadcast(stale_cnt), "shingle", "left")
@@ -1130,9 +1162,38 @@ def ngram_jaccard_pairs_incremental_bucketed(
                 + F.coalesce(F.col("ndf"), F.lit(0))
                 <= max_shingle_freq
             )
-            .select("shingle")
+            .select("shingle", "shingle_h")
+            .cache()
         )
-        nsh = new_sh.join(F.broadcast(freq), "shingle")
+        owned.append(freq)
+        nsh = new_sh.join(F.broadcast(freq.select("shingle")), "shingle")
+        lkeys = (
+            freq.select(bucket_of.alias("bucket"), "shingle_h")
+            .distinct()
+            .collect()
+        )
+        lookup_hashes = freq.select("shingle_h").distinct()
+    else:
+        nsh = new_sh
+        lkeys = keys
+        lookup_hashes = new_sh.select("shingle_h").distinct()
+
+    post_scan = spark.read.parquet(f"{state_dir}/postings")
+    if lkeys:
+        post = _keys_pruned(
+            post_scan.filter(
+                F.col("bucket").isin(sorted({int(r.bucket) for r in lkeys}))
+            ),
+            "shingle_h",
+            sorted({int(r.shingle_h) for r in lkeys}),
+            lookup_hashes,
+            max_in_pushdown,
+        )
+    else:  # every batch shingle is over-cap: no posting can participate
+        post = post_scan.filter(F.lit(False))
+    # re-delivered ids: the one-shot corpus is (old \\ new) UNION new —
+    # stale postings of a re-delivered doc leave the candidate side
+    live_post = post.join(F.broadcast(new_ids), id_col, "left_anti")
 
     a, b = nsh.alias("a"), nsh.alias("b")
     nn = a.join(
@@ -1164,34 +1225,29 @@ def ngram_jaccard_pairs_incremental_bucketed(
         .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=True)
     )
-    old_cand_ids = sorted(
-        r[0]
-        for r in cand.select(
-            F.explode(F.array("id_a", "id_b")).alias(id_col)
-        )
+    cand_old = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
         .distinct()
         .join(new_ids, id_col, "left_anti")
-        .collect()
     )
+    old_cand_ids = sorted(r[0] for r in cand_old.collect())
     if old_cand_ids:
-        old_rows = (
-            spark.read.parquet(f"{state_dir}/old_base")
-            .filter(F.col(id_col).isin(old_cand_ids))
-            .select(F.col(id_col), "shingles")
-        )
+        old_rows = _keys_pruned(
+            base_scan, id_col, old_cand_ids, cand_old, max_in_pushdown
+        ).select(F.col(id_col), "shingles")
     else:
         old_rows = spark.createDataFrame(
             [], f"{id_col} {id_type}, shingles array<string>"
         )
     base = new_base.unionByName(old_rows)
     out = _verify_jaccard(cand, base, id_col, threshold)
-    out._owned_caches = [new_base, new_sh]  # type: ignore[attr-defined]
+    out._owned_caches = owned  # type: ignore[attr-defined]
     # the candidate stage executes eagerly (checkpoint) before return,
     # so its pruned scans never appear in `out`'s plan — expose them for
     # the plan gate (test_plan_quality asserts the partition filter and
-    # the pushed In on the actual frames the operator built)
+    # the regime-appropriate row pruning on the operator-built frames)
     out._plan_probes = {  # type: ignore[attr-defined]
-        "postings": postings,
+        "postings": post,
         "old_base_refetch": old_rows,
     }
     return out

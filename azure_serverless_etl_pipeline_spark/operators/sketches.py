@@ -89,6 +89,7 @@ def theta_overlap(
     by: str = "source",
     n: int = 3,
     text_col: str = "text",
+    lg_k: int | None = None,
 ) -> DataFrame:
     """Estimated distinct-shingle overlap per source pair (x48's exact
     semantics, sketched): one theta sketch per source, fed the raw
@@ -98,11 +99,24 @@ def theta_overlap(
     scalar op on two kilobyte-scale sketches. The |sources|-row sketch
     frame self-joins for free (broadcast); nothing corpus-sized crosses
     the wire at all.
+
+    ``lg_k`` sets the sketch's log2 nominal entries (engine default
+    when None). A theta sketch is EXACT while its per-group distinct
+    count stays under the nominal-entries bound — the x77b exactness
+    pin sizes lg_k over the bound at test scales, so the whole
+    sketch-algebra pipeline (agg, merge, intersection, estimate) is
+    driver-hash-checked against x48's exact SQL; at production scale
+    the same plan degrades gracefully to the estimate.
     """
     sh = docs.select(
         F.col(by), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
-    per = sh.groupBy(by).agg(F.theta_sketch_agg("shingle").alias("sk"))
+    agg = (
+        F.theta_sketch_agg("shingle")
+        if lg_k is None
+        else F.theta_sketch_agg("shingle", lg_k)
+    )
+    per = sh.groupBy(by).agg(agg.alias("sk"))
     a, b = per.alias("a"), per.alias("b")
     return (
         a.join(F.broadcast(b), F.col(f"a.{by}") < F.col(f"b.{by}"))

@@ -3154,6 +3154,29 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# x77b: theta-sketch overlap in EXACT mode (lg_k sized over the
+# per-source distinct-shingle count at test scales), so the oracle is
+# x48's exact distinct-shingle intersection — the sketch-algebra twin of
+# the nprobe==k IVF pin.
+EXTRA_ORACLES["x77b_theta_overlap_exact"] = (
+    "WITH toks AS (SELECT source, "
+    + _TOKENS.format(t="text")
+    + """ AS t FROM documents),
+idx AS (
+  SELECT source, t, UNNEST(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM idx
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS approx_shared_shingles
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Final split: the ORACLES / EXTRA_ORACLES partition is DERIVED from
 # queries.DRIVER_WINDOW, so rotating the window (as round 3 did, promoting

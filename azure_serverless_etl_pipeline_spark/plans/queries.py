@@ -2077,11 +2077,32 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x48's contamination check with theta-sketch set algebra: one
     kilobyte sketch per source, pairwise scalar intersections — no
     vocabulary-sized self-join. Rows-only; estimate-vs-exact tolerance
-    asserted in test_approx."""
+    asserted in test_approx. x77b pins the same pipeline bit-exactly in
+    the sketches' exact mode."""
     from ..operators import sketches
 
     docs = load_table(spark, sf_dir, "documents")
     return sketches.theta_overlap(docs).orderBy("source_a", "source_b")
+
+
+@query("x77b_theta_overlap_exact")
+def x77b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x77's sketch pipeline EXACTNESS-PINNED (the nprobe==k trick,
+    sketch edition — VERDICT r8 item 6): a theta sketch is exact while
+    its per-group distinct count stays under its nominal-entries bound,
+    so with lg_k=16 (65536 nominal vs ~40k distinct shingles per source
+    at sf0.1) the identical agg -> merge -> intersection -> estimate
+    plan returns exact counts and the ORACLE is x48's exact
+    distinct-shingle SQL — the driver hash covers the whole sketch
+    algebra, which x77's tolerance test can only bound. x77 (engine
+    default lg_k, the 100 TB shape where sketches actually estimate)
+    stays registered and benched."""
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.theta_overlap(docs, lg_k=16).orderBy(
+        "source_a", "source_b"
+    )
 
 
 @query("x87_dsir_importance")
@@ -4011,7 +4032,16 @@ DRIVER_WINDOW: list[str] = [
     # x76-x79 (x99 converted to a hash slot in round 9 — its composed
     # five-stage oracle is the concatenation of the verified stage
     # oracles, VERDICT r8 item 2).
-    "x75b_ann_pq_exact_rerank", "x76_sketch_rollup", "x77_theta_overlap",
+    # Round-9 swap (VERDICT r8 item 6): x77b takes x77's slot — the
+    # theta family's rows-only slot becomes a HASH slot: with lg_k=16
+    # the sketches stay in exact mode at test scales, so the identical
+    # agg/merge/intersection/estimate plan returns exact counts and
+    # x48's exact SQL is the oracle. x77 (engine-default lg_k, the
+    # scale shape that actually estimates) stays registered in the
+    # extras, rows-only, tolerance-tested and benched. Remaining
+    # designated rows-only slots: x76, x78, x79.
+    "x75b_ann_pq_exact_rerank", "x76_sketch_rollup",
+    "x77b_theta_overlap_exact",
     "x78_table_profile_approx", "x79_semantic_dedup", "x99_corpus_prep",
     # Round-7 continuation (no-prior-row rule): x142 takes x125's slot
     # with the SAME x06 oracle — the hash now proves build-90 +

@@ -103,6 +103,7 @@ HEADLINE = [
     "x75_ann_pq_topk",
     "x76_sketch_rollup",
     "x77_theta_overlap",
+    "x77b_theta_overlap_exact",
     "m02_forecast",
     "m03_media_features",
     "x79_semantic_dedup",

@@ -61,6 +61,10 @@ def get_spark():
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
+        # the shuffle-bytes accounting reads the UI stage list; the
+        # default 1000-stage buffer evicts early stages mid-probe and
+        # makes deltas read negative
+        .config("spark.ui.retainedStages", "100000")
         .getOrCreate()
     )
 
@@ -178,35 +182,40 @@ def dedup_tail_probe(spark, docs_path: str, tag: str) -> list[tuple]:
     )
     old_map = spark.read.parquet(f"{state}/old_map")
 
-    def fold(pairs):
-        noop(dedup.incremental_dup_clusters(old_map, pairs))
-
-    # r8 path: full posting scan of old_base per batch
-    s0, t0 = shuffle_bytes(sc), time.time()
-    fold(
-        dedup.ngram_jaccard_pairs_incremental_indexed(
+    def indexed():
+        return dedup.ngram_jaccard_pairs_incremental_indexed(
             batch,
             spark.read.parquet(f"{state}/old_base"),
             spark.read.parquet(f"{state}/shingle_df"),
             threshold=0.5,
             max_shingle_freq=100,
         )
-    )
-    rows.append(
-        (f"dedup_tail_indexed_{tag}", round(time.time() - t0, 2),
-         (shuffle_bytes(sc) - s0) >> 20)
-    )
-    # r9 path: partition-pruned + In-pushed posting index
-    s0, t0 = shuffle_bytes(sc), time.time()
-    fold(
-        dedup.ngram_jaccard_pairs_incremental_bucketed(
+
+    def bucketed():
+        return dedup.ngram_jaccard_pairs_incremental_bucketed(
             spark, batch, state, threshold=0.5, max_shingle_freq=100
         )
-    )
-    rows.append(
-        (f"dedup_tail_bucketed_{tag}", round(time.time() - t0, 2),
-         (shuffle_bytes(sc) - s0) >> 20)
-    )
+
+    # alternating in-session A/B, median of 3 (bench-measurement
+    # discipline: tails are seconds-scale and solo one-shots are noisy)
+    samples: dict[str, list] = {"indexed": [], "bucketed": []}
+    mbs: dict[str, int] = {"indexed": 0, "bucketed": 0}
+    for name, gen in [("indexed", indexed), ("bucketed", bucketed)]:
+        noop(dedup.incremental_dup_clusters(old_map, gen()))  # warm-up
+    for _ in range(3):
+        for name, gen in [("indexed", indexed), ("bucketed", bucketed)]:
+            s0, t0 = shuffle_bytes(sc), time.time()
+            noop(dedup.incremental_dup_clusters(old_map, gen()))
+            samples[name].append(time.time() - t0)
+            mbs[name] += shuffle_bytes(sc) - s0
+    import statistics
+
+    for name in ("indexed", "bucketed"):
+        rows.append(
+            (f"dedup_tail_{name}_{tag}",
+             round(statistics.median(samples[name]), 2),
+             (mbs[name] // 3) >> 20)
+        )
     shutil.rmtree(state, ignore_errors=True)
     return rows
 

@@ -977,3 +977,37 @@ def test_incremental_bucketed_empty_batch_and_cache_release(spark, tmp_path):
     assert merged.count() > 0
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     assert cache_mgr.isEmpty(), "bucketed fold leaked cached DataFrames"
+
+
+def test_incremental_bucketed_all_shingles_over_cap(spark, tmp_path):
+    """When every batch shingle exceeds the cap, the capped lookup set
+    is empty: no posting may be read (the cap-first ordering's promise)
+    and the output is empty — matching the one-shot operator, which
+    also drops every candidate."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        materialize_incremental_state,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental_bucketed,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    old_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [shared, shared]})
+    )
+    state = str(tmp_path / "state")
+    materialize_incremental_state(
+        old_docs, state, threshold=0.5, max_shingle_freq=0, posting_buckets=4
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "text": [shared]})
+    )
+    got = ngram_jaccard_pairs_incremental_bucketed(
+        spark, new, state, threshold=0.5, max_shingle_freq=0
+    )
+    assert got.count() == 0
+    oneshot = ngram_jaccard_pairs(
+        old_docs.unionByName(new), threshold=0.5, max_shingle_freq=0
+    )
+    assert oneshot.count() == 0

@@ -719,3 +719,27 @@ def test_bucketed_posting_scan_is_pruned(spark, queries, tmp_path):
     )
     for owned in out._owned_caches:
         owned.unpersist()
+
+    # large-batch regime (max_in_pushdown=0 forces it): row pruning must
+    # come from a broadcast SEMI-join, never a thousands-literal In —
+    # measured at 8-9s of driver/plan overhead per 17k-literal In vs ~1s
+    # for the semi-join (SCALE.md round 9). The bucket partition filter
+    # must survive regime selection.
+    out2 = dedup.ngram_jaccard_pairs_incremental_bucketed(
+        spark,
+        docs.filter(F.col("doc_id") % 20 == 19),
+        state,
+        threshold=0.5,
+        max_shingle_freq=50,
+        max_in_pushdown=0,
+    )
+    post_plan2 = plan_of(out2._plan_probes["postings"])
+    assert "In(shingle_h" not in post_plan2, "semi regime leaked a literal In"
+    assert "PartitionFilters" in post_plan2 and "bucket" in post_plan2.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert (
+        "BroadcastHashJoin" in post_plan2 and "LeftSemi" in post_plan2
+    ), "large-batch regime must row-prune via a broadcast semi-join"
+    for owned in out2._owned_caches:
+        owned.unpersist()

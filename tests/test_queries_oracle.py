@@ -85,9 +85,11 @@ WINDOW_ROWS_ONLY = {
     # path stays registered in the extras, benched for RECALL.md.
     # x99 converted to a HASH slot in round 9 (VERDICT r8 item 2): its
     # five stages were each individually oracle-verified, so the
-    # composed oracle is their concatenation as one CTE chain.
+    # composed oracle is their concatenation as one CTE chain. x77's
+    # slot became the hash slot x77b the same round (exact-mode theta
+    # sketches == x48's exact SQL); x77's engine-default estimate path
+    # stays in the extras, tolerance-tested and benched.
     "x76_sketch_rollup",
-    "x77_theta_overlap",
     "x78_table_profile_approx",
     "x79_semantic_dedup",
 }
