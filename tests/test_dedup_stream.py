@@ -287,3 +287,83 @@ def test_random_batch_splits_fold_to_batch_truth(spark, tmp_path):
         got = current_map(spark, state).toPandas()
         got_map = dict(zip(got["doc_id"], got["cluster_id"]))
         assert got_map == _truth(delivered), f"diverged after batch {b}"
+
+
+def test_cross_batch_redelivery_first_wins_and_quarantines(spark, tmp_path):
+    """An id arriving AGAIN in a later batch (the cross-batch
+    re-delivery the within-batch overwrite cannot cover) must be
+    diverted by the first-delivery-wins guard: the standing base holds
+    exactly one copy per id, the map equals the one-shot truth over
+    FIRST copies, and the diverted rows are visible under
+    redelivered/batch=k — never silently dropped. Without the guard
+    the duplicate copy double-counts document frequencies (cap recall
+    loss vs one-shot) and, for changed text, plants stale-shingle
+    edges the star-edge fold can never retract."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        start_dedup_stream,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    second = docs.filter(F.col("doc_id") % 3 == 1)
+    first.coalesce(1).write.mode("append").parquet(landing)
+    second.coalesce(1).write.mode("append").parquet(landing)
+    # third file re-delivers a slice of the FIRST file with changed
+    # text (an upstream update) plus genuinely new docs
+    changed = first.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" totally changed suffix"))
+    )
+    third = docs.filter(F.col("doc_id") % 3 == 2).unionByName(changed)
+    third.coalesce(1).write.mode("append").parquet(landing)
+
+    state = str(tmp_path / "state")
+    q = start_dedup_stream(
+        spark, landing, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    # invariant: one standing copy per id
+    base = spark.read.parquet(f"{state}/base")
+    assert base.count() == base.select("doc_id").distinct().count()
+    # the map is the one-shot truth over FIRST copies (= docs verbatim)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(docs)
+    # the diverted copies are visible, with their re-delivered payload
+    redeliv_root = f"{state}/redelivered"
+    assert os.path.isdir(redeliv_root)
+    red = spark.read.parquet(redeliv_root)
+    want_ids = {r.doc_id for r in changed.select("doc_id").collect()}
+    assert {r.doc_id for r in red.collect()} == want_ids
+    assert red.filter(~F.col("text").endswith("changed suffix")).count() == 0
+
+
+def test_fully_redelivered_batch_is_a_noop_fold(spark, tmp_path):
+    """A later file consisting ENTIRELY of already-seen ids must fold
+    to a no-op: map unchanged, base unchanged, every row quarantined."""
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    fold_batch(spark, half, 0, state)
+    before = current_map(spark, state).toPandas()
+    fold_batch(spark, half, 1, state)  # same rows again, new batch id
+    after = current_map(spark, state).toPandas()
+    assert dict(zip(after["doc_id"], after["cluster_id"])) == dict(
+        zip(before["doc_id"], before["cluster_id"])
+    )
+    base = spark.read.parquet(f"{state}/base")
+    assert base.count() == base.select("doc_id").distinct().count()
+    red = spark.read.parquet(f"{state}/redelivered/batch=1")
+    assert red.count() == half.count()
