@@ -308,6 +308,36 @@ def _assign_cells_gemm(
     return vectors.mapInPandas(assign, schema=out_schema)
 
 
+def _write_quarantining_nulls(
+    assigned: DataFrame,
+    raw_batch: DataFrame,
+    vec_col: str,
+    write_valid,
+    quarantine_path: str,
+    quarantine_mode: str,
+) -> None:
+    """Shared null-cell quarantine for both index append paths (batch
+    and streaming): run ``write_valid`` on the NOT-NULL-cell rows with
+    an Observation counting nulls riding the same job (zero extra work
+    on a clean batch — the common case), then, only when nulls exist,
+    write the offending INPUT rows to the quarantine path. The
+    quarantine side re-reads ``raw_batch`` filtered on the null
+    EMBEDDING — under the assign_cells contract cell is NULL iff the
+    vector is NULL, so the dirty path costs one source-scan filter and
+    never re-runs the assignment GEMM."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    valid = assigned.observe(
+        obs, F.count(F.when(F.col("cell").isNull(), 1)).alias("n_null")
+    ).filter(F.col("cell").isNotNull())
+    write_valid(valid)
+    if obs.get["n_null"]:
+        raw_batch.filter(F.col(vec_col).isNull()).write.mode(
+            quarantine_mode
+        ).parquet(quarantine_path)
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -335,22 +365,23 @@ def append_to_ivf_index(
     where probes never see them while occupancy counts include them —
     an index row that silently serves nothing. The null count is
     measured with an Observation on the main write (zero extra jobs
-    when the batch is clean — the common case)."""
-    from pyspark.sql import Observation
-
+    when the batch is clean — the common case); the dirty path writes
+    the offending INPUT rows, one source-scan filter, no second
+    assignment pass (_write_quarantining_nulls)."""
     spark = new_vectors.sparkSession
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
-    obs = Observation()
-    valid = assigned.observe(
-        obs, F.count(F.when(F.col("cell").isNull(), 1)).alias("n_null")
-    ).filter(F.col("cell").isNotNull())
-    valid.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
-    if obs.get["n_null"]:
-        assigned.filter(F.col("cell").isNull()).drop("cell").write.mode(
-            "append"
-        ).parquet(f"{path}/quarantine")
+    _write_quarantining_nulls(
+        assigned,
+        new_vectors,
+        vec_col,
+        lambda valid: valid.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells"),
+        f"{path}/quarantine",
+        "append",
+    )
 
 
 def delete_from_ivf_index(

@@ -108,19 +108,50 @@ def fold_batch(
     workload needs the map rebuilt for the affected component — the
     quarantine dir is exactly the work list for that job. Within-batch
     replay (same batch_id) was already idempotent via per-batch
-    overwrite. The prior-id lookup is a column-pruned (doc_id-only)
-    scan of the standing base dirs broadcast-anti-joined against the
-    (small) batch."""
+    overwrite.
+
+    The membership registry is the ``ids/batch=k`` sidecar (EVERY
+    first-delivered id, including docs too short to shingle — the
+    base dirs alone would miss those and accept their re-delivery as
+    new), written id-sorted so the per-fold probe reads it through
+    ``_keys_pruned``: the batch's ids push as an In filter and parquet
+    row-group stats skip everything but matching groups — bytes read
+    track the batch, not the standing corpus. The per-file footer cost
+    still grows one file per batch; ``compact_state`` bin-packs the
+    sidecars with the rest of the state, and at deployment scale a
+    bloom artifact in front of the exact probe is the standard
+    escalation. States written before the sidecar existed fall back to
+    a doc_id-column scan of the base dirs (which cannot see
+    zero-shingle first deliveries — re-fold or backfill ids/ to close
+    that)."""
+    from ..operators.dedup import _keys_pruned
+
     base_root = f"{state_dir}/base"
     df_root = f"{state_dir}/df"
+    ids_root = f"{state_dir}/ids"
     map_root = f"{state_dir}/map"
 
-    prior_for_guard = _batches_below(spark, base_root, batch_id)
-    if prior_for_guard:
+    # one listing per root, reused everywhere below
+    prior_base = _batches_below(spark, base_root, batch_id)
+    prior_ids_dirs = _batches_below(spark, ids_root, batch_id)
+
+    if prior_base or prior_ids_dirs:
         from pyspark.sql import Observation
 
         arriving = batch_df
-        prior_ids = spark.read.parquet(*prior_for_guard).select("doc_id")
+        if len(prior_ids_dirs) >= len(prior_base):
+            batch_ids = sorted(
+                r[0] for r in arriving.select("doc_id").distinct().collect()
+            )
+            prior_ids = _keys_pruned(
+                spark.read.parquet(*prior_ids_dirs),
+                "doc_id",
+                batch_ids,
+                arriving.select("doc_id").distinct(),
+                2048,
+            )
+        else:  # pre-sidecar state: column-pruned base scan (see docstring)
+            prior_ids = spark.read.parquet(*prior_base).select("doc_id")
         obs = Observation()
         # the arrival count rides the anti-join's checkpoint — the
         # diverted count is then arithmetic, no second standing scan on
@@ -137,6 +168,15 @@ def fold_batch(
                 .parquet(f"{state_dir}/redelivered/batch={batch_id}")
             )
 
+    # id-sorted sidecar: the guard's pushed-In probe needs tight
+    # row-group min/max stats; includes zero-shingle docs by design
+    (
+        batch_df.select("doc_id")
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{ids_root}/batch={batch_id}")
+    )
     base = batch_df.select(
         F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -148,7 +188,6 @@ def fold_batch(
         f"{df_root}/batch={batch_id}"
     )
 
-    prior_base = _batches_below(spark, base_root, batch_id)
     prior_maps = _batches_below(spark, map_root, batch_id)
     if not prior_base or not prior_maps:
         # first effective batch: the one-shot builder IS the fold

@@ -83,11 +83,13 @@ def append_batch(
     every subsequent fold's affected-cell derivation and permanently
     wedge maintenance on one bad record. The null count is measured
     with an Observation riding the main write — zero extra jobs on a
-    clean batch (the common case)."""
+    clean batch (the common case); the dirty path writes the offending
+    INPUT rows, one source-scan filter, no second assignment pass
+    (ann_index._write_quarantining_nulls — shared with the batch
+    path)."""
     import numpy as np
-    from pyspark.sql import Observation
 
-    from ..operators.ann_index import assign_cells
+    from ..operators.ann_index import _write_quarantining_nulls, assign_cells
 
     if centroids is None:
         rows = (
@@ -95,17 +97,16 @@ def append_batch(
         )
         centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     assigned = assign_cells(batch_df, centroids, vec_col=vec_col)
-    obs = Observation()
-    valid = assigned.observe(
-        obs, F.count(F.when(F.col("cell").isNull(), 1)).alias("n_null")
-    ).filter(F.col("cell").isNotNull())
-    valid.write.mode("overwrite").parquet(
-        f"{index_dir}/appends/batch={int(epoch_id)}"
+    _write_quarantining_nulls(
+        assigned,
+        batch_df,
+        vec_col,
+        lambda valid: valid.write.mode("overwrite").parquet(
+            f"{index_dir}/appends/batch={int(epoch_id)}"
+        ),
+        f"{index_dir}/quarantine/batch={int(epoch_id)}",
+        "overwrite",
     )
-    if obs.get["n_null"]:
-        assigned.filter(F.col("cell").isNull()).drop("cell").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/quarantine/batch={int(epoch_id)}")
 
 
 def start_vector_ingest_stream(

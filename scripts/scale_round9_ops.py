@@ -131,10 +131,20 @@ def gen_sf10(spark) -> None:
         if k == 0:
             eparts.append(emb.select("vec_id", "embedding", "label"))
             continue
-        r = k % DIM if k % DIM else 1
-        rot = F.concat(
-            F.slice(F.col("embedding"), r + 1, DIM - r),
-            F.slice(F.col("embedding"), 1, r),
+        # (rotation, flip) = (k % DIM, k >= DIM) is injective for
+        # k < 2*DIM, so no two replicas share a transform (k=64 is
+        # rotation 0 WITH flip — pure negation, distinct from every
+        # unflipped rotation; the earlier `or 1` fallback mapped
+        # replicas 64 and 65 to the same transform and planted ~1M
+        # artificial exact-duplicate vectors in the 100x slice)
+        r = k % DIM
+        rot = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, DIM - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
         )
         if k >= DIM:
             rot = F.transform(rot, lambda x: -x)
