@@ -1035,13 +1035,17 @@ def _keys_pruned(
 def ngram_jaccard_pairs_incremental_bucketed(
     spark,
     new_docs: DataFrame,
-    state_dir: str,
+    state_dir: str | None = None,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     max_shingle_freq: int | None = None,
     max_in_pushdown: int = 2048,
+    postings: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
+    old_base: DataFrame | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """``ngram_jaccard_pairs_incremental_indexed`` with the per-batch
     old-corpus scans replaced by PRUNED INDEX LOOKUPS — identical output
@@ -1088,7 +1092,26 @@ def ngram_jaccard_pairs_incremental_bucketed(
     affected-cell list): the batch's ids, its distinct (bucket, hash)
     shingle keys, and the candidate old-id list — all proportional to
     the BATCH, never the corpus.
+
+    SOURCES: by default the three index artifacts are read from
+    ``state_dir`` (materialize_incremental_state's layout). A LAYERED
+    caller — the dedup stream, whose state is per-batch
+    ``postings/batch=k/bucket=j`` dirs — passes ``postings`` /
+    ``shingle_df`` / ``old_base`` frames directly (already filtered to
+    its standing layers) plus ``n_buckets``; partition/pushed filters
+    compose with the caller's partition-column filters, and the
+    per-shingle df lookup SUMS across layers (a no-op for the
+    single-table layout, the exact union count for per-batch tables —
+    valid because the stream's first-delivery-wins guard keeps ids
+    unique across layers, so no stale copy ever double-counts).
     """
+    if state_dir is None and (
+        postings is None or shingle_df is None or old_base is None
+        or n_buckets is None
+    ):
+        raise ValueError(
+            "pass state_dir, or all of postings/shingle_df/old_base/n_buckets"
+        )
     new_base = (
         new_docs.select(
             F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
@@ -1101,10 +1124,13 @@ def ngram_jaccard_pairs_incremental_bucketed(
         .withColumn("shingle_h", F.xxhash64("shingle"))
         .cache()
     )
-    n_buckets = int(
-        spark.read.parquet(f"{state_dir}/meta").collect()[0].posting_buckets
-    )
-    bucket_of = F.pmod("shingle_h", F.lit(n_buckets)).cast("int")
+    if n_buckets is None:
+        n_buckets = int(
+            spark.read.parquet(f"{state_dir}/meta")
+            .collect()[0]
+            .posting_buckets
+        )
+    bucket_of = F.pmod("shingle_h", F.lit(int(n_buckets))).cast("int")
     keys = (
         new_sh.select(bucket_of.alias("bucket"), "shingle_h")
         .distinct()
@@ -1122,7 +1148,11 @@ def ngram_jaccard_pairs_incremental_bucketed(
         )
 
     new_ids = new_base.select(id_col)
-    base_scan = spark.read.parquet(f"{state_dir}/old_base")
+    base_scan = (
+        old_base
+        if old_base is not None
+        else spark.read.parquet(f"{state_dir}/old_base")
+    )
     owned = [new_base, new_sh]
 
     if max_shingle_freq is not None:
@@ -1140,16 +1170,29 @@ def ngram_jaccard_pairs_incremental_bucketed(
         new_cnt = new_sh.groupBy("shingle", "shingle_h").agg(
             F.count(F.lit(1)).alias("ndf")
         )
-        df_scan = spark.read.parquet(f"{state_dir}/shingle_df").filter(
+        df_src = (
+            shingle_df
+            if shingle_df is not None
+            else spark.read.parquet(f"{state_dir}/shingle_df")
+        )
+        df_scan = df_src.filter(
             F.col("bucket").isin(sorted({int(r.bucket) for r in keys}))
         )
-        old_df_b = _keys_pruned(
-            df_scan,
-            "shingle_h",
-            sorted({int(r.shingle_h) for r in keys}),
-            new_sh.select("shingle_h").distinct(),
-            max_in_pushdown,
-        ).select("shingle", "df")
+        # sum across layers: one row per shingle in the single-table
+        # layout (sum of one — exact no-op); per-batch df tables in the
+        # layered layout add up to the exact union count (ids unique
+        # across layers by the caller's contract)
+        old_df_b = (
+            _keys_pruned(
+                df_scan,
+                "shingle_h",
+                sorted({int(r.shingle_h) for r in keys}),
+                new_sh.select("shingle_h").distinct(),
+                max_in_pushdown,
+            )
+            .groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+        )
         # freq is the CAPPED batch-shingle set — batch-bounded; cached
         # because it feeds the lookup-key collect, the posting prune,
         # and the batch-side join below
@@ -1178,7 +1221,11 @@ def ngram_jaccard_pairs_incremental_bucketed(
         lkeys = keys
         lookup_hashes = new_sh.select("shingle_h").distinct()
 
-    post_scan = spark.read.parquet(f"{state_dir}/postings")
+    post_scan = (
+        postings
+        if postings is not None
+        else spark.read.parquet(f"{state_dir}/postings")
+    )
     if lkeys:
         post = _keys_pruned(
             post_scan.filter(

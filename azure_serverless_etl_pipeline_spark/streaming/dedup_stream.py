@@ -15,23 +15,37 @@ subdirectories so every write is an IDEMPOTENT overwrite keyed by the
 checkpointed batch id — a crash-rerun of batch k rewrites exactly
 batch k's artifacts):
 
-- ``base/batch=k/``  — (doc_id, shingles) for batch k's docs
-- ``df/batch=k/``    — batch k's per-shingle document counts
+- ``base/batch=k/``  — (doc_id, shingles) for batch k's docs, id-sorted
+- ``postings/batch=k/bucket=j/`` — batch k's LAYER of the bucketed
+  inverted index: (doc_id, shingle, shingle_h) partitioned by
+  ``pmod(xxhash64(shingle), B)``, sorted by shingle_h — the same
+  layout ``materialize_incremental_state`` writes once, produced
+  incrementally (round 9)
+- ``df/batch=k/bucket=j/`` — batch k's per-shingle counts, same layout
+- ``ids/batch=k/``   — every first-delivered id (the re-delivery
+  guard's registry), id-sorted
 - ``map/batch=k/``   — the FULL cluster map after folding batch k
+- ``meta/``          — the bucket modulus, pinned by the first fold
 - ``redelivered/batch=k/`` — rows diverted by the first-delivery-wins
   guard (an id arriving again in a later batch; see fold_batch) —
   written only when non-empty
 
-The probe for batch k reads base/df subdirs with batch < k only, so
-reprocessing is insensitive to its own partial output. Document
-frequencies for the stop-shingle cap are the sum of the per-batch
-count tables — |distinct shingles| rows per batch, far smaller than
-the corpus, and exactly what a one-shot run over old+new would count.
+The probe for batch k reads layers with batch < k only (a partition
+filter on the discovered ``batch`` column), so reprocessing is
+insensitive to its own partial output. Candidate generation runs the
+CAP-FIRST bucketed lookup (`ngram_jaccard_pairs_incremental_bucketed`
+with the layered frames): union document frequency resolves from the
+pruned per-batch df layers SUMMED per shingle — exactly what a
+one-shot run over old+new counts, because the re-delivery guard keeps
+ids unique across layers — and only cap-surviving shingles touch the
+posting layers, so per-fold I/O tracks the batch and its matches, not
+the standing corpus (the round-8 residual, closed for the stream too).
 
-At 100 TB: base is append-only (no rewrite of history), df tables are
-aggregated and tiny relative to text, and the map rewrite per batch is
-|docs in any near-dup edge| — the same artifacts a nightly OPTIMIZE
-would compact (operators/compaction handles the small per-batch files).
+At 100 TB: every layer is append-only (no rewrite of history), the
+pruned lookups bound bytes per fold, and the map rewrite per batch is
+|docs in any near-dup edge| — the accumulating per-batch files are the
+same artifacts a nightly OPTIMIZE compacts (compact_state bin-packs
+all five layered roots, bucket leaves included).
 """
 
 from __future__ import annotations
@@ -43,7 +57,7 @@ from ..operators.dedup import (
     dup_clusters,
     incremental_dup_clusters,
     ngram_jaccard_pairs,
-    ngram_jaccard_pairs_incremental_indexed,
+    ngram_jaccard_pairs_incremental_bucketed,
     word_shingles,
 )
 
@@ -88,6 +102,7 @@ def fold_batch(
     threshold: float = 0.5,
     n: int = 3,
     max_shingle_freq: int | None = 50,
+    posting_buckets: int = 16,
 ) -> None:
     """Fold one micro-batch into the state. Idempotent per batch_id.
 
@@ -128,6 +143,7 @@ def fold_batch(
 
     base_root = f"{state_dir}/base"
     df_root = f"{state_dir}/df"
+    post_root = f"{state_dir}/postings"
     ids_root = f"{state_dir}/ids"
     map_root = f"{state_dir}/map"
 
@@ -177,15 +193,61 @@ def fold_batch(
         .write.mode("overwrite")
         .parquet(f"{ids_root}/batch={batch_id}")
     )
+    # the bucket modulus is a property of the STATE, not the call: the
+    # first fold pins it in meta; later folds (and any caller passing a
+    # different posting_buckets) follow the pinned value — mixed moduli
+    # across layers would mis-prune every bucketed read
+    meta_path = f"{state_dir}/meta"
+    jvm = spark._jvm
+    jmeta = jvm.org.apache.hadoop.fs.Path(meta_path)
+    fs = jmeta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jmeta):
+        posting_buckets = int(
+            spark.read.parquet(meta_path).collect()[0].posting_buckets
+        )
+    else:
+        spark.createDataFrame(
+            [(int(posting_buckets),)], "posting_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+    # id-sorted base (single per-batch file): the bucketed verify
+    # re-fetch pushes In(doc_id) and skips non-matching row groups
     base = batch_df.select(
         F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    base.write.mode("overwrite").parquet(f"{base_root}/batch={batch_id}")
+    (
+        base.coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{base_root}/batch={batch_id}")
+    )
     base = spark.read.parquet(f"{base_root}/batch={batch_id}")
-    base.select(F.col("doc_id"), F.explode("shingles").alias("shingle")).groupBy(
-        "shingle"
-    ).agg(F.count(F.lit(1)).alias("df")).write.mode("overwrite").parquet(
-        f"{df_root}/batch={batch_id}"
+    # per-batch LAYER of the bucketed posting index + df table — the
+    # same layout materialize_incremental_state writes once, produced
+    # incrementally: partitioned by pmod(xxhash64(shingle), B), sorted
+    # by shingle_h within each bucket so the pruned lookups row-group
+    # skip (compact_state bin-packs the accumulating per-batch files)
+    sh = base.select(
+        F.col("doc_id"), F.explode("shingles").alias("shingle")
+    ).withColumn("shingle_h", F.xxhash64("shingle"))
+    bucket = F.pmod("shingle_h", F.lit(posting_buckets)).cast("int")
+    (
+        sh.withColumn("bucket", bucket)
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "shingle_h")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{post_root}/batch={batch_id}")
+    )
+    (
+        sh.groupBy("shingle", "shingle_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket", bucket)
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "shingle_h")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{df_root}/batch={batch_id}")
     )
 
     prior_maps = _batches_below(spark, map_root, batch_id)
@@ -200,20 +262,26 @@ def fold_batch(
             )
         )
     else:
-        old_base = spark.read.parquet(*prior_base)
-        old_df = (
-            spark.read.parquet(*_batches_below(spark, df_root, batch_id))
-            .groupBy("shingle")
-            .agg(F.sum("df").alias("df"))
-        )
+        # standing layers = every batch < k, selected by a partition
+        # filter on the discovered batch column (reading the ROOT keeps
+        # reprocessing insensitive to batch k's own just-written layer)
         old_map = spark.read.parquet(prior_maps[-1])
-        inc = ngram_jaccard_pairs_incremental_indexed(
+        inc = ngram_jaccard_pairs_incremental_bucketed(
+            spark,
             batch_df,
-            old_base,
-            old_df,
             threshold=threshold,
             n=n,
             max_shingle_freq=max_shingle_freq,
+            postings=spark.read.parquet(post_root).filter(
+                F.col("batch") < batch_id
+            ),
+            shingle_df=spark.read.parquet(df_root).filter(
+                F.col("batch") < batch_id
+            ),
+            old_base=spark.read.parquet(base_root).filter(
+                F.col("batch") < batch_id
+            ),
+            n_buckets=posting_buckets,
         )
         new_map = incremental_dup_clusters(old_map, inc)
     new_map.write.mode("overwrite").parquet(f"{map_root}/batch={batch_id}")
@@ -245,16 +313,36 @@ def compact_state(
     same leaf), exactly like an offline OPTIMIZE job."""
     from ..operators.compaction import compact_parquet_dir
 
+    def leaves() -> list[str]:
+        # flat per-batch roots, plus the bucketed roots whose leaves sit
+        # one level deeper (batch=K/bucket=J)
+        out: list[str] = []
+        for sub in ("base", "ids", "map"):
+            out += [p for _b, p in _list_batches(spark, f"{state_dir}/{sub}")]
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for sub in ("df", "postings"):
+            for _b, path in _list_batches(spark, f"{state_dir}/{sub}"):
+                jp = jvm.org.apache.hadoop.fs.Path(path)
+                fs = jp.getFileSystem(conf)
+                buckets = [
+                    st.getPath().toString()
+                    for st in fs.listStatus(jp)
+                    if st.isDirectory()
+                    and st.getPath().getName().startswith("bucket=")
+                ]
+                out += buckets or [path]
+        return out
+
     out = {"dirs": 0, "compacted": 0, "rewritten": 0}
-    for sub in ("base", "df", "map"):
-        for _b, path in _list_batches(spark, f"{state_dir}/{sub}"):
-            stats = compact_parquet_dir(
-                spark, path, target_bytes=target_bytes,
-                min_file_bytes=min_file_bytes,
-            )
-            out["dirs"] += 1
-            out["compacted"] += int(stats["compacted"])
-            out["rewritten"] += stats["rewritten"]
+    for path in leaves():
+        stats = compact_parquet_dir(
+            spark, path, target_bytes=target_bytes,
+            min_file_bytes=min_file_bytes,
+        )
+        out["dirs"] += 1
+        out["compacted"] += int(stats["compacted"])
+        out["rewritten"] += stats["rewritten"]
     return out
 
 
@@ -267,6 +355,7 @@ def start_dedup_stream(
     n: int = 3,
     max_shingle_freq: int | None = 50,
     compact_every: int | None = None,
+    posting_buckets: int = 16,
 ):
     """Tail a landing directory of document parquet files; every
     micro-batch folds into the standing cluster map. availableNow gives
@@ -294,6 +383,7 @@ def start_dedup_stream(
             threshold=threshold,
             n=n,
             max_shingle_freq=max_shingle_freq,
+            posting_buckets=posting_buckets,
         )
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             compact_state(spark, state_dir)

@@ -178,7 +178,9 @@ def test_compact_state_crash_resume(spark, tmp_path):
         )
 
     stats = compact_state(spark, state)
-    assert stats["dirs"] == 6  # base/df/map x 2 batches
+    # flat leaves (base/ids/map x 2 batches) + the two bucketed roots'
+    # bucket leaves (df + postings, 16 buckets x 2 batches each)
+    assert stats["dirs"] == 3 * 2 + 2 * 2 * 16
     assert not os.path.exists(mpath)  # pending manifest replayed
     assert not os.path.exists(src)  # original deleted exactly once
 
