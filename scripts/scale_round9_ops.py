@@ -286,6 +286,58 @@ def vector_live_probe(spark, emb_path: str, tag: str) -> list[tuple]:
     return rows
 
 
+def stream_fold_probe(spark, docs_path: str, tag: str) -> list[tuple]:
+    """Claim 4 (round-9 late): the dedup STREAM's per-fold cost with the
+    layered bucketed index. Standing state = the corpus folded in as 3
+    batches (80% one-shot + two 10% incremental layers — so the probe
+    reads MULTI-layer postings/df, not a degenerate single layer); the
+    measured row is the fold of the FIXED 500-doc batch, median of 3
+    idempotent replays (same batch id — each replay overwrites its own
+    layer and reruns identical work)."""
+    import statistics
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        fold_batch,
+    )
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    batch = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + F.lit(1_900_000_000)).alias("doc_id"), "text"
+        )
+    )
+    state = f"/tmp/scale_r9_stream_{tag}"
+    shutil.rmtree(state, ignore_errors=True)
+    rows: list[tuple] = []
+    s0, t0 = shuffle_bytes(sc), time.time()
+    fold_batch(spark, docs.filter(F.col("doc_id") % 10 < 8), 0, state,
+               max_shingle_freq=100)
+    fold_batch(spark, docs.filter(F.col("doc_id") % 10 == 8), 1, state,
+               max_shingle_freq=100)
+    fold_batch(spark, docs.filter(F.col("doc_id") % 10 == 9), 2, state,
+               max_shingle_freq=100)
+    rows.append(
+        (f"stream_state_build_{tag}", round(time.time() - t0, 2),
+         (shuffle_bytes(sc) - s0) >> 20)
+    )
+    fold_batch(spark, batch, 3, state, max_shingle_freq=100)  # warm-up
+    samples, mb = [], 0
+    for _ in range(3):
+        s0, t0 = shuffle_bytes(sc), time.time()
+        fold_batch(spark, batch, 3, state, max_shingle_freq=100)
+        samples.append(time.time() - t0)
+        mb += shuffle_bytes(sc) - s0
+    rows.append(
+        (f"stream_fold_fixed_batch_{tag}",
+         round(statistics.median(samples), 2), (mb // 3) >> 20)
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    return rows
+
+
 def gemm_codebook_probe(spark) -> list[tuple]:
     """Claim 3: dim-768 assignment at production codebook sizes. The
     corpus is synthetic (100k rows, per-partition seeded numpy) — the
@@ -352,6 +404,12 @@ def main() -> None:
         rows += vector_live_probe(spark, f"{SLICE100}/embeddings.parquet", "100x")
     if what in ("all", "claim3"):
         rows += gemm_codebook_probe(spark)
+    if what in ("all", "claim4"):
+        rows += stream_fold_probe(spark, f"{SF01}/documents.parquet", "1x")
+        rows += stream_fold_probe(spark, f"{SLICE10}/documents.parquet", "10x")
+        rows += stream_fold_probe(
+            spark, f"{SLICE100}/documents.parquet", "100x"
+        )
     print("| op | sec | shuffle MB |")
     print("|---|---|---|")
     for name, sec, mb in rows:
