@@ -850,27 +850,8 @@ def materialize_incremental_state(
         id_col
     ).write.mode("overwrite").parquet(f"{state_dir}/old_base")
     sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    bucket = F.pmod(F.xxhash64("shingle"), F.lit(posting_buckets)).cast("int")
-    (
-        sh.withColumn("shingle_h", F.xxhash64("shingle"))
-        .withColumn("bucket", bucket)
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "shingle_h")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{state_dir}/postings")
-    )
-    (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("shingle_h", F.xxhash64("shingle"))
-        .withColumn("bucket", bucket)
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "shingle_h")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{state_dir}/shingle_df")
-    )
+    write_bucketed_layer(sh, posting_buckets, f"{state_dir}/postings")
+    write_bucketed_df(sh, posting_buckets, f"{state_dir}/shingle_df")
     # the reader must hash batch shingles with the WRITER's modulus: pin
     # it in the state itself (a 1-row parquet — engine-portable, same
     # medium as every other artifact)
@@ -1007,6 +988,40 @@ def ngram_jaccard_pairs_incremental_indexed(
     return out
 
 
+def write_bucketed_layer(
+    frame: DataFrame, n_buckets: int, path: str
+) -> None:
+    """Write any shingle-keyed frame as one bucketed index layer:
+    partitioned by ``pmod(xxhash64(shingle), n_buckets)``, sorted by
+    ``shingle_h`` within each bucket so pruned lookups row-group-skip.
+    SINGLE source of truth for the layout — materialize's one-shot
+    postings/df tables and the dedup stream's per-batch layers all
+    write through here, and the bucketed reader is only correct while
+    every writer agrees on (hash, modulus, sort key) exactly."""
+    (
+        frame.withColumn("shingle_h", F.xxhash64("shingle"))
+        .withColumn(
+            "bucket",
+            F.pmod("shingle_h", F.lit(int(n_buckets))).cast("int"),
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("bucket", "shingle_h")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def write_bucketed_df(sh: DataFrame, n_buckets: int, path: str) -> None:
+    """Per-shingle document counts of a posting stream, in the same
+    bucketed/sorted layout (the cap lookup reads both the same way)."""
+    write_bucketed_layer(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")),
+        n_buckets,
+        path,
+    )
+
+
 def _keys_pruned(
     scan: DataFrame,
     col: str,
@@ -1124,12 +1139,21 @@ def ngram_jaccard_pairs_incremental_bucketed(
         .withColumn("shingle_h", F.xxhash64("shingle"))
         .cache()
     )
-    if n_buckets is None:
-        n_buckets = int(
+    if state_dir is not None:
+        # the modulus is a property of the persisted state — always read
+        # the pinned value; a caller-supplied mismatch would mis-prune
+        # every bucketed read into silently incomplete output
+        pinned = int(
             spark.read.parquet(f"{state_dir}/meta")
             .collect()[0]
             .posting_buckets
         )
+        if n_buckets is not None and int(n_buckets) != pinned:
+            raise ValueError(
+                f"n_buckets={n_buckets} contradicts the state's pinned "
+                f"posting_buckets={pinned} ({state_dir}/meta)"
+            )
+        n_buckets = pinned
     bucket_of = F.pmod("shingle_h", F.lit(int(n_buckets))).cast("int")
     keys = (
         new_sh.select(bucket_of.alias("bucket"), "shingle_h")

@@ -59,9 +59,20 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_incremental_bucketed,
     word_shingles,
+    write_bucketed_df,
+    write_bucketed_layer,
 )
 
 DOC_SCHEMA = "doc_id long, text string"
+
+# explicit layer schemas (batch/bucket are the discovered partition
+# columns): layers written from empty batches commit no parquet footer,
+# so root reads must never depend on schema inference
+_BASE_SCHEMA = "doc_id long, shingles array<string>"
+_POST_SCHEMA = (
+    "doc_id long, shingle string, shingle_h long, batch int, bucket int"
+)
+_DF_SCHEMA = "shingle string, df long, shingle_h long, batch int, bucket int"
 
 
 def _list_batches(spark: SparkSession, root: str) -> list[tuple[int, str]]:
@@ -160,14 +171,16 @@ def fold_batch(
                 r[0] for r in arriving.select("doc_id").distinct().collect()
             )
             prior_ids = _keys_pruned(
-                spark.read.parquet(*prior_ids_dirs),
+                spark.read.schema("doc_id long").parquet(*prior_ids_dirs),
                 "doc_id",
                 batch_ids,
                 arriving.select("doc_id").distinct(),
                 2048,
             )
         else:  # pre-sidecar state: column-pruned base scan (see docstring)
-            prior_ids = spark.read.parquet(*prior_base).select("doc_id")
+            prior_ids = spark.read.schema(_BASE_SCHEMA).parquet(
+                *prior_base
+            ).select("doc_id")
         obs = Observation()
         # the arrival count rides the anti-join's checkpoint — the
         # diverted count is then arithmetic, no second standing scan on
@@ -196,12 +209,19 @@ def fold_batch(
     # the bucket modulus is a property of the STATE, not the call: the
     # first fold pins it in meta; later folds (and any caller passing a
     # different posting_buckets) follow the pinned value — mixed moduli
-    # across layers would mis-prune every bucketed read
+    # across layers would mis-prune every bucketed read. The gate checks
+    # for a committed DATA file, not bare directory existence: a crash
+    # mid-first-write leaves _temporary debris that a rerun's overwrite
+    # self-heals (every artifact here is crash-rerun idempotent).
     meta_path = f"{state_dir}/meta"
     jvm = spark._jvm
     jmeta = jvm.org.apache.hadoop.fs.Path(meta_path)
     fs = jmeta.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jmeta):
+    has_meta = fs.exists(jmeta) and any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jmeta)
+    )
+    if has_meta:
         posting_buckets = int(
             spark.read.parquet(meta_path).collect()[0].posting_buckets
         )
@@ -209,46 +229,49 @@ def fold_batch(
         spark.createDataFrame(
             [(int(posting_buckets),)], "posting_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    # pre-round-9 states carry flat df layers and no postings root —
+    # folding a bucketed layer next to them would leave conflicting
+    # partition depths and a standing corpus the reader cannot see;
+    # refuse loudly instead of corrupting the state
+    if prior_base and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(post_root)
+    ):
+        raise ValueError(
+            f"{state_dir} predates the bucketed layout (base/ layers "
+            "without postings/): re-fold the state from the landing "
+            "data, or backfill per-batch layers with "
+            "dedup.write_bucketed_layer / write_bucketed_df first"
+        )
 
-    # id-sorted base (single per-batch file): the bucketed verify
-    # re-fetch pushes In(doc_id) and skips non-matching row groups
+    # id-RANGE-sorted base: the bucketed verify re-fetch pushes
+    # In(doc_id) and min/max-skips row groups across the ranged files
+    # (repartitionByRange stays parallel for the big one-shot first
+    # layer; AQE coalesces the tiny micro-batch case to few files)
     base = batch_df.select(
         F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     (
-        base.coalesce(1)
+        base.repartitionByRange(F.col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(f"{base_root}/batch={batch_id}")
     )
-    base = spark.read.parquet(f"{base_root}/batch={batch_id}")
-    # per-batch LAYER of the bucketed posting index + df table — the
-    # same layout materialize_incremental_state writes once, produced
-    # incrementally: partitioned by pmod(xxhash64(shingle), B), sorted
-    # by shingle_h within each bucket so the pruned lookups row-group
-    # skip (compact_state bin-packs the accumulating per-batch files)
+    base = spark.read.schema(_BASE_SCHEMA).parquet(
+        f"{base_root}/batch={batch_id}"
+    )
+    # per-batch LAYER of the bucketed posting index + df table, written
+    # through the SAME helpers as materialize_incremental_state (one
+    # source of truth for hash/modulus/sort — reader correctness depends
+    # on every writer agreeing exactly); sh is cached so the two layer
+    # writes pay one explode, not two
     sh = base.select(
         F.col("doc_id"), F.explode("shingles").alias("shingle")
-    ).withColumn("shingle_h", F.xxhash64("shingle"))
-    bucket = F.pmod("shingle_h", F.lit(posting_buckets)).cast("int")
-    (
-        sh.withColumn("bucket", bucket)
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "shingle_h")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{post_root}/batch={batch_id}")
+    ).cache()
+    write_bucketed_layer(
+        sh, posting_buckets, f"{post_root}/batch={batch_id}"
     )
-    (
-        sh.groupBy("shingle", "shingle_h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("bucket", bucket)
-        .repartition("bucket")
-        .sortWithinPartitions("bucket", "shingle_h")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{df_root}/batch={batch_id}")
-    )
+    write_bucketed_df(sh, posting_buckets, f"{df_root}/batch={batch_id}")
+    sh.unpersist()
 
     prior_maps = _batches_below(spark, map_root, batch_id)
     if not prior_base or not prior_maps:
@@ -264,7 +287,10 @@ def fold_batch(
     else:
         # standing layers = every batch < k, selected by a partition
         # filter on the discovered batch column (reading the ROOT keeps
-        # reprocessing insensitive to batch k's own just-written layer)
+        # reprocessing insensitive to batch k's own just-written layer).
+        # Schemas are EXPLICIT: an all-zero-shingle batch's partitionBy
+        # write commits no data file, and schema inference over a root
+        # whose only layers are footerless would fail the whole fold.
         old_map = spark.read.parquet(prior_maps[-1])
         inc = ngram_jaccard_pairs_incremental_bucketed(
             spark,
@@ -272,15 +298,15 @@ def fold_batch(
             threshold=threshold,
             n=n,
             max_shingle_freq=max_shingle_freq,
-            postings=spark.read.parquet(post_root).filter(
-                F.col("batch") < batch_id
-            ),
-            shingle_df=spark.read.parquet(df_root).filter(
-                F.col("batch") < batch_id
-            ),
-            old_base=spark.read.parquet(base_root).filter(
-                F.col("batch") < batch_id
-            ),
+            postings=spark.read.schema(_POST_SCHEMA)
+            .parquet(post_root)
+            .filter(F.col("batch") < batch_id),
+            shingle_df=spark.read.schema(_DF_SCHEMA)
+            .parquet(df_root)
+            .filter(F.col("batch") < batch_id),
+            old_base=spark.read.schema(_BASE_SCHEMA + ", batch int")
+            .parquet(base_root)
+            .filter(F.col("batch") < batch_id),
             n_buckets=posting_buckets,
         )
         new_map = incremental_dup_clusters(old_map, inc)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-9 scale evidence, three claims measured (SCALE.md):
+"""Round-9 scale evidence, four claims measured (SCALE.md):
 
 1. THE POSTING-INDEX FIX (VERDICT r8 item 1): the incremental dedup
    batch tail, FIXED batch, against 1x (sf0.1) / 10x (/tmp/sf1_slice)
@@ -24,8 +24,13 @@
    reported next to wall; the per-worker residency math and the
    rebuild-to-PQ escape past ~0.5 GB are documented in SCALE.md.
 
+4. THE STREAM FOLD (round-9 late): fold_batch with the layered
+   bucketed index — standing state = the corpus folded in as 3
+   batches, measured row = the fold of the FIXED 500-doc batch
+   (median of 3 idempotent replays) at 1x/10x/100x. Claim: flat.
+
 Run on an otherwise idle machine:
-    python scripts/scale_round9_ops.py [claim1|claim2|claim3|gen]
+    python scripts/scale_round9_ops.py [claim1|claim2|claim3|claim4|gen]
 (no arg = all; `gen` only builds the /tmp slices). Requires
 scripts/scale_dedup_sf1.py to have generated /tmp/sf1_slice.
 """

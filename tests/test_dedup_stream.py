@@ -369,3 +369,68 @@ def test_fully_redelivered_batch_is_a_noop_fold(spark, tmp_path):
     assert base.count() == base.select("doc_id").distinct().count()
     red = spark.read.parquet(f"{state}/redelivered/batch=1")
     assert red.count() == half.count()
+
+
+def test_zero_shingle_first_batches_fold_cleanly(spark, tmp_path):
+    """An all-too-short first file (every doc under the shingle width)
+    commits NO data file into the partitioned posting/df layers; later
+    folds must still read the roots (explicit layer schemas — inference
+    over footerless layers would kill the stream) and produce batch
+    truth, and re-delivery of a short doc must still be diverted (the
+    ids sidecar registers zero-shingle first deliveries)."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    short = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [9_000_001, 9_000_002], "text": ["one two", "ha"]}
+        )
+    )
+    fold_batch(spark, short, 0, state)
+    fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 1, state)
+    fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 2, state)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(docs)
+    # the short doc's re-delivery (changed text) is diverted, not folded
+    fold_batch(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9_000_001], "text": ["one two three"]})
+        ),
+        3,
+        state,
+    )
+    red = spark.read.parquet(f"{state}/redelivered/batch=3")
+    assert {r.doc_id for r in red.collect()} == {9_000_001}
+    after = current_map(spark, state).toPandas()
+    assert dict(zip(after["doc_id"], after["cluster_id"])) == _truth(docs)
+
+
+def test_pre_bucketed_state_is_refused_loudly(spark, tmp_path):
+    """Folding into a state whose base layers predate the bucketed
+    postings/df layout must fail with a clear migration message, not
+    silently hide the standing corpus from candidate generation."""
+    import shutil
+
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    shutil.rmtree(f"{state}/postings")  # simulate a pre-round-9 state
+    with pytest.raises(ValueError, match="bucketed layout"):
+        fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, state)
