@@ -45,7 +45,7 @@ At 100 TB: every layer is append-only (no rewrite of history), the
 pruned lookups bound bytes per fold, and the map rewrite per batch is
 |docs in any near-dup edge| — the accumulating per-batch files are the
 same artifacts a nightly OPTIMIZE compacts (compact_state bin-packs
-all five layered roots, bucket leaves included).
+all six layered roots — redelivered/ included — bucket leaves too).
 """
 
 from __future__ import annotations
@@ -162,6 +162,82 @@ def fold_batch(
     prior_base = _batches_below(spark, base_root, batch_id)
     prior_ids_dirs = _batches_below(spark, ids_root, batch_id)
 
+    # ---- state-shape gates run BEFORE any write (advice r9): a refused
+    # fold must leave the state byte-identical — in particular it must
+    # NOT pin this call's posting_buckets into meta, because the
+    # recovery path (backfilling legacy layers) has to agree with
+    # whatever modulus the state ends up pinning, and a half-written
+    # meta would make that agreement a guess.
+    meta_path = f"{state_dir}/meta"
+    jvm = spark._jvm
+    jmeta = jvm.org.apache.hadoop.fs.Path(meta_path)
+    fs = jmeta.getFileSystem(spark._jsc.hadoopConfiguration())
+    # the bucket modulus is a property of the STATE, not the call: the
+    # first fold pins it in meta; later folds (and any caller passing a
+    # different posting_buckets) follow the pinned value — mixed moduli
+    # across layers would mis-prune every bucketed read. The gate checks
+    # for a committed DATA file, not bare directory existence: a crash
+    # mid-first-write leaves _temporary debris that a rerun's overwrite
+    # self-heals (every artifact here is crash-rerun idempotent).
+    has_meta = fs.exists(jmeta) and any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jmeta)
+    )
+    if has_meta:
+        posting_buckets = int(
+            spark.read.parquet(meta_path).collect()[0].posting_buckets
+        )
+    # pre-round-9 states carry flat df layers and no postings root —
+    # folding a bucketed layer next to them would leave conflicting
+    # partition depths and a standing corpus the reader cannot see;
+    # refuse loudly instead of corrupting the state. The message names
+    # the modulus the backfill MUST use: the pinned one if meta exists,
+    # else the value this fold would pin.
+    if prior_base and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(post_root)
+    ):
+        raise ValueError(
+            f"{state_dir} predates the bucketed layout (base/ layers "
+            "without postings/): re-fold the state from the landing "
+            "data, or backfill per-batch layers with "
+            "dedup.write_bucketed_layer / write_bucketed_df using "
+            f"n_buckets={int(posting_buckets)} ("
+            + (
+                "the modulus pinned in meta/"
+                if has_meta
+                else "the modulus this state will pin on its next fold"
+            )
+            + " — every layer must agree with it exactly)"
+        )
+    # layer/meta consistency: a backfilled or hand-written layer whose
+    # bucket dirs exceed the pinned modulus can NEVER be read correctly
+    # (the reader prunes on pmod(hash, pinned) and would skip those
+    # dirs silently — missed duplicate pairs with no error). Catch the
+    # detectable half of the mismatch loudly; an FS-metadata pass over
+    # the layer dirs, no data read.
+    if has_meta:
+        for root in (post_root, df_root):
+            for _b, bpath in _list_batches(spark, root):
+                jb = jvm.org.apache.hadoop.fs.Path(bpath)
+                for st in fs.listStatus(jb):
+                    name = st.getPath().getName()
+                    if not (st.isDirectory() and name.startswith("bucket=")):
+                        continue
+                    bucket = int(name.split("=", 1)[1])
+                    if bucket >= posting_buckets:
+                        raise ValueError(
+                            f"{bpath} holds bucket={bucket} but the state "
+                            f"pins posting_buckets={int(posting_buckets)} "
+                            f"({meta_path}): this layer was written with a "
+                            "different modulus and every bucketed read "
+                            "would silently mis-prune. Rewrite the layer "
+                            "with the pinned modulus."
+                        )
+    if not has_meta:
+        spark.createDataFrame(
+            [(int(posting_buckets),)], "posting_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
     if prior_base or prior_ids_dirs:
         from pyspark.sql import Observation
 
@@ -206,43 +282,6 @@ def fold_batch(
         .write.mode("overwrite")
         .parquet(f"{ids_root}/batch={batch_id}")
     )
-    # the bucket modulus is a property of the STATE, not the call: the
-    # first fold pins it in meta; later folds (and any caller passing a
-    # different posting_buckets) follow the pinned value — mixed moduli
-    # across layers would mis-prune every bucketed read. The gate checks
-    # for a committed DATA file, not bare directory existence: a crash
-    # mid-first-write leaves _temporary debris that a rerun's overwrite
-    # self-heals (every artifact here is crash-rerun idempotent).
-    meta_path = f"{state_dir}/meta"
-    jvm = spark._jvm
-    jmeta = jvm.org.apache.hadoop.fs.Path(meta_path)
-    fs = jmeta.getFileSystem(spark._jsc.hadoopConfiguration())
-    has_meta = fs.exists(jmeta) and any(
-        st.getPath().getName().endswith(".parquet")
-        for st in fs.listStatus(jmeta)
-    )
-    if has_meta:
-        posting_buckets = int(
-            spark.read.parquet(meta_path).collect()[0].posting_buckets
-        )
-    else:
-        spark.createDataFrame(
-            [(int(posting_buckets),)], "posting_buckets int"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-    # pre-round-9 states carry flat df layers and no postings root —
-    # folding a bucketed layer next to them would leave conflicting
-    # partition depths and a standing corpus the reader cannot see;
-    # refuse loudly instead of corrupting the state
-    if prior_base and not fs.exists(
-        jvm.org.apache.hadoop.fs.Path(post_root)
-    ):
-        raise ValueError(
-            f"{state_dir} predates the bucketed layout (base/ layers "
-            "without postings/): re-fold the state from the landing "
-            "data, or backfill per-batch layers with "
-            "dedup.write_bucketed_layer / write_bucketed_df first"
-        )
-
     # id-RANGE-sorted base: the bucketed verify re-fetch pushes
     # In(doc_id) and min/max-skips row groups across the ranged files
     # (repartitionByRange stays parallel for the big one-shot first
@@ -326,8 +365,13 @@ def compact_state(
     min_file_bytes: int | None = None,
 ) -> dict:
     """OPTIMIZE pass over the dedup state: bin-pack every per-batch leaf
-    directory (base/df/map x batch=K) through
-    operators.compaction.compact_parquet_dir. Per-batch writes produce
+    directory — the flat roots (base/ids/map/redelivered x batch=K) and
+    the bucketed roots' leaves (df/postings x batch=K/bucket=J) —
+    through operators.compaction.compact_parquet_dir. The redelivered/
+    quarantine is a work list, not probe state, but it accumulates one
+    small file set per dirty batch exactly like the others and its
+    consumer (rebuild_updated) scans it whole — same bin-pack, same
+    cadence. Per-batch writes produce
     one file set per micro-batch — the standard streaming small-files
     problem; at scale a day of per-minute batches is thousands of
     KB-scale files and every probe of the posting lists pays a task +
@@ -343,7 +387,7 @@ def compact_state(
         # flat per-batch roots, plus the bucketed roots whose leaves sit
         # one level deeper (batch=K/bucket=J)
         out: list[str] = []
-        for sub in ("base", "ids", "map"):
+        for sub in ("base", "ids", "map", "redelivered"):
             out += [p for _b, p in _list_batches(spark, f"{state_dir}/{sub}")]
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()

@@ -178,9 +178,21 @@ def test_compact_state_crash_resume(spark, tmp_path):
         )
 
     stats = compact_state(spark, state)
-    # flat leaves (base/ids/map x 2 batches) + the two bucketed roots'
-    # bucket leaves (df + postings, 16 buckets x 2 batches each)
-    assert stats["dirs"] == 3 * 2 + 2 * 2 * 16
+    # flat leaves (base/ids/map/redelivered x batch) + the two bucketed
+    # roots' OBSERVED bucket leaves — counted on disk, not assumed 16
+    # per batch: a shingle distribution that leaves a bucket empty (or
+    # a future bucket-count change) is not a product defect (advice r9)
+    import glob
+
+    expected = 0
+    for sub in ("base", "ids", "map", "redelivered"):
+        expected += len(glob.glob(os.path.join(state, sub, "batch=*")))
+    for sub in ("df", "postings"):
+        for bdir in glob.glob(os.path.join(state, sub, "batch=*")):
+            buckets = glob.glob(os.path.join(bdir, "bucket=*"))
+            expected += len(buckets) if buckets else 1
+    assert expected >= 3 * 2  # sanity: the flat roots are all there
+    assert stats["dirs"] == expected
     assert not os.path.exists(mpath)  # pending manifest replayed
     assert not os.path.exists(src)  # original deleted exactly once
 
@@ -432,5 +444,83 @@ def test_pre_bucketed_state_is_refused_loudly(spark, tmp_path):
     state = str(tmp_path / "state")
     fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0, state)
     shutil.rmtree(f"{state}/postings")  # simulate a pre-round-9 state
-    with pytest.raises(ValueError, match="bucketed layout"):
+    with pytest.raises(ValueError, match="bucketed layout") as exc:
         fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    # the recovery instruction names the modulus the backfill must use
+    # (the pinned value — NOT whatever the failing call passed)
+    assert "n_buckets=16" in str(exc.value)
+    # the refused fold left the state byte-identical: no new sidecar,
+    # no new layers (advice r9 — a refusal that first pinned meta or
+    # wrote artifacts would leave recovery guessing)
+    import os
+
+    assert not os.path.exists(f"{state}/ids/batch=1")
+    assert not os.path.exists(f"{state}/base/batch=1")
+
+
+def test_refusal_before_first_meta_pin_leaves_state_untouched(
+    spark, tmp_path
+):
+    """The legacy refusal must fire BEFORE the first fold pins meta
+    (advice r9): a pre-bucketed state with NO meta yet (the actual
+    pre-round-9 shape) gets the refusal with meta still absent, so the
+    backfill + the retried fold agree on one modulus by construction."""
+    import os
+
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        word_shingles,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    # hand-build the pre-round-9 shape: a base layer, nothing else
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id"), word_shingles(F.col("text"), 3).alias("shingles")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{state}/base/batch=0")
+    )
+    with pytest.raises(ValueError, match="bucketed layout") as exc:
+        fold_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), 1, state,
+            posting_buckets=8,
+        )
+    assert "n_buckets=8" in str(exc.value)
+    assert not os.path.exists(f"{state}/meta")  # nothing was pinned
+    assert not os.path.exists(f"{state}/ids")
+
+
+def test_mismatched_layer_bucket_modulus_refused(spark, tmp_path):
+    """A backfilled layer whose bucket dirs contradict the pinned
+    modulus must be refused at the next fold, not silently mis-pruned
+    (advice r9: the reader prunes on pmod(hash, pinned) and would skip
+    out-of-range buckets forever — missed duplicate pairs, no error)."""
+    import os
+
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    fold_batch(spark, docs.filter(F.col("doc_id") % 3 == 0), 0, state)
+    # a layer written with a LARGER modulus (e.g. the 64-bucket default
+    # of materialize_incremental_state) leaves bucket dirs the pinned
+    # 16-modulus reader can never probe
+    os.makedirs(f"{state}/postings/batch=5/bucket=33")
+    with pytest.raises(ValueError, match="bucket=33") as exc:
+        fold_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), 6, state)
+    assert "posting_buckets=16" in str(exc.value)
