@@ -324,7 +324,15 @@ def _write_quarantining_nulls(
     quarantine side re-reads ``raw_batch`` filtered on the null
     EMBEDDING — under the assign_cells contract cell is NULL iff the
     vector is NULL, so the dirty path costs one source-scan filter and
-    never re-runs the assignment GEMM."""
+    never re-runs the assignment GEMM.
+
+    The contract itself is ASSERTED, not assumed (advice r9): a second
+    Observation rides the quarantine write and the two counts must
+    agree — if some future assignment path ever yields a NULL cell for
+    a non-NULL vector, those rows would vanish from both the index and
+    the quarantine, and this check turns that silent row loss into a
+    loud error on the very batch that hits it. Zero extra jobs either
+    way (both counts ride writes that happen regardless)."""
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -332,10 +340,24 @@ def _write_quarantining_nulls(
         obs, F.count(F.when(F.col("cell").isNull(), 1)).alias("n_null")
     ).filter(F.col("cell").isNotNull())
     write_valid(valid)
-    if obs.get["n_null"]:
-        raw_batch.filter(F.col(vec_col).isNull()).write.mode(
-            quarantine_mode
-        ).parquet(quarantine_path)
+    n_null = int(obs.get["n_null"])
+    if n_null:
+        qobs = Observation()
+        (
+            raw_batch.filter(F.col(vec_col).isNull())
+            .observe(qobs, F.count(F.lit(1)).alias("n_quarantined"))
+            .write.mode(quarantine_mode)
+            .parquet(quarantine_path)
+        )
+        n_q = int(qobs.get["n_quarantined"])
+        if n_q != n_null:
+            raise ValueError(
+                f"null-cell quarantine mismatch: {n_null} rows were "
+                f"assigned a NULL cell but only {n_q} have a NULL "
+                f"{vec_col!r} — the 'cell NULL iff embedding NULL' "
+                "contract is broken and the difference would be lost "
+                "from both the index and the quarantine"
+            )
 
 
 def append_to_ivf_index(
@@ -343,6 +365,7 @@ def append_to_ivf_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_id: int | None = None,
 ) -> None:
     """Fold a batch of NEW vectors into a persisted IVF index without
     refitting the codebook: assign each vector its nearest existing
@@ -367,11 +390,26 @@ def append_to_ivf_index(
     measured with an Observation on the main write (zero extra jobs
     when the batch is clean — the common case); the dirty path writes
     the offending INPUT rows, one source-scan filter, no second
-    assignment pass (_write_quarantining_nulls)."""
+    assignment pass (_write_quarantining_nulls).
+
+    Quarantine idempotency (advice r9): pass ``batch_id`` when the
+    caller retries batches — the quarantine then writes to
+    ``quarantine/batch={batch_id}`` with overwrite, so a re-run of the
+    same batch replaces rather than duplicates its quarantine rows
+    (the streaming twin's per-epoch discipline). WITHOUT a batch key
+    the write is a bare append and a retried batch DUPLICATES its
+    quarantine rows (the cells append is equally non-idempotent —
+    this whole entry point is at-least-once; exactly-once retries
+    belong to the streaming path's per-epoch dirs)."""
     spark = new_vectors.sparkSession
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
+    if batch_id is None:
+        q_path, q_mode = f"{path}/quarantine", "append"
+    else:
+        q_path = f"{path}/quarantine/batch={int(batch_id)}"
+        q_mode = "overwrite"
     _write_quarantining_nulls(
         assigned,
         new_vectors,
@@ -379,8 +417,8 @@ def append_to_ivf_index(
         lambda valid: valid.write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/cells"),
-        f"{path}/quarantine",
-        "append",
+        q_path,
+        q_mode,
     )
 
 
@@ -563,16 +601,25 @@ def encode_pq(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — nearest-centroid code per subspace, computed
-    in one Arrow-batched pass (mapInPandas, numpy-vectorized argmin; no
-    shuffle). Codes are the ONLY per-vector state search needs.
-    """
+    """(id, codes array<int>[, keep_cols]) — nearest-centroid code per
+    subspace, computed in one Arrow-batched pass (mapInPandas,
+    numpy-vectorized argmin; no shuffle). Codes are the ONLY per-vector
+    state ADC search needs. ``keep_cols`` pass through untouched — the
+    IVFADC composition keeps the coarse ``cell`` this way, so the codes
+    tier can be written partitionBy(cell) without a corpus-sized join
+    back to the assignment."""
     import pandas as pd
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
     m, k, sub = codebooks.shape
+    keep_fields = [f for f in corpus.schema.fields if f.name in keep_cols]
+    out_schema = (
+        f"{id_col} long, codes array<int>"
+        + "".join(f", {f.name} {f.dataType.simpleString()}" for f in keep_fields)
+    )
 
     def enc(batches):
         books = bc.value
@@ -585,10 +632,16 @@ def encode_pq(
                 # ||x-c||^2 argmin == (x.c - ||c||^2/2) argmax, one GEMM
                 dots = xs @ books[j].T
                 codes[:, j] = (dots - 0.5 * (books[j] ** 2).sum(1)).argmax(1)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    **{c: pdf[c] for c in keep_cols},
+                }
+            )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        enc, schema=f"{id_col} long, codes array<int>"
+    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(
+        enc, schema=out_schema
     )
 
 
@@ -698,6 +751,240 @@ def search_pq(
         .withColumn("cos_sim", _cos_pair("q_vec", "c_vec"))
     )
     wf = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: the composed serving path (coarse IVF cell prune -> per-cell PQ/ADC
+# shortlist -> exact re-rank). This is the standard two-level layout (IVF
+# partition pruning from probe_ivf, PQ compression from train/encode/search_pq)
+# composed into one index directory and one probe — the escape hatch the GEMM
+# assignment's residency bound names: past dim 1024 x k 65536 the flat
+# codebook costs ~0.5 GB per Python worker, while the IVFADC probe keeps only
+# (coarse_k x dim) + (m x pq_k x dim/m) doubles resident — the PQ subcodes
+# replace the k-proportional term entirely.
+# ---------------------------------------------------------------------------
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 16,
+    m: int = 8,
+    pq_k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build + persist the full IVFADC artifact set under ``path``:
+
+    - ``cells/``        — full vectors, partitionBy(cell)   (save_ivf_index)
+    - ``centroids/``    — the coarse codebook               (save_ivf_index)
+    - ``codes/``        — PQ codes, partitionBy(cell): the ADC tier a probe
+                          actually scans — 8 B/vector at defaults vs 256 B of
+                          raw float32, so the shortlist stage reads ~1/32 the
+                          bytes of the cells tier it prunes for
+    - ``pq_codebooks/`` — (subspace, code, centroid) rows, m x pq_k of them
+
+    The codes keep their coarse cell THROUGH the encode (encode_pq
+    keep_cols) — no corpus-sized join to reunite code with cell. One
+    k-means fit + one bounded-sample PQ train + two single-pass writes;
+    everything downstream (append/delete/probe) reuses the existing
+    cell-tier operators untouched."""
+    save_ivf_index(corpus, path, k=k, vec_col=vec_col, id_col=id_col)
+    spark = corpus.sparkSession
+    books = train_pq_codebooks(corpus, m=m, k=pq_k, vec_col=vec_col)
+    indexed = spark.read.parquet(f"{path}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    codes = encode_pq(
+        indexed, books, vec_col=vec_col, id_col=id_col, keep_cols=("cell",)
+    )
+    (
+        codes.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    mm, kk, sub = books.shape
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    """(m, pq_k, dim/m) codebook tensor from a save_ivfpq_index dir."""
+    rows = (
+        spark.read.parquet(f"{path}/pq_codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r.subspace for r in rows) + 1
+    kk = max(r.code for r in rows) + 1
+    sub = len(rows[0].centroid)
+    books = np.empty((m, kk, sub))
+    for r in rows:
+        books[r.subspace, r.code] = np.asarray(r.centroid)
+    return books
+
+
+def search_ivfpq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC probe of a ``save_ivfpq_index`` directory: coarse prune ->
+    compressed-domain shortlist -> exact re-rank.
+
+    1. COARSE: each query is assigned its ``nprobe`` nearest coarse
+       centroids exactly as ``probe_ivf`` does (broadcast codebook
+       crossJoin + per-query window — distributed, no query collect).
+    2. ADC: the codes tier is read PARTITION-PRUNED to the probed cells
+       (the probed-cell list is the one driver-bounded collect — at most
+       coarse-k ints, the affected-cell discipline) and cogrouped per
+       cell with the queries probing that cell. Each cogroup task builds
+       the per-query m x pq_k lookup tables from the broadcast PQ
+       codebooks and scores its cell's codes with m table lookups
+       (numpy take per subspace) — never touching a raw vector. Per-cell
+       per-query top-``shortlist`` survives (np.argpartition).
+    3. RE-RANK: the merged shortlist (<= |queries| x shortlist rows
+       after the window) joins its FULL vectors from the cells tier —
+       scan statically pruned to the probed cells — for exact cosine
+       top-k, the faiss refine step that pushes recall to ~1 at small
+       shortlists (RECALL.md curve).
+
+    Scale shape: the only corpus-proportional exchange is the cogroup
+    shuffle of the PRUNED, COMPRESSED codes (nprobe/coarse_k of the
+    corpus at ~1/32 byte width); the cells tier is touched only for
+    |shortlist| rows per query. Per-worker residency is the broadcast
+    (coarse centroids + m x pq_k subcodes) — independent of corpus size
+    AND of coarse k growth paths that sink the flat-GEMM assignment
+    (SCALE.md round-10 residency table).
+
+    Exactness pin (the x125/x75b discipline): nprobe == coarse_k probes
+    every cell and shortlist >= |corpus| makes the re-rank see every
+    candidate, so output == brute-force cosine top-k bit for bit —
+    that composition is the x146 driver oracle."""
+    import pandas as pd
+
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    books = load_pq_codebooks(spark, path)
+    m, _kk, sub = books.shape
+    bc = spark.sparkContext.broadcast(books)
+
+    # --- 1. coarse assignment (probe_ivf's distributed shape) ---
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cent_vec array<double>",
+    ).withColumn("cent_vec_nrm", F.sqrt(dot(F.col("cent_vec"), F.col("cent_vec"))))
+    q = _prepped(queries, id_col, vec_col, "query_id", "q_vec")
+    wq = W.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("cell"))
+    probe_df = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", _cos_pair("q_vec", "cent_vec"))
+        .withColumn("cent_rank", F.row_number().over(wq))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    probe_q = probe_df.join(q.select("query_id", "q_vec"), "query_id")
+
+    # --- 2. partition-pruned ADC scan, cogrouped per cell ---
+    probed = sorted(
+        r.cell for r in probe_df.select("cell").distinct().collect()
+    )
+    codes_scan = (
+        spark.read.parquet(f"{path}/codes")
+        .withColumn("cell", F.col("cell").cast("int"))
+        .filter(F.col("cell").isin([int(c) for c in probed]))
+    )
+
+    def adc(codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "score_pq": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(codes_pdf) or not len(q_pdf):
+            return empty
+        bks = bc.value
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.vstack(q_pdf["q_vec"].to_numpy()).astype(np.float64)
+        qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        luts = np.stack(
+            [qmat[:, j * sub : (j + 1) * sub] @ bks[j].T for j in range(m)],
+            axis=1,
+        )
+        codes = np.vstack(codes_pdf["codes"].to_numpy())
+        nids = codes_pdf[id_col].to_numpy()
+        cell = int(codes_pdf["cell"].iloc[0])
+        scores = np.zeros((len(qids), len(codes)))
+        for j in range(m):
+            scores += luts[:, j, :][:, codes[:, j]]
+        scores[qids[:, None] == nids[None, :]] = -np.inf  # drop self-matches
+        t = min(shortlist, scores.shape[1])
+        if not t:
+            return empty
+        idx = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, t),
+                "neighbor_id": nids[idx].ravel(),
+                "cell": np.int32(cell),
+                "score_pq": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+        )
+        return out[np.isfinite(out["score_pq"])]
+
+    scored = (
+        codes_scan.groupBy("cell")
+        .cogroup(probe_q.groupBy("cell"))
+        .applyInPandas(
+            adc,
+            schema="query_id long, neighbor_id long, cell int, score_pq double",
+        )
+    )
+    # --- merge per-cell shortlists (input bounded by |q| x shortlist x
+    # nprobe rows) ---
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= shortlist)
+        .select("query_id", "neighbor_id", "cell")
+    )
+
+    # --- 3. exact re-rank from the statically-pruned cells tier ---
+    corpus = (
+        spark.read.parquet(f"{path}/cells")
+        .withColumn("cell", F.col("cell").cast("int"))
+        .filter(F.col("cell").isin([int(c) for c in probed]))
+    )
+    c = _prepped(corpus, id_col, vec_col, "neighbor_id", "c_vec")
+    exact = (
+        c.join(F.broadcast(short.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_sim", _cos_pair("q_vec", "c_vec"))
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
     return (
         exact.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)

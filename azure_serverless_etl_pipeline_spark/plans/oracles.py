@@ -1449,6 +1449,41 @@ WITH RECURSIVE pairs AS (
 SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
+# x79b: the full SemDeDup downstream with a SQL-expressible coarse
+# quantizer (4 sign-bit hyperplanes -> 16 cells): cells, within-cell
+# cosine pairs, recursive-CTE components, min-id representative and the
+# kept rule all reproduced here, so the driver hash pins what x79's
+# rows-only check (engine-specific k-means cells) cannot.
+EXTRA_ORACLES["x79b_semantic_dedup_hyperplane"] = f"""
+WITH RECURSIVE cells AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS cell
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= 0.25
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+), clus AS (
+  SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS kept
+FROM embeddings e LEFT JOIN clus c USING (vec_id)
+ORDER BY e.vec_id
+"""
+
 
 # x84: benchmark decontamination — distinct 5-gram semi-join of the
 # training slice (doc_id % 10 <> 0) against the eval slice's gram set.
@@ -2587,6 +2622,12 @@ EXTRA_ORACLES["x142_ann_index_append"] = ORACLES["x06_ann_cosine_topk"]
 # truth; any duplicate surviving the reader's exactly-once dedup would
 # take a rank slot and break the hash.
 EXTRA_ORACLES["x145_live_index_probe"] = ORACLES["x06_ann_cosine_topk"]
+
+# x146 composes both pins: nprobe == coarse k probes every cell of the
+# IVFADC index AND shortlist == |corpus| lets every candidate reach the
+# exact re-rank, so the two-level probe (coarse prune -> per-cell ADC
+# cogroup -> refine) equals brute force bit for bit — x06's SQL.
+EXTRA_ORACLES["x146_ivfpq_probe"] = ORACLES["x06_ann_cosine_topk"]
 
 # x75b runs the PQ/ADC pipeline with shortlist == |corpus| + exact
 # cosine re-rank: the refine step determines top-k regardless of

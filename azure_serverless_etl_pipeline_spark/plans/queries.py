@@ -2059,6 +2059,38 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.25, indexed=indexed).orderBy("vec_id")
 
 
+@query("x79b_semantic_dedup_hyperplane")
+def x79b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x79's ENTIRE blocked downstream pinned to a hash-checkable truth
+    (the x75b/x77b conversion pattern, VERDICT r9 item 2): semantic_dedup
+    runs the SAME code path — within-cell cosine pairs (block_col join)
+    -> transitive dup clusters -> min-id representative per cluster —
+    but the coarse quantizer is a deterministic sign-bit HYPERPLANE
+    blocking (cell = 4 sign bits of the first 4 embedding dims, i.e.
+    axis-aligned random-hyperplane LSH with fixed planes) instead of
+    the MLlib k-means fit. The cell table is therefore SQL-expressible,
+    so the oracle reproduces cells + blocked pairs + recursive-CTE
+    components + representatives end to end and the driver hash covers
+    everything x79's rows-only check could not: which pairs a cell
+    admits, cluster transitivity across shared members, and the kept
+    rule. x79 keeps the k-means deployment shape registered (rows-only;
+    cell-consistency pytest in test_dedup_text) — the hyperplane twin
+    is the same operator with the engine-specific fit taken out of the
+    verdict, exactly as nprobe==k takes quantization out of x125's."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    cell = sum(
+        F.when(e.getItem(i) >= 0, 1 << (3 - i)).otherwise(0)
+        for i in range(4)
+    )
+    indexed = emb.withColumn("cell", cell.cast("int"))
+    return semantic_dedup(emb, threshold=0.25, indexed=indexed).orderBy(
+        "vec_id"
+    )
+
+
 @query("x76_sketch_rollup")
 def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (operators/sketches): daily HLL/KLL state
@@ -3767,6 +3799,40 @@ def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.vstack([np.asarray(r.centroid) for r in rows])
     out = ann_index.probe_ivf(
         live, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=16
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
+@query("x146_ivfpq_probe")
+def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC probe of the composed two-level index (ann_index.
+    save_ivfpq_index / search_ivfpq): coarse IVF cell prune -> per-cell
+    PQ/ADC shortlist over the 32x-compressed codes tier -> exact cosine
+    re-rank — the served composition of x125's partition pruning and
+    x75's ADC machinery, and the documented escape from the flat GEMM
+    assignment's per-worker codebook residency bound (SCALE.md round-10
+    residency table: the k-proportional resident term is replaced by
+    m x pq_k subcodes). Probing ALL cells (nprobe == coarse k) with the
+    shortlist covering the corpus makes the re-rank exact, so the
+    oracle is x06's brute-force cosine SQL — the x125/x75b pin applied
+    to the composition; the approximate nprobe x shortlist trade is on
+    RECALL.md's curve and the pruned/cogrouped plan shape is gated in
+    test_plan_quality."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivfpq_index")
+    if not os.path.exists(os.path.join(idx, "pq_codebooks")):
+        ann_index.save_ivfpq_index(emb, idx, k=16, m=8, pq_k=16)
+    out = ann_index.search_ivfpq(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=16,
+        shortlist=emb.count(),
     )
     return out.withColumn("cos_sim", F.round("cos_sim", 12))
 

@@ -676,3 +676,85 @@ def test_assign_cells_slab_fold_matches_unslabbed(spark, corpus):
     )
     d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
     assert (d.argmin(1) == 3).any()
+
+
+def test_ivfpq_exact_pin_equals_brute_force(spark, corpus, tmp_path_factory):
+    """The x146 pin: probing the composed IVFADC index with nprobe ==
+    coarse k AND shortlist >= |corpus| must equal brute-force cosine
+    top-k bit for bit — coarse prune covers every cell, ADC passes every
+    candidate through, and the exact re-rank decides alone."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    save_ivfpq_index(corpus, idx, k=8, m=8, pq_k=16)
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=8, shortlist=corpus.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_ivfpq_recall_knobs_and_pruned_plan(spark, corpus, tmp_path_factory):
+    """Approximate regime: (a) recall at nprobe < k is sane and widening
+    either knob never hurts; (b) exact-cosine scores on overlapping hits
+    match brute force bit-for-bit (the re-rank really is exact); (c) the
+    codes scan is PARTITION-PRUNED to the probed cells — the entire
+    point of the two-level layout (a probe that scans all codes is x75,
+    not IVFADC)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_pq_codebooks,
+        save_ivfpq_index,
+        search_ivfpq,
+        train_pq_codebooks,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    save_ivfpq_index(corpus, idx, k=8, m=8, pq_k=16)
+    # codebook roundtrip: what search loads is what training produced
+    import numpy as np
+
+    books = load_pq_codebooks(spark, idx)
+    assert books.shape == (8, 16, 8)
+    assert np.allclose(books, train_pq_codebooks(corpus, m=8, k=16))
+
+    queries = corpus.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy().tolist()))
+
+    def run(nprobe, shortlist):
+        return search_ivfpq(
+            spark, idx, queries, k=5, nprobe=nprobe, shortlist=shortlist
+        )
+
+    narrow = run(3, 50).toPandas()
+    a = set(map(tuple, narrow[["query_id", "neighbor_id"]].to_numpy().tolist()))
+    r_narrow = len(a & e) / len(e)
+    assert r_narrow >= 0.5  # 3/8 cells probed on a gaussian-ish corpus
+    wide = run(6, 200).toPandas()
+    aw = set(map(tuple, wide[["query_id", "neighbor_id"]].to_numpy().tolist()))
+    assert len(aw & e) / len(e) >= r_narrow
+    # overlap scores are the exact cosine, not the ADC approximation
+    j = narrow.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_b"))
+    assert (j["cos_sim_i"] == j["cos_sim_b"]).all()
+    # plan gate: the probed-cell filter reaches the codes scan's
+    # partition filters (static prune on the collected cell list)
+    plan = run(3, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

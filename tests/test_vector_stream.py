@@ -430,6 +430,59 @@ def test_null_embedding_quarantined_on_batch_append_and_delete(
     assert _ids(survivors) == _ids(corpus.join(dels, "vec_id", "anti"))
 
 
+def test_batch_append_quarantine_idempotent_with_batch_key(
+    spark, corpus, tmp_path
+):
+    """append_to_ivf_index with a batch_id writes its quarantine to an
+    idempotent per-batch dir (advice r9): a retried batch REPLACES its
+    quarantine rows instead of appending duplicates that would inflate
+    the operator's repair work-list."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivf_index,
+        save_ivf_index,
+    )
+
+    idx = str(tmp_path / "index")
+    save_ivf_index(corpus.filter(F.col("vec_id") % 2 == 0), idx, k=8)
+    bad = spark.createDataFrame(
+        [(10_000_003, None, 1)], "vec_id long, embedding array<float>, label int"
+    )
+    append_to_ivf_index(bad, idx, batch_id=7)
+    append_to_ivf_index(bad, idx, batch_id=7)  # retried batch
+    q = spark.read.parquet(f"{idx}/quarantine/batch=7")
+    assert q.count() == 1 and _ids(q) == {10_000_003}
+
+
+def test_null_cell_contract_mismatch_raises(spark, corpus, tmp_path):
+    """_write_quarantining_nulls re-derives the quarantine set from the
+    NULL-embedding filter, relying on 'cell NULL iff embedding NULL'.
+    The contract is asserted (advice r9): a NULL cell whose embedding
+    is NOT null must raise loudly, because those rows would otherwise
+    vanish from both the index and the quarantine."""
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _write_quarantining_nulls,
+    )
+
+    # fabricate a broken assignment: NULL cell, non-NULL embedding
+    assigned = spark.createDataFrame(
+        [(1, [0.1, 0.2], None), (2, [0.3, 0.4], 3)],
+        "vec_id long, embedding array<float>, cell int",
+    )
+    raw = assigned.drop("cell")
+    sink = str(tmp_path / "valid")
+    with pytest.raises(ValueError, match="contract"):
+        _write_quarantining_nulls(
+            assigned,
+            raw,
+            "embedding",
+            lambda valid: valid.write.mode("overwrite").parquet(sink),
+            str(tmp_path / "quarantine"),
+            "overwrite",
+        )
+
+
 def test_intra_epoch_duplicate_id_resolves_deterministically(
     spark, corpus, tmp_path
 ):
