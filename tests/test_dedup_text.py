@@ -891,6 +891,46 @@ def test_incremental_bucketed_equals_derived(spark, tmp_path):
     assert got_map == want_map
 
 
+def test_incremental_bucketed_large_regime_bit_identical(spark, tmp_path):
+    """The de-collected LARGE-BATCH regime (VERDICT r9 item 6): with
+    max_in_pushdown=0 every key probe takes the semi-join branch and no
+    key list is ever materialized on the driver — output must still be
+    bit-identical to the pushed-In regime, capped and uncapped, and the
+    redelivery df-subtraction must survive regime selection too."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        materialize_incremental_state,
+        ngram_jaccard_pairs_incremental_bucketed,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    # include a re-delivered slice so the stale-count fetch (the
+    # batch-ids probe) is exercised in the semi regime as well
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    state = str(tmp_path / "state")
+    materialize_incremental_state(
+        old, state, threshold=0.5, max_shingle_freq=50, posting_buckets=16
+    )
+    key = lambda df: sorted(
+        map(tuple, df[["id_a", "id_b", "jaccard"]].values.tolist())
+    )
+    for cap in (50, None):
+        semi = ngram_jaccard_pairs_incremental_bucketed(
+            spark, new, state, threshold=0.5, max_shingle_freq=cap,
+            max_in_pushdown=0,
+        ).toPandas()
+        pushed = ngram_jaccard_pairs_incremental_bucketed(
+            spark, new, state, threshold=0.5, max_shingle_freq=cap,
+        ).toPandas()
+        assert key(semi) == key(pushed), f"cap={cap}"
+
+
 def test_incremental_bucketed_redelivered_matches_oneshot(spark, tmp_path):
     """Re-delivery through the bucketed path: the stale copy's postings
     must leave the candidate side via the pruned anti-join, the union
