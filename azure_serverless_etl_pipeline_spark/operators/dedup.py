@@ -1461,6 +1461,97 @@ def embedding_near_dup(
     return out.filter(F.col("cos_sim") >= threshold)
 
 
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int, int]:
+    """(n_bits, n_bytes, n_hashes) for a Bloom filter at the standard
+    optimum: n_bits = -n ln(fpp)/ln(2)^2, n_hashes = bits/n * ln(2)."""
+    n_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    return n_bits, (n_bits + 7) // 8, max(1, round(n_bits / expected_items * math.log(2)))
+
+
+def _bloom_hashes(df: DataFrame, key: str) -> DataFrame:
+    """Two independent 64-bit hashes per key (xxhash64 with/without a
+    salt); bit positions come from Kirsch-Mitzenmacher double hashing
+    h1 + i*h2 — every build and probe site shares this exact recipe
+    (a drifted salt or position rule would silently break the
+    no-false-negative guarantee)."""
+    return df.select(
+        F.xxhash64(F.col(key)).alias("__h1"),
+        F.xxhash64(F.col(key), F.lit("bloom-salt")).alias("__h2"),
+    )
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, i: int, n_bits: int) -> np.ndarray:
+    return (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+
+
+def _bloom_build_bitmap(
+    keys_df: DataFrame, key: str, n_bits: int, n_bytes: int, n_hashes: int
+) -> np.ndarray:
+    """Distributed bitmap build: per-partition partial bitmaps map-side
+    (mapInPandas over the hash pairs), OR-reduced to one, collected as a
+    single n_bytes blob — a bounded model artifact (~1.2 MB per 10^6
+    expected keys at 1% fpp), never the key set itself."""
+
+    def build(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(n_hashes):
+                pos = _bloom_positions(h1, h2, i, n_bits)
+                np.bitwise_or.at(
+                    bm,
+                    (pos // 8).astype(np.int64),
+                    (np.uint8(1) << (pos % 8).astype(np.uint8)),
+                )
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    def or_reduce(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for blob in pdf["bm"]:
+                bm |= np.frombuffer(blob, dtype=np.uint8)
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    one = (
+        _bloom_hashes(keys_df, key)
+        .mapInPandas(build, schema="bm binary")
+        .coalesce(1)
+        .mapInPandas(or_reduce, schema="bm binary")
+        .collect()
+    )
+    return (
+        np.frombuffer(one[0]["bm"], dtype=np.uint8)
+        if one
+        else np.zeros(n_bytes, dtype=np.uint8)
+    )
+
+
+def _bloom_might_contain(spark, bitmap: np.ndarray, n_bits: int, n_hashes: int):
+    """Vectorized membership-test UDF factory over the broadcast bitmap:
+    returns a callable (h1_col, h2_col) -> boolean Column. False means
+    PROVABLY absent (the prune direction); True means maybe."""
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = bc.value
+        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        acc = np.ones(len(a), dtype=bool)
+        for i in range(n_hashes):
+            pos = _bloom_positions(a, b, i, n_bits)
+            acc &= (
+                bm[(pos // 8).astype(np.int64)]
+                >> (pos % 8).astype(np.uint8)
+            ) & 1 == 1
+        return pd.Series(acc)
+
+    return _might_contain
+
+
 def bloom_incremental_dedup(
     new: DataFrame,
     seen: DataFrame,
