@@ -1468,16 +1468,23 @@ def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int, int]:
     return n_bits, (n_bits + 7) // 8, max(1, round(n_bits / expected_items * math.log(2)))
 
 
-def _bloom_hashes(df: DataFrame, key: str) -> DataFrame:
-    """Two independent 64-bit hashes per key (xxhash64 with/without a
-    salt); bit positions come from Kirsch-Mitzenmacher double hashing
-    h1 + i*h2 — every build and probe site shares this exact recipe
-    (a drifted salt or position rule would silently break the
-    no-false-negative guarantee)."""
-    return df.select(
-        F.xxhash64(F.col(key)).alias("__h1"),
-        F.xxhash64(F.col(key), F.lit("bloom-salt")).alias("__h2"),
+def _bloom_hash_cols(key: str) -> tuple:
+    """THE double-hash recipe: two independent 64-bit hashes per key
+    (xxhash64 with/without a salt); bit positions come from
+    Kirsch-Mitzenmacher double hashing h1 + i*h2. Every build and probe
+    site MUST derive its hash columns here — a drifted salt or position
+    rule would silently break the no-false-negative guarantee."""
+    return (
+        F.xxhash64(F.col(key)),
+        F.xxhash64(F.col(key), F.lit("bloom-salt")),
     )
+
+
+def _bloom_hashes(df: DataFrame, key: str) -> DataFrame:
+    """Key column + its two bloom hashes (build sites read only the
+    hashes; probe sites keep the key to route maybe-hits onward)."""
+    h1, h2 = _bloom_hash_cols(key)
+    return df.select(F.col(key), h1.alias("__h1"), h2.alias("__h2"))
 
 
 def _bloom_positions(h1: np.ndarray, h2: np.ndarray, i: int, n_bits: int) -> np.ndarray:
@@ -1578,84 +1585,18 @@ def bloom_incremental_dedup(
     prune-vs-verify cost split. Reference has no incremental surface
     (nearest: Cosmos upsert-by-id, blob_to_cosmosdb.py:34).
     """
-    n_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
-    n_bytes = (n_bits + 7) // 8
-    n_hashes = max(1, round(n_bits / expected_items * math.log(2)))
+    n_bits, n_bytes, n_hashes = _bloom_params(expected_items, fpp)
     spark = new.sparkSession
-
-    # Two independent 64-bit hashes per key (xxhash64 with/without a salt
-    # column); positions come from Kirsch-Mitzenmacher double hashing
-    # h1 + i*h2 — the build and probe sides share this exact recipe.
-    def _hashes(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.xxhash64(F.col(key)).alias("__h1"),
-            F.xxhash64(F.col(key), F.lit("bloom-salt")).alias("__h2"),
-        )
-
-    def _positions(h1: np.ndarray, h2: np.ndarray, i: int) -> np.ndarray:
-        return (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-
-    def build(batches):
-        bm = np.zeros(n_bytes, dtype=np.uint8)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
-            h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(n_hashes):
-                pos = _positions(h1, h2, i)
-                np.bitwise_or.at(
-                    bm,
-                    (pos // 8).astype(np.int64),
-                    (np.uint8(1) << (pos % 8).astype(np.uint8)),
-                )
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
-
-    def or_reduce(batches):
-        bm = np.zeros(n_bytes, dtype=np.uint8)
-        for pdf in batches:
-            for blob in pdf["bm"]:
-                bm |= np.frombuffer(blob, dtype=np.uint8)
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
-
     # Partial bitmaps build map-side (one per partition), OR-reduce to one,
     # and the final n_bits/8-byte bitmap ships as a broadcast variable —
     # a bounded model artifact (~1.2 MB per 10^6 expected keys at 1% fpp),
-    # the same class of driver round-trip as the PQ codebooks.
-    one = (
-        _hashes(seen)
-        .mapInPandas(build, schema="bm binary")
-        .coalesce(1)
-        .mapInPandas(or_reduce, schema="bm binary")
-        .collect()
-    )
-    bitmap = (
-        np.frombuffer(one[0]["bm"], dtype=np.uint8)
-        if one
-        else np.zeros(n_bytes, dtype=np.uint8)
-    )
-    bc = spark.sparkContext.broadcast(bitmap)
-
-    @F.pandas_udf("boolean")
-    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        bm = bc.value
-        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
-        acc = np.ones(len(a), dtype=bool)
-        for i in range(n_hashes):
-            pos = _positions(a, b, i)
-            acc &= (
-                bm[(pos // 8).astype(np.int64)]
-                >> (pos % 8).astype(np.uint8)
-            ) & 1 == 1
-        return pd.Series(acc)
-
-    tested = new.withColumn(
-        "__maybe",
-        _might_contain(
-            F.xxhash64(F.col(key)), F.xxhash64(F.col(key), F.lit("bloom-salt"))
-        ),
-    )
+    # the same class of driver round-trip as the PQ codebooks. Build and
+    # probe share the _bloom_* recipe with the dedup stream's membership
+    # artifact (one source of truth for salt/position rule).
+    bitmap = _bloom_build_bitmap(seen, key, n_bits, n_bytes, n_hashes)
+    _might_contain = _bloom_might_contain(spark, bitmap, n_bits, n_hashes)
+    h1, h2 = _bloom_hash_cols(key)
+    tested = new.withColumn("__maybe", _might_contain(h1, h2))
     provably_new = tested.filter(~F.col("__maybe")).drop("__maybe")
     suspects = tested.filter(F.col("__maybe")).drop("__maybe")
     verified_new = suspects.join(seen.select(key).distinct(), key, "left_anti")

@@ -29,6 +29,10 @@ batch k's artifacts):
 - ``redelivered/batch=k/`` — rows diverted by the first-delivery-wins
   guard (an id arriving again in a later batch; see fold_batch) —
   written only when non-empty
+- ``bloom/`` — the membership Bloom artifact over all first-delivered
+  ids (rebuilt by compact_state); the fold's re-delivery probe
+  consults it map-side and pays the exact ``ids/`` probe only for
+  maybe-hits
 
 The probe for batch k reads layers with batch < k only (a partition
 filter on the discovered ``batch`` column), so reprocessing is
@@ -50,6 +54,7 @@ all six layered roots — redelivered/ included — bucket leaves too).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,6 +110,109 @@ def _batches_below(spark: SparkSession, root: str, k: int) -> list[str]:
     return [p for b, p in _list_batches(spark, root) if b < k]
 
 
+_TOMB_SCHEMA = "doc_id long, replaced_below int"
+
+
+def _read_tombstones(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Union of every rebuild txn's tombstones, or None before the first
+    ``rebuild_updated``. A tombstone (doc_id, replaced_below) means: the
+    doc's layer rows with batch < replaced_below are STALE — a newer
+    text for the id was appended at layer ``replaced_below`` by a
+    rebuild. History is never rewritten (append-only layers, the 100 TB
+    contract); readers mask instead."""
+    layers = _list_batches(spark, f"{state_dir}/tombstones")
+    if not layers:
+        return None
+    return spark.read.schema(_TOMB_SCHEMA).parquet(*[p for _, p in layers])
+
+
+def _mask_tombstoned(frame: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    """Drop rows superseded by a rebuild: keep a (doc_id, ..., batch)
+    row unless some tombstone for its id has replaced_below > batch.
+    The tombstone set is bounded by the total ids ever updated, so it
+    broadcasts; max(replaced_below) per id selects the LIVE copy when an
+    id has been updated more than once. A None tombstone frame (no
+    rebuild ever ran — the common stream) is a passthrough: zero plan
+    change, zero cost."""
+    if tombs is None:
+        return frame
+    latest = tombs.groupBy("doc_id").agg(
+        F.max("replaced_below").alias("__rb")
+    )
+    return (
+        frame.join(F.broadcast(latest), "doc_id", "left")
+        .filter(F.col("__rb").isNull() | (F.col("batch") >= F.col("__rb")))
+        .drop("__rb")
+    )
+
+
+_BLOOM_SCHEMA = "bm binary, n_bits long, n_hashes int, covered_max int, n_items long"
+
+
+def build_membership_bloom(
+    spark: SparkSession, state_dir: str, fpp: float = 0.01
+) -> dict | None:
+    """Build (or rebuild) the membership Bloom artifact over every
+    first-delivered id registered so far, and persist it to
+    ``{state_dir}/bloom`` (single-row parquet: bitmap blob + the hash
+    parameters + the highest batch id it covers). The artifact is a
+    PRUNE, never truth (the x80 discipline): the per-fold re-delivery
+    probe consults it map-side and pays the exact id-layer probe only
+    for maybe-hits, so the bytes the exact probe reads track the
+    batch's true re-deliveries plus an ``fpp`` sliver — flat as the
+    batch COUNT grows — instead of one footer + row-group probe per
+    standing id layer per fold. Sized at build time from the actual
+    registered-id count (~1.2 MB per 10^6 ids at 1% fpp); the write is
+    an idempotent overwrite, so the natural owner is the same
+    maintenance cadence as ``compact_state`` (which calls this after
+    every bin-pack). Returns the artifact dict, or None when no ids
+    are registered yet."""
+    from ..operators.dedup import _bloom_build_bitmap, _bloom_params
+
+    layers = _list_batches(spark, f"{state_dir}/ids")
+    if not layers:
+        return None
+    covered_max = max(b for b, _ in layers)
+    ids = spark.read.schema("doc_id long").parquet(*[p for _, p in layers])
+    n_items = int(ids.count())
+    n_bits, n_bytes, n_hashes = _bloom_params(max(n_items, 1), fpp)
+    bitmap = _bloom_build_bitmap(ids, "doc_id", n_bits, n_bytes, n_hashes)
+    spark.createDataFrame(
+        [(bytearray(bitmap.tobytes()), n_bits, n_hashes, covered_max, n_items)],
+        _BLOOM_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/bloom")
+    return {
+        "bitmap": bitmap,
+        "n_bits": n_bits,
+        "n_hashes": n_hashes,
+        "covered_max": covered_max,
+        "n_items": n_items,
+    }
+
+
+def _read_membership_bloom(spark: SparkSession, state_dir: str) -> dict | None:
+    """The persisted bloom artifact, or None before the first build
+    (data-file check, not bare dir existence — same crash discipline as
+    the meta gate)."""
+    path = f"{state_dir}/bloom"
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp) or not any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jp)
+    ):
+        return None
+    row = spark.read.schema(_BLOOM_SCHEMA).parquet(path).collect()[0]
+    return {
+        "bitmap": np.frombuffer(bytes(row.bm), dtype=np.uint8),
+        "n_bits": int(row.n_bits),
+        "n_hashes": int(row.n_hashes),
+        "covered_max": int(row.covered_max),
+        "n_items": int(row.n_items),
+    }
+
+
 def fold_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -147,9 +255,12 @@ def fold_batch(
     probe, ids never collected) prunes through the broadcast semi-join
     with O(1) driver payload. The per-file footer cost
     still grows one file per batch; ``compact_state`` bin-packs the
-    sidecars with the rest of the state, and at deployment scale a
-    bloom artifact in front of the exact probe is the standard
-    escalation. States written before the sidecar existed fall back to
+    sidecars with the rest of the state AND rebuilds the membership
+    bloom artifact (``build_membership_bloom``) — once it exists, the
+    covered layers' exact probe runs only for the batch's bloom-maybe
+    ids, so probe bytes stay flat as batches accumulate past
+    compaction (bit-identical output: the bloom is a prune, never
+    truth). States written before the sidecar existed fall back to
     a doc_id-column scan of the base dirs (which cannot see
     zero-shingle first deliveries — re-fold or backfill ids/ to close
     that)."""
@@ -236,6 +347,16 @@ def fold_batch(
                             "would silently mis-prune. Rewrite the layer "
                             "with the pinned modulus."
                         )
+    # an interrupted rebuild_updated leaves partially-committed txn
+    # layers this fold would read as standing state — refuse until the
+    # txn is rolled back or completed (rebuild_updated does either on
+    # its next call); the refusal runs before any write, like the gates
+    if _rebuild_marker(spark, state_dir) is not None:
+        raise ValueError(
+            f"{state_dir} has a pending rebuild_updated txn "
+            "(rebuild_txn marker present): run rebuild_updated to roll "
+            "back or complete it before folding further batches"
+        )
     if not has_meta:
         spark.createDataFrame(
             [(int(posting_buckets),)], "posting_buckets int"
@@ -248,13 +369,72 @@ def fold_batch(
         if len(prior_ids_dirs) >= len(prior_base):
             # capped probe (VERDICT r9 item 6): <= 2049 ids ever reach
             # the driver — a large batch drives the membership prune
-            # through the broadcast semi-join without collecting ids
-            prior_ids, _ = _keys_pruned_capped(
-                spark.read.schema("doc_id long").parquet(*prior_ids_dirs),
-                "doc_id",
-                arriving.select("doc_id").distinct(),
-                2048,
-            )
+            # through the broadcast semi-join without collecting ids.
+            # When a bloom artifact covers a prefix of the layers
+            # (built by compact_state), the COVERED layers are probed
+            # exactly only for the batch's bloom-maybe ids — no false
+            # negatives by construction, false positives fall through
+            # to the exact probe, so output is bit-identical with or
+            # without the artifact while the standing layers' probe
+            # bytes track true re-deliveries + fpp, not layer count.
+            # Layers NEWER than the artifact (folds since the last
+            # compaction) keep the full exact probe; a replay of a
+            # batch the bloom already covers (batch_id <= covered_max)
+            # skips the bloom entirely — its own ids are IN the bitmap
+            # and must not count as prior deliveries.
+            arr_ids = arriving.select("doc_id").distinct()
+            bloom = _read_membership_bloom(spark, state_dir)
+            if bloom is not None and bloom["covered_max"] < batch_id:
+                from ..operators.dedup import (
+                    _bloom_hash_cols,
+                    _bloom_might_contain,
+                )
+
+                id_layers = [
+                    (b, p)
+                    for b, p in _list_batches(spark, ids_root)
+                    if b < batch_id
+                ]
+                covered = [
+                    p for b, p in id_layers if b <= bloom["covered_max"]
+                ]
+                recent = [
+                    p for b, p in id_layers if b > bloom["covered_max"]
+                ]
+                might = _bloom_might_contain(
+                    spark, bloom["bitmap"], bloom["n_bits"], bloom["n_hashes"]
+                )
+                h1, h2 = _bloom_hash_cols("doc_id")
+                maybe = arr_ids.filter(might(h1, h2))
+                parts = []
+                if covered:
+                    parts.append(
+                        _keys_pruned_capped(
+                            spark.read.schema("doc_id long").parquet(*covered),
+                            "doc_id",
+                            maybe,
+                            2048,
+                        )[0]
+                    )
+                if recent:
+                    parts.append(
+                        _keys_pruned_capped(
+                            spark.read.schema("doc_id long").parquet(*recent),
+                            "doc_id",
+                            arr_ids,
+                            2048,
+                        )[0]
+                    )
+                prior_ids = parts[0]
+                for extra in parts[1:]:
+                    prior_ids = prior_ids.unionByName(extra)
+            else:
+                prior_ids, _ = _keys_pruned_capped(
+                    spark.read.schema("doc_id long").parquet(*prior_ids_dirs),
+                    "doc_id",
+                    arr_ids,
+                    2048,
+                )
         else:  # pre-sidecar state: column-pruned base scan (see docstring)
             prior_ids = spark.read.schema(_BASE_SCHEMA).parquet(
                 *prior_base
@@ -333,21 +513,31 @@ def fold_batch(
         # write commits no data file, and schema inference over a root
         # whose only layers are footerless would fail the whole fold.
         old_map = spark.read.parquet(prior_maps[-1])
+        # tombstone masking (rebuild_updated): postings and base rows a
+        # rebuild superseded are dead — the df layers need NO mask, the
+        # rebuild's signed delta layer already sums to the live counts
+        tombs = _read_tombstones(spark, state_dir)
         inc = ngram_jaccard_pairs_incremental_bucketed(
             spark,
             batch_df,
             threshold=threshold,
             n=n,
             max_shingle_freq=max_shingle_freq,
-            postings=spark.read.schema(_POST_SCHEMA)
-            .parquet(post_root)
-            .filter(F.col("batch") < batch_id),
+            postings=_mask_tombstoned(
+                spark.read.schema(_POST_SCHEMA)
+                .parquet(post_root)
+                .filter(F.col("batch") < batch_id),
+                tombs,
+            ),
             shingle_df=spark.read.schema(_DF_SCHEMA)
             .parquet(df_root)
             .filter(F.col("batch") < batch_id),
-            old_base=spark.read.schema(_BASE_SCHEMA + ", batch int")
-            .parquet(base_root)
-            .filter(F.col("batch") < batch_id),
+            old_base=_mask_tombstoned(
+                spark.read.schema(_BASE_SCHEMA + ", batch int")
+                .parquet(base_root)
+                .filter(F.col("batch") < batch_id),
+                tombs,
+            ),
             n_buckets=posting_buckets,
         )
         new_map = incremental_dup_clusters(old_map, inc)
@@ -365,6 +555,7 @@ def compact_state(
     state_dir: str,
     target_bytes: int = 128 << 20,
     min_file_bytes: int | None = None,
+    bloom_fpp: float = 0.01,
 ) -> dict:
     """OPTIMIZE pass over the dedup state: bin-pack every per-batch leaf
     directory — the flat roots (base/ids/map/redelivered x batch=K) and
@@ -389,7 +580,7 @@ def compact_state(
         # flat per-batch roots, plus the bucketed roots whose leaves sit
         # one level deeper (batch=K/bucket=J)
         out: list[str] = []
-        for sub in ("base", "ids", "map", "redelivered"):
+        for sub in ("base", "ids", "map", "redelivered", "tombstones"):
             out += [p for _b, p in _list_batches(spark, f"{state_dir}/{sub}")]
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -415,7 +606,432 @@ def compact_state(
         out["dirs"] += 1
         out["compacted"] += int(stats["compacted"])
         out["rewritten"] += stats["rewritten"]
+    # membership bloom refresh rides the same cadence: the artifact
+    # covers every batch folded so far, so the next folds' exact id
+    # probes shrink to maybe-hits over the (just bin-packed) layers
+    bloom = build_membership_bloom(spark, state_dir, fpp=bloom_fpp)
+    out["bloom_covered_max"] = -1 if bloom is None else bloom["covered_max"]
     return out
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _rebuild_marker(spark: SparkSession, state_dir: str) -> int | None:
+    """The interrupted-rebuild undo record: txn batch id, or None."""
+    fs, jp = _fs_path(spark, f"{state_dir}/rebuild_txn")
+    if not fs.exists(jp) or not any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jp)
+    ):
+        return None
+    return int(
+        spark.read.schema("txn int")
+        .parquet(f"{state_dir}/rebuild_txn")
+        .collect()[0]
+        .txn
+    )
+
+
+def rebuild_updated(
+    spark: SparkSession,
+    state_dir: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_freq: int | None = 50,
+    max_in_pushdown: int = 2048,
+) -> dict:
+    """Consume the ``redelivered/`` quarantine as an UPDATE workload:
+    rebuild the cluster map (and the standing index state) so both equal
+    what a one-shot run over (first-delivered corpus \\ updated ids) UNION
+    (latest redelivered text per id) would produce — including component
+    SPLITS, which the fold's star-edge map can never express (min-label
+    propagation only ever adds reachability; see fold_batch's guard
+    docstring). ``threshold``/``n``/``max_shingle_freq`` must match the
+    stream's fold parameters.
+
+    History is never rewritten (the append-only 100 TB contract).
+    The update lands as a normal-looking txn layer ``batch=K`` — the
+    latest text's base rows + postings, and a SIGNED df delta layer
+    (new counts minus the superseded copies' counts, so the per-shingle
+    layer SUM stays the exact corpus-prime document frequency with no
+    masking) — plus TOMBSTONES (doc_id, replaced_below=K) that every
+    posting/base reader applies as a broadcast mask
+    (``_mask_tombstoned``). Work is bounded by the update and what it
+    touches, not the corpus:
+
+    1. latest text per updated id (max redelivery batch, payload-hash
+       tiebreak — the vector stream's ``_appends_deduped`` discipline);
+    2. pair DISCOVERY for the new texts through the same bucketed
+       pruned-lookup generator the fold uses (stale copies excluded by
+       its own live-row algebra);
+    3. cap-FLIP analysis: shingles whose corpus-prime document
+       frequency crosses ``max_shingle_freq`` in either direction
+       (update added/removed occurrences) can create or destroy
+       candidacy between docs that were never updated — their holders
+       join the affected set (also covers the generator's df estimate
+       diverging for ids whose NEW text has no shingles);
+    4. the affected set closes over the old map's components (retracted
+       edges can split them), and the members' pairs are recomputed
+       one-shot-style with corpus-prime df resolved from the persisted
+       layers + the update's delta — so the cap rule is the CORPUS
+       rule, not a local undercount;
+    5. the new map = untouched components' rows + freshly clustered
+       members, written as ``map/batch=K``.
+
+    CRASH SAFETY is write-ahead: ``rebuild_txn`` records K before any
+    write; an interrupted txn is rolled back (its batch=K dirs deleted)
+    on the next call, and the marker is cleared only after the map
+    lands — so a re-run always starts from a CONSISTENT state and the
+    redelivered dirs (deleted last) still hold the work list.
+    fold_batch refuses to fold while a marker is pending. Run between
+    folds, like compact_state.
+
+    Returns {"updated", "affected_clusters", "members", "txn_batch"}.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import (
+        _keys_pruned_capped,
+        _verify_jaccard,
+        ngram_jaccard_pairs_incremental_bucketed,
+        word_shingles,
+        write_bucketed_layer,
+    )
+
+    # ---- roll back an interrupted txn (write-ahead undo record) ----
+    stale_txn = _rebuild_marker(spark, state_dir)
+    if stale_txn is not None:
+        for root in ("base", "postings", "df", "map", "tombstones"):
+            fs, jp = _fs_path(
+                spark, f"{state_dir}/{root}/batch={stale_txn}"
+            )
+            if fs.exists(jp):
+                fs.delete(jp, True)
+
+    red_layers = _list_batches(spark, f"{state_dir}/redelivered")
+    if not red_layers:
+        # nothing to consume; clear a leftover marker (its txn is now
+        # rolled back) and report the no-op
+        if stale_txn is not None:
+            fs, jp = _fs_path(spark, f"{state_dir}/rebuild_txn")
+            fs.delete(jp, True)
+        return {
+            "updated": 0,
+            "affected_clusters": 0,
+            "members": 0,
+            "txn_batch": None,
+        }
+
+    posting_buckets = int(
+        spark.read.parquet(f"{state_dir}/meta").collect()[0].posting_buckets
+    )
+    roots = ("base", "ids", "map", "redelivered", "postings", "df", "tombstones")
+    txn = 1 + max(
+        (
+            b
+            for r in roots
+            for b, _ in _list_batches(spark, f"{state_dir}/{r}")
+        ),
+        default=-1,
+    )
+    spark.createDataFrame([(int(txn),)], "txn int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/rebuild_txn")
+
+    # ---- 1. latest delivered text per updated id ----
+    red = None
+    for b, p in red_layers:
+        part = (
+            spark.read.schema(DOC_SCHEMA)
+            .parquet(p)
+            .withColumn("batch", F.lit(int(b)))
+        )
+        red = part if red is None else red.unionByName(part)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("batch"), F.desc(F.xxhash64("text"))
+    )
+    u_new = (
+        red.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    u_ids = u_new.select("doc_id")
+    n_updated = u_new.count()
+
+    # ---- 2. live standing frames (txn layers can't exist yet) ----
+    tombs = _read_tombstones(spark, state_dir)
+    std_post = _mask_tombstoned(
+        spark.read.schema(_POST_SCHEMA)
+        .parquet(f"{state_dir}/postings")
+        .filter(F.col("batch") < txn),
+        tombs,
+    )
+    std_df = (
+        spark.read.schema(_DF_SCHEMA)
+        .parquet(f"{state_dir}/df")
+        .filter(F.col("batch") < txn)
+    )
+    std_base = _mask_tombstoned(
+        spark.read.schema(_BASE_SCHEMA + ", batch int")
+        .parquet(f"{state_dir}/base")
+        .filter(F.col("batch") < txn),
+        tombs,
+    )
+
+    # ---- 3. discovery: corpus-prime pairs touching the new texts ----
+    inc_pairs = ngram_jaccard_pairs_incremental_bucketed(
+        spark,
+        u_new,
+        threshold=threshold,
+        n=n,
+        max_shingle_freq=max_shingle_freq,
+        max_in_pushdown=max_in_pushdown,
+        postings=std_post,
+        shingle_df=std_df,
+        old_base=std_base,
+        n_buckets=posting_buckets,
+    ).localCheckpoint(eager=True)
+
+    # the updated docs' LIVE rows (the copies being superseded) — both
+    # the df delta and the cap-flip analysis derive from them
+    u_old_rows, _ = _keys_pruned_capped(
+        std_base.select("doc_id", "shingles"), "doc_id", u_ids,
+        max_in_pushdown,
+    )
+    u_old_sh = u_old_rows.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    u_shingled = u_new.select(
+        F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    u_new_sh = u_shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+    affected = u_ids.unionByName(
+        inc_pairs.select(F.col("id_a").alias("doc_id"))
+    ).unionByName(inc_pairs.select(F.col("id_b").alias("doc_id")))
+
+    sdf_all = u_old_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ndf = u_new_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndf"))
+    if max_shingle_freq is not None:
+        # ---- 4. cap-flip shingles and their holders ----
+        shingled_ids = u_shingled.select("doc_id")
+        sdf_gen = (
+            u_old_sh.join(F.broadcast(shingled_ids), "doc_id", "semi")
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf_gen"))
+        )
+        delta_sh = (
+            sdf_all.join(ndf, "shingle", "full")
+            .join(sdf_gen, "shingle", "left")
+            .select(
+                "shingle",
+                F.coalesce("sdf", F.lit(0)).alias("sdf"),
+                F.coalesce("ndf", F.lit(0)).alias("ndf"),
+                F.coalesce("sdf_gen", F.lit(0)).alias("sdf_gen"),
+            )
+            .withColumn("shingle_h", F.xxhash64("shingle"))
+            .localCheckpoint(eager=True)
+        )
+        hashes = delta_sh.select("shingle_h").distinct()
+        buckets = sorted(
+            r.b
+            for r in delta_sh.select(
+                F.pmod("shingle_h", F.lit(int(posting_buckets)))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        df_scan = std_df.filter(F.col("bucket").isin(buckets))
+        pruned_df, _ = _keys_pruned_capped(
+            df_scan, "shingle_h", hashes, max_in_pushdown
+        )
+        df0 = pruned_df.groupBy("shingle").agg(F.sum("df").alias("df0"))
+        cap = int(max_shingle_freq)
+        flips = (
+            delta_sh.join(df0, "shingle", "left")
+            .withColumn("df0", F.coalesce("df0", F.lit(0)))
+            .withColumn("df_true", F.col("df0") - F.col("sdf") + F.col("ndf"))
+            .withColumn(
+                "df_gen", F.col("df0") - F.col("sdf_gen") + F.col("ndf")
+            )
+            .filter(
+                ((F.col("df0") <= cap) != (F.col("df_true") <= cap))
+                | ((F.col("df_gen") <= cap) != (F.col("df_true") <= cap))
+            )
+            .select("shingle_h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        flip_buckets = sorted(
+            r.b
+            for r in flips.select(
+                F.pmod("shingle_h", F.lit(int(posting_buckets)))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if flip_buckets:
+            post_scan = std_post.filter(F.col("bucket").isin(flip_buckets))
+            holders, _ = _keys_pruned_capped(
+                post_scan, "shingle_h", flips, max_in_pushdown
+            )
+            # hash-level match: a colliding shingle admits extra
+            # holders, which only ENLARGES the affected set — the
+            # member recompute below is exact regardless
+            affected = affected.unionByName(holders.select("doc_id"))
+
+    affected = affected.distinct().localCheckpoint(eager=True)
+
+    # ---- 5. close over old components; recompute member pairs ----
+    old_map_layers = _list_batches(spark, f"{state_dir}/map")
+    old_map = (
+        spark.read.parquet(old_map_layers[-1][1]).localCheckpoint(eager=True)
+        if old_map_layers
+        else spark.createDataFrame([], "doc_id long, cluster_id long")
+    )
+    aff_clusters = (
+        old_map.join(F.broadcast(affected), "doc_id", "semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    members = (
+        old_map.join(F.broadcast(aff_clusters), "cluster_id", "semi")
+        .select("doc_id")
+        .unionByName(affected)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mem_old_rows, _ = _keys_pruned_capped(
+        std_base.select("doc_id", "shingles"), "doc_id", members,
+        max_in_pushdown,
+    )
+    mem_base = (
+        mem_old_rows.join(F.broadcast(u_ids), "doc_id", "left_anti")
+        .unionByName(u_shingled)
+        .localCheckpoint(eager=True)
+    )
+    mem_sh = mem_base.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        # corpus-prime df per member shingle: persisted sums (pruned)
+        # adjusted by the update's delta — the CORPUS cap rule
+        msh = mem_sh.select("shingle").distinct().withColumn(
+            "shingle_h", F.xxhash64("shingle")
+        )
+        mbuckets = sorted(
+            r.b
+            for r in msh.select(
+                F.pmod("shingle_h", F.lit(int(posting_buckets)))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        mdf_scan = std_df.filter(F.col("bucket").isin(mbuckets))
+        pruned_mdf, _ = _keys_pruned_capped(
+            mdf_scan, "shingle_h", msh.select("shingle_h"), max_in_pushdown
+        )
+        mdf0 = pruned_mdf.groupBy("shingle").agg(F.sum("df").alias("df0"))
+        surviving = (
+            msh.select("shingle")
+            .join(mdf0, "shingle", "left")
+            .join(F.broadcast(sdf_all), "shingle", "left")
+            .join(F.broadcast(ndf), "shingle", "left")
+            .filter(
+                F.coalesce("df0", F.lit(0))
+                - F.coalesce("sdf", F.lit(0))
+                + F.coalesce("ndf", F.lit(0))
+                <= int(max_shingle_freq)
+            )
+            .select("shingle")
+        )
+        mem_sh_c = mem_sh.join(F.broadcast(surviving), "shingle")
+    else:
+        mem_sh_c = mem_sh
+    a, b2 = mem_sh_c.alias("a"), mem_sh_c.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    member_pairs = _verify_jaccard(cand, mem_base, "doc_id", threshold)
+
+    # ---- 6. the rebuilt map, materialized BEFORE any state write ----
+    keep = old_map.join(F.broadcast(aff_clusters), "cluster_id", "left_anti")
+    rebuilt = dup_clusters(member_pairs).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+    new_map = (
+        keep.select(F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"))
+        .unionByName(rebuilt)
+        .localCheckpoint(eager=True)
+    )
+    n_members = members.count()
+    n_aff = aff_clusters.count()
+
+    # ---- 7. persist the txn (every write overwrite-idempotent) ----
+    (
+        u_shingled.repartitionByRange(F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/base/batch={txn}")
+    )
+    write_bucketed_layer(
+        u_new_sh, posting_buckets, f"{state_dir}/postings/batch={txn}"
+    )
+    delta_df = (
+        sdf_all.join(ndf, "shingle", "full")
+        .select(
+            "shingle",
+            (
+                F.coalesce("ndf", F.lit(0)) - F.coalesce("sdf", F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .filter(F.col("df") != 0)
+    )
+    write_bucketed_layer(
+        delta_df, posting_buckets, f"{state_dir}/df/batch={txn}"
+    )
+    u_ids.withColumn("replaced_below", F.lit(int(txn))).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{state_dir}/tombstones/batch={txn}")
+    new_map.write.mode("overwrite").parquet(f"{state_dir}/map/batch={txn}")
+
+    # txn complete: clear the undo record FIRST (the committed layers
+    # must never be rolled back), then consume the work list
+    fs, jp = _fs_path(spark, f"{state_dir}/rebuild_txn")
+    fs.delete(jp, True)
+    for _b, p in red_layers:
+        fs2, jp2 = _fs_path(spark, p)
+        fs2.delete(jp2, True)
+    spark.catalog.clearCache()
+    return {
+        "updated": int(n_updated),
+        "affected_clusters": int(n_aff),
+        "members": int(n_members),
+        "txn_batch": int(txn),
+    }
 
 
 def start_dedup_stream(
@@ -474,4 +1090,11 @@ def current_map(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(batches[-1][1])
 
 
-__all__ = ["start_dedup_stream", "fold_batch", "current_map", "compact_state"]
+__all__ = [
+    "start_dedup_stream",
+    "fold_batch",
+    "current_map",
+    "compact_state",
+    "build_membership_bloom",
+    "rebuild_updated",
+]

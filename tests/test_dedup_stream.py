@@ -524,3 +524,463 @@ def test_mismatched_layer_bucket_modulus_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="bucket=33") as exc:
         fold_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), 6, state)
     assert "posting_buckets=16" in str(exc.value)
+
+
+def test_membership_bloom_probes_bit_identical(spark, tmp_path):
+    """Folds AFTER a compaction (which builds the membership bloom)
+    must produce the exact map and quarantine a no-bloom state would:
+    the artifact is a prune in front of the exact ids/ probe, never
+    truth. The fold mixes genuinely new docs with re-deliveries of
+    ids the bloom covers, so both the maybe-hit fall-through and the
+    provably-absent skip are exercised."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        compact_state,
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    redelivered = batches[0].filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" changed later"))
+    )
+    last = batches[2].unionByName(redelivered)
+
+    def run(state: str, compact: bool) -> dict:
+        fold_batch(spark, batches[0], 0, state)
+        fold_batch(spark, batches[1], 1, state)
+        if compact:
+            stats = compact_state(spark, state)
+            assert stats["bloom_covered_max"] == 1
+            assert os.path.isdir(f"{state}/bloom")
+        fold_batch(spark, last, 2, state)
+        got = current_map(spark, state).toPandas()
+        return dict(zip(got["doc_id"], got["cluster_id"]))
+
+    with_bloom = run(str(tmp_path / "with_bloom"), compact=True)
+    without = run(str(tmp_path / "without"), compact=False)
+    assert with_bloom == without == _truth(docs)
+    # the guard still diverted the re-deliveries through the bloom path
+    red = spark.read.parquet(f"{tmp_path}/with_bloom/redelivered/batch=2")
+    want = {r.doc_id for r in redelivered.select("doc_id").collect()}
+    assert {r.doc_id for r in red.collect()} == want
+
+
+def test_membership_bloom_saturated_falls_through_exactly(spark, tmp_path):
+    """A near-useless bloom (fpp ~= 1: tiny bitmap, nearly every probe
+    a maybe-hit) must cost recall NOTHING: every maybe falls through to
+    the exact ids/ probe, so the map and the quarantine stay identical
+    to batch truth — the knob moves cost, never output (the x80
+    discipline)."""
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        compact_state,
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    compact_state(spark, state, bloom_fpp=0.99)
+    # second fold: new ids plus a full re-delivery of batch 0
+    fold_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0)
+        ),
+        1,
+        state,
+    )
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(docs)
+    red = spark.read.parquet(f"{state}/redelivered/batch=1")
+    assert red.count() == docs.filter(F.col("doc_id") % 2 == 0).count()
+
+
+def test_membership_bloom_has_no_false_negatives(spark, tmp_path):
+    """Every registered id must probe as a maybe-hit — a false negative
+    would let a re-delivery through as a first delivery (duplicate
+    standing copies, the exact corruption the guard exists to stop)."""
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        _bloom_hash_cols,
+        _bloom_might_contain,
+    )
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        _read_membership_bloom,
+        build_membership_bloom,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    fold_batch(spark, docs, 0, state)
+    built = build_membership_bloom(spark, state)
+    assert built["n_items"] == docs.count()
+    art = _read_membership_bloom(spark, state)
+    assert art["covered_max"] == 0 and art["n_items"] == built["n_items"]
+    might = _bloom_might_contain(
+        spark, art["bitmap"], art["n_bits"], art["n_hashes"]
+    )
+    h1, h2 = _bloom_hash_cols("doc_id")
+    n_maybe = docs.select("doc_id").filter(might(h1, h2)).count()
+    assert n_maybe == docs.count()
+
+
+def test_membership_bloom_skipped_on_covered_replay(spark, tmp_path):
+    """A crash-rerun of a batch the bloom already covers must NOT
+    consult the artifact: the batch's own ids are in the bitmap, and
+    counting them as prior deliveries would divert the entire batch on
+    replay. The guard's covered_max < batch_id condition routes the
+    replay through the plain exact path — idempotent, no quarantine."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        compact_state,
+        current_map,
+        fold_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    fold_batch(spark, b0, 0, state)
+    fold_batch(spark, b1, 1, state)
+    compact_state(spark, state)  # bloom now covers batches 0-1
+    want = current_map(spark, state).toPandas()
+
+    fold_batch(spark, b1, 1, state)  # crash-rerun of the covered batch
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == dict(
+        zip(want["doc_id"], want["cluster_id"])
+    )
+    base1 = spark.read.parquet(f"{state}/base/batch=1")
+    assert base1.count() > 0
+    assert not os.path.isdir(f"{state}/redelivered/batch=1")
+
+
+def _truth_p(docs, threshold, n, cap):
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    m = dup_clusters(
+        ngram_jaccard_pairs(
+            docs, threshold=threshold, n=n, max_shingle_freq=cap
+        )
+    ).toPandas()
+    return dict(zip(m["doc_id"], m["cluster_id"]))
+
+
+def _apply_updates(docs, updates):
+    """corpus-prime: first-delivered docs with the updated ids' text
+    replaced by the latest redelivered version."""
+    return docs.join(
+        updates.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(updates)
+
+
+def test_rebuild_updated_split_and_merge(spark, tmp_path):
+    """The UPDATE path the star-edge fold cannot express: an updated
+    bridge doc must SPLIT its component, and an update copying another
+    doc's text must MERGE two components — the rebuilt map equals the
+    one-shot truth over (old \\ updated) UNION updated, the quarantine
+    is consumed, and a LATER fold over the tombstoned state still lands
+    on one-shot truth (masked postings/base + signed df delta)."""
+    import os
+
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    thr, n, cap = 0.3, 3, 50
+    # a-u-b: u bridges a and b (shares a third of its shingles with
+    # each); a-b share nothing -> one component {a,u,b} via u
+    a_txt = "w1 w2 w3 w4 w5"
+    b_txt = "x1 x2 x3 x4 x5"
+    u_txt = a_txt + " " + b_txt
+    # c,d unrelated; the update copies d's text into c -> merge
+    c_txt = "m1 m2 m3 m4 m5"
+    d_txt = "k1 k2 k3 k4 k5"
+    first = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [a_txt, u_txt, b_txt, c_txt, d_txt],
+            }
+        )
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n, max_shingle_freq=cap)
+    got0 = current_map(spark, state).toPandas()
+    assert dict(zip(got0["doc_id"], got0["cluster_id"])) == _truth_p(
+        first, thr, n, cap
+    )
+    # batch 1 redelivers u (bridge destroyed) and c (copies d)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 4], "text": ["z1 z2 z3", d_txt]})
+    )
+    fold_batch(
+        spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=cap
+    )
+    stats = rebuild_updated(
+        spark, state, threshold=thr, n=n, max_shingle_freq=cap
+    )
+    assert stats["updated"] == 2
+    corpus_prime = _apply_updates(first, updates)
+    want = _truth_p(corpus_prime, thr, n, cap)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    # split happened: 1 and 3 are no longer clustered; merge: {4,5}
+    assert 1 not in want and 3 not in want and want[4] == want[5] == 4
+    # the work list is consumed; the txn left tombstones
+    assert not os.path.isdir(f"{state}/redelivered/batch=1")
+    assert os.path.isdir(f"{state}/tombstones/batch={stats['txn_batch']}")
+    # later fold over the tombstoned state: e pairs with u's NEW text,
+    # f pairs with a's (unchanged) text — both must resolve one-shot
+    later = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [6, 7], "text": ["z1 z2 z3 z4", "w1 w2 w3 w4 w9"]}
+        )
+    )
+    fold_batch(
+        spark, later, 3, state, threshold=thr, n=n, max_shingle_freq=cap
+    )
+    want2 = _truth_p(corpus_prime.unionByName(later), thr, n, cap)
+    got2 = current_map(spark, state).toPandas()
+    assert dict(zip(got2["doc_id"], got2["cluster_id"])) == want2
+
+
+def test_rebuild_updated_cap_flips_propagate_to_untouched_docs(
+    spark, tmp_path
+):
+    """An update can flip a shingle's document frequency across the cap
+    and change candidacy between docs that were NEVER updated: pairs
+    must APPEAR when the update drops a boilerplate shingle under the
+    cap, and VANISH when it pushes one over — both directions in one
+    rebuild, plus the generator-divergence case (a zero-shingle new
+    text hides its stale counts from the discovery pass; the flip
+    analysis must still route the holders into the rebuild)."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    thr, n, cap = 0.3, 3, 4
+    S = "c1 c2 c3"  # boilerplate shingle S
+    T = "t1 t2 t3"
+    first = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 10, 11, 12, 13, 20],
+                "text": [
+                    f"{S} a1", f"{S} a2", f"{S} a3", f"{S} a4",  # S: df=5
+                    f"{T} b1", f"{T} b2", f"{T} b3", f"{T} b4",  # T: df=4
+                    f"{S} a9",  # doc 20: the 5th S holder, later updated
+                ],
+            }
+        )
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n, max_shingle_freq=cap)
+    before = current_map(spark, state).toPandas()
+    want0 = _truth_p(first, thr, n, cap)
+    assert dict(zip(before["doc_id"], before["cluster_id"])) == want0
+    # initially: S over cap (df=5) -> docs 1-4,20 unpaired; T at cap
+    # (df=4) -> docs 10-13 clustered
+    assert 1 not in want0 and want0[10] == 10
+    # the single update: doc 20 drops S (df 5->4: pairs among 1-4
+    # APPEAR) and picks up T (df 4->5: pairs among 10-13 VANISH)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [20], "text": [f"{T} q9"]})
+    )
+    fold_batch(
+        spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=cap
+    )
+    rebuild_updated(spark, state, threshold=thr, n=n, max_shingle_freq=cap)
+    corpus_prime = _apply_updates(first, updates)
+    want = _truth_p(corpus_prime, thr, n, cap)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert want[1] == want[2] == want[3] == want[4] == 1  # appeared
+    assert 10 not in want and 11 not in want  # vanished
+
+
+def test_rebuild_updated_generator_divergence_zero_shingle(spark, tmp_path):
+    """df-estimate divergence: u2's new text has no shingles (its stale
+    counts vanish from the discovery pass's subtraction) while u1's new
+    text picks up the boilerplate shingle — discovery alone would deem
+    S over-cap and miss u1's pairs; the flip analysis' second disjunct
+    (df_gen vs df_true) must catch it."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    thr, n, cap = 0.3, 3, 4
+    S = "c1 c2 c3"
+    first = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 30, 40],
+                "text": [
+                    f"{S} a1", f"{S} a2", f"{S} a3",  # stay put
+                    f"{S} a4",      # u2: S holder -> zero-shingle text
+                    "m1 m2 m3 m4",  # u1: unrelated -> S holder
+                ],
+            }
+        )
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n, max_shingle_freq=cap)
+    want0 = _truth_p(first, thr, n, cap)
+    got0 = current_map(spark, state).toPandas()
+    assert dict(zip(got0["doc_id"], got0["cluster_id"])) == want0
+    assert want0[1] == want0[30] == 1  # S at cap: all four clustered
+    updates = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [30, 40], "text": ["ha", f"{S} zz"]})
+    )
+    fold_batch(
+        spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=cap
+    )
+    rebuild_updated(spark, state, threshold=thr, n=n, max_shingle_freq=cap)
+    corpus_prime = _apply_updates(first, updates)
+    want = _truth_p(corpus_prime, thr, n, cap)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    # u1 replaced u2 in the S cluster; u2 dropped out entirely
+    assert want[40] == want[1] and 30 not in want
+
+
+def test_rebuild_updated_idempotent_and_rollback(spark, tmp_path):
+    """A second rebuild with an empty work list is a no-op; a pending
+    txn marker (interrupted rebuild) makes folds refuse loudly, and the
+    next rebuild rolls the orphaned txn layers back before proceeding."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    fold_batch(spark, b0, 0, state)
+    updates = b0.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" an entirely new suffix"))
+    )
+    fold_batch(spark, updates, 1, state)
+    stats = rebuild_updated(spark, state)
+    assert stats["updated"] == updates.count()
+    want = current_map(spark, state).toPandas()
+    # idempotent: nothing left to consume
+    again = rebuild_updated(spark, state)
+    assert again["updated"] == 0 and again["txn_batch"] is None
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == dict(
+        zip(want["doc_id"], want["cluster_id"])
+    )
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(
+        _apply_updates(b0, updates)
+    )
+    # simulate an interrupted txn: marker + orphaned layer dirs
+    spark.createDataFrame([(99,)], "txn int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{state}/rebuild_txn")
+    spark.createDataFrame(
+        [(999_999, ["junk junk junk"])], "doc_id long, shingles array<string>"
+    ).write.mode("overwrite").parquet(f"{state}/base/batch=99")
+    with pytest.raises(ValueError, match="pending rebuild_updated txn"):
+        fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 5, state)
+    rolled = rebuild_updated(spark, state)  # no work list -> rollback only
+    assert rolled["updated"] == 0
+    assert not os.path.isdir(f"{state}/base/batch=99")
+    assert not os.path.isdir(f"{state}/rebuild_txn")
+    # folds proceed and land on one-shot truth over corpus-prime + batch
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    fold_batch(spark, b1, 5, state)
+    got2 = current_map(spark, state).toPandas()
+    want2 = _truth(_apply_updates(b0, updates).unionByName(b1))
+    assert dict(zip(got2["doc_id"], got2["cluster_id"])) == want2
+
+
+def test_rebuild_updated_randomized_matches_one_shot(spark, tmp_path):
+    """Breadth: random update workload over the documents table —
+    texts swapped between docs (merges), mutated suffixes, unique
+    replacements (splits), an id updated TWICE across batches (latest
+    wins) — the rebuilt map must equal the one-shot truth over
+    corpus-prime under the stream's default parameters."""
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    # batch 2: three mutation classes over ids 0 mod 5
+    shifted = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2")
+    )
+    upd2 = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(shifted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.coalesce("t2", "text"))
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.col("text"), F.lit(" tail tail tail")),
+            )
+            .otherwise(
+                F.concat(F.lit("uniq "), F.col("doc_id").cast("string"))
+            )
+            .alias("text"),
+        )
+    )
+    fold_batch(spark, upd2, 2, state)
+    # batch 3: a second update for ids 0 mod 10 (must win over batch 2)
+    upd3 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("final version "), F.col("text")).alias("text"),
+    )
+    fold_batch(spark, upd3, 3, state)
+    rebuild_updated(spark, state)
+    latest = upd2.join(
+        upd3.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(upd3)
+    corpus_prime = _apply_updates(docs, latest)
+    got = current_map(spark, state).toPandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(corpus_prime)
