@@ -497,6 +497,213 @@ def delete_from_ivf_index(
     return report
 
 
+def split_cells(
+    spark,
+    path: str,
+    target_occupancy: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Grow the coarse codebook with the corpus: split every cell whose
+    occupancy exceeds ``target_occupancy`` by a deterministic 2-means
+    over its residents, rewriting ONLY the split cells' directories and
+    appending the new centroids — the occupancy-maintenance escape the
+    append path needs at scale (a frozen k under a growing corpus makes
+    every affected-cell fold and probe pay the occupancy term; SCALE.md
+    round 9 measured the fold's 1.7x growth at a 100x corpus as exactly
+    this). Returns a report (cell, new_cell, n_kept, n_moved).
+
+    Mechanics, all bounded by the HOT cells (never the standing index):
+    occupancy from a per-cell count; hot residents 2-means'd per cell
+    with a fully deterministic Lloyd's (rows id-sorted; seeds = min-id
+    vector and the farthest vector from it, ties to the lower id), so a
+    crash-rerun reproduces the identical assignment; the child holding
+    the min-id seed KEEPS the old cell id, the other child takes
+    max-dir-cell + rank (ids derived from the cell DIRECTORIES, which a
+    half-committed run leaves untouched — rerun allocates the same ids;
+    the centroid table must stay GAP-FREE because load_ivf_index maps
+    matrix position to cell id). A degenerate cell (2-means collapses
+    to one side: identical vectors) is left unsplit. Write order is
+    centroids THEN cells: a crash between them leaves the new ids as
+    empty cells (probes unaffected) and the rerun repairs; the reverse
+    order would leave resident rows in directories no centroid row
+    reaches — silently unprobeable even at nprobe == k.
+
+    Split children get centroids recomputed as member means, so the
+    local quantizer rule (member -> nearest of the two children) holds;
+    a member's GLOBAL argmin may drift to another cell, as it does for
+    any split-maintained IVF — recall-neutral at the exactness pins
+    (nprobe == k probes everything) and repaired by the next full
+    refit. Refuses an index with PENDING APPEND EPOCHS (their rows'
+    cell assignments predate the split — fold_appends first) or a PQ
+    codes tier (codes are cell-partitioned; a split invalidates their
+    layout — rebuild via save_ivfpq_index instead)."""
+    import pandas as pd
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _exists_nonempty(sub: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = p.getFileSystem(conf)
+        return fs.exists(p) and bool(list(fs.listStatus(p)))
+
+    if _exists_nonempty("appends"):
+        raise ValueError(
+            f"{path} has pending append epochs: fold_appends before "
+            "split_cells (append rows' cell assignments predate the split)"
+        )
+    if _exists_nonempty("codes"):
+        raise ValueError(
+            f"{path} carries a PQ codes tier: a cell split invalidates "
+            "its cell-partitioned layout — rebuild with save_ivfpq_index"
+        )
+
+    cells = spark.read.parquet(f"{path}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    hot = sorted(
+        r.cell
+        for r in counts.filter(
+            F.col("n") > int(target_occupancy)
+        ).collect()
+    )
+    empty_report = spark.createDataFrame(
+        [], "cell int, new_cell int, n_kept long, n_moved long"
+    )
+    if not hot:
+        return empty_report
+    max_cell = max(r.cell for r in counts.select("cell").collect())
+
+    residents = cells.filter(F.col("cell").isin([int(c) for c in hot]))
+
+    def _two_means(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        c0 = X[0].copy()  # min-id seed
+        d = ((X - c0) ** 2).sum(axis=1)
+        far = np.flatnonzero(d == d.max())
+        c1 = X[far[0]].copy()  # ids sorted -> lowest-id farthest vector
+        assign = None
+        for _ in range(25):
+            d0 = ((X - c0) ** 2).sum(axis=1)
+            d1 = ((X - c1) ** 2).sum(axis=1)
+            new = d0 <= d1  # tie -> the min-id-seed child
+            if assign is not None and bool((new == assign).all()):
+                break
+            assign = new
+            if bool(assign.all()) or not bool(assign.any()):
+                break
+            c0 = X[assign].mean(axis=0)
+            c1 = X[~assign].mean(axis=0)
+        if assign is None or bool(assign.all()) or not bool(assign.any()):
+            child = np.zeros(len(X), dtype=np.int32)  # degenerate: no split
+        else:
+            child = np.where(assign, 0, 1).astype(np.int32)
+        return pd.DataFrame(
+            {id_col: ids, "cell": pdf["cell"], "child": child}
+        )
+
+    id_type = dict(residents.dtypes)[id_col]
+    assign = (
+        residents.select(id_col, "cell", vec_col)
+        .groupBy("cell")
+        .applyInPandas(
+            _two_means, schema=f"{id_col} {id_type}, cell int, child int"
+        )
+        .localCheckpoint(eager=True)
+    )
+    split_ids = sorted(
+        r.cell
+        for r in assign.filter(F.col("child") == 1)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not split_ids:
+        return empty_report
+    new_id = {c: max_cell + 1 + i for i, c in enumerate(split_ids)}
+    mapping = spark.createDataFrame(
+        [(int(c), 1, int(nid)) for c, nid in new_id.items()],
+        "cell int, child int, final_cell int",
+    )
+    routed = (
+        assign.join(F.broadcast(mapping), ["cell", "child"], "left")
+        .withColumn(
+            "final_cell", F.coalesce("final_cell", F.col("cell"))
+        )
+        .select(id_col, "cell", "final_cell")
+    )
+    report = (
+        routed.filter(F.col("cell").isin([int(c) for c in split_ids]))
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                (F.col("final_cell") == F.col("cell")).cast("long")
+            ).alias("n_kept"),
+            F.sum(
+                (F.col("final_cell") != F.col("cell")).cast("long")
+            ).alias("n_moved"),
+        )
+        .join(F.broadcast(mapping.select("cell", "final_cell")), "cell")
+        .select(
+            "cell",
+            F.col("final_cell").alias("new_cell"),
+            "n_kept",
+            "n_moved",
+        )
+        .orderBy("cell")
+        .localCheckpoint(eager=True)
+    )
+    # stage the rewrite (full rows, new cell) BEFORE touching the dirs
+    staged = (
+        residents.drop("cell")
+        .join(routed.select(id_col, "final_cell"), id_col)
+        .withColumnRenamed("final_cell", "cell")
+        .localCheckpoint(eager=True)
+    )
+
+    # child centroids: deterministic member means (id-sorted fold)
+    def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        X = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "centroid": [X.mean(axis=0).tolist()],
+            }
+        )
+
+    affected_final = [int(c) for c in split_ids] + [
+        int(v) for v in new_id.values()
+    ]
+    child_cents = (
+        staged.select(id_col, "cell", vec_col)
+        .filter(F.col("cell").isin(affected_final))
+        .groupBy("cell")
+        .applyInPandas(_mean, schema="cell int, centroid array<double>")
+    )
+    old_cents = spark.read.parquet(f"{path}/centroids")
+    new_table = (
+        old_cents.filter(~F.col("cell").isin(affected_final))
+        .unionByName(child_cents)
+        .localCheckpoint(eager=True)  # staged: this plan reads the dir
+    )
+    new_table.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    return report
+
+
 def ivf_cell_stats(spark, path: str) -> DataFrame:
     """Per-cell occupancy report for a persisted index: (cell, n_vecs,
     frac, imbalance) where imbalance = n_vecs / mean-cell-size. The

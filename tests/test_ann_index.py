@@ -758,3 +758,177 @@ def test_ivfpq_recall_knobs_and_pruned_plan(spark, corpus, tmp_path_factory):
     # partition filters (static prune on the collected cell list)
     plan = run(3, 50)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_split_cells_probe_parity_and_dense_codebook(
+    spark, corpus, tmp_path_factory
+):
+    """Occupancy maintenance: splitting the hot cells must leave (a) a
+    GAP-FREE centroid table (load_ivf_index maps matrix position to
+    cell id), (b) every split cell's residents exactly partitioned
+    between its two children, and (c) probe output at nprobe == k'
+    bit-identical to brute force — the split moves rows between
+    directories, never changes what a full probe can see."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_ivf_index,
+        probe_ivf,
+        save_ivf_index,
+        split_cells,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    path = str(tmp_path_factory.mktemp("split") / "index")
+    save_ivf_index(corpus, path, k=4)
+    before, cents_before = load_ivf_index(spark, path)
+    counts_before = {
+        r.cell: r.n
+        for r in before.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    ids_before: dict[int, set] = {}
+    for r in before.select("cell", "vec_id").collect():
+        ids_before.setdefault(r.cell, set()).add(r.vec_id)
+    target = int(corpus.count() / 8)  # several cells run hot
+    report = split_cells(spark, path, target_occupancy=target).toPandas()
+    assert len(report) > 0
+    after, cents_after = load_ivf_index(spark, path)
+    # dense ids: position == cell id still holds
+    cells_after = sorted(
+        r.cell for r in after.select("cell").distinct().collect()
+    )
+    assert cents_after.shape[0] == len(cents_before) + len(report)
+    assert cells_after == list(range(cents_after.shape[0]))
+    # residents partitioned exactly; both children non-empty
+    for row in report.itertuples():
+        kept = {
+            r.vec_id
+            for r in after.filter(F.col("cell") == int(row.cell))
+            .select("vec_id").collect()
+        }
+        moved = {
+            r.vec_id
+            for r in after.filter(F.col("cell") == int(row.new_cell))
+            .select("vec_id").collect()
+        }
+        old = ids_before[int(row.cell)]
+        assert row.n_kept == len(kept) > 0
+        assert row.n_moved == len(moved) > 0
+        assert kept | moved == old and not (kept & moved)
+        assert len(kept) <= counts_before[row.cell]
+    assert after.count() == corpus.count()
+    # exactness pin: full probe over the split index == brute force
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        probe_ivf(
+            after, queries, cents_after, k=5, nprobe=cents_after.shape[0]
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_split_cells_converges_to_target_occupancy(
+    spark, corpus, tmp_path_factory
+):
+    """One call splits each hot cell once (a 2-means halves it);
+    repeated calls must CONVERGE — occupancy under the target
+    everywhere (this corpus has no degenerate identical-vector cells),
+    an empty report at the fixpoint, a still-dense codebook, and no
+    rows lost along the way."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivf_index,
+        split_cells,
+    )
+
+    path = str(tmp_path_factory.mktemp("split2") / "index")
+    save_ivf_index(corpus, path, k=4)
+    target = int(corpus.count() / 8)
+    rounds = 0
+    while rounds < 8:
+        report = split_cells(spark, path, target_occupancy=target).toPandas()
+        rounds += 1
+        if len(report) == 0:
+            break
+    assert rounds > 1 and len(report) == 0  # converged, not first-call-empty
+    after, cents = load_ivf_index(spark, path)
+    assert after.count() == corpus.count()
+    occ = after.groupBy("cell").agg(F.count("*").alias("n"))
+    assert occ.filter(F.col("n") > target).count() == 0
+    cells = sorted(r.cell for r in occ.select("cell").collect())
+    assert cells == list(range(cents.shape[0]))
+    # the fixpoint really is a no-op: codebook untouched by another call
+    again = split_cells(spark, path, target_occupancy=target).toPandas()
+    _, cents2 = load_ivf_index(spark, path)
+    assert len(again) == 0 and cents2.shape == cents.shape
+
+
+def test_split_cells_degenerate_identical_vectors(spark, tmp_path_factory):
+    """A hot cell of IDENTICAL vectors cannot 2-means apart: it must be
+    left unsplit with no new id consumed — an empty child directory or
+    a codebook gap would break position==cell everywhere downstream."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivf_index,
+        split_cells,
+    )
+
+    same = [[1.0, 0.0, 0.0, 0.0]] * 12
+    other = [[0.0, float(i + 1), 0.0, 0.0] for i in range(3)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(15)),
+                "embedding": same + other,
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("degen") / "index")
+    save_ivf_index(df, path, k=2)
+    report = split_cells(spark, path, target_occupancy=5).toPandas()
+    # the identical-vector cell stayed whole; no codebook gap
+    after, cents = load_ivf_index(spark, path)
+    cells = sorted(r.cell for r in after.select("cell").distinct().collect())
+    assert cells == sorted(set(range(cents.shape[0])) & set(cells))
+    assert after.count() == 15
+    occ = {
+        r.cell: r.n
+        for r in after.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert 12 in occ.values()  # the identical block is still one cell
+    assert all(int(r.n_kept) > 0 and int(r.n_moved) > 0 for r in report.itertuples())
+
+
+def test_split_cells_refuses_pending_appends_and_codes(
+    spark, corpus, tmp_path_factory
+):
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivf_index,
+        save_ivfpq_index,
+        split_cells,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+    )
+
+    path = str(tmp_path_factory.mktemp("refuse") / "index")
+    save_ivf_index(corpus.filter(F.col("vec_id") < 400), path, k=4)
+    append_batch(
+        spark, corpus.filter(F.col("vec_id") >= 400), 0, path
+    )
+    with pytest.raises(ValueError, match="pending append epochs"):
+        split_cells(spark, path, target_occupancy=10)
+
+    pq = str(tmp_path_factory.mktemp("refusepq") / "index")
+    save_ivfpq_index(corpus, pq, k=4, m=8, pq_k=16)
+    with pytest.raises(ValueError, match="PQ codes tier"):
+        split_cells(spark, pq, target_occupancy=10)
