@@ -2635,6 +2635,62 @@ EXTRA_ORACLES["x146_ivfpq_probe"] = ORACLES["x06_ann_cosine_topk"]
 # nprobe == k trick applied to PQ) — x06's SQL unchanged.
 EXTRA_ORACLES["x75b_ann_pq_exact_rerank"] = ORACLES["x06_ann_cosine_topk"]
 
+# x147 probes the index AFTER split_cells occupancy maintenance with
+# nprobe == post-split k: the split only moves rows between cell
+# directories, so the full probe must still equal brute force — x06's
+# SQL; a row stranded in an unreachable child cell (or a centroid-table
+# gap mislabeling cells) would vacate a rank slot and break the hash.
+EXTRA_ORACLES["x147_ivf_split_probe"] = ORACLES["x06_ann_cosine_topk"]
+
+# x148: the dedup stream's UPDATE path. Corpus-prime applies the same
+# update rule the query folds through the redelivered/ quarantine —
+# doc_id % 40 == 5 replaced by unique standalone text (edge
+# RETRACTION: components must split), the other % 20 == 5 ids replaced
+# by the text of doc_id - 4 (a forced MERGE) — then the one-shot
+# recursive-CTE cluster map over corpus-prime is the truth the rebuilt
+# map must hash-match (x31's components shape over docs2).
+EXTRA_ORACLES["x148_dedup_stream_update"] = f"""
+WITH RECURSIVE docs2 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 40 = 5
+                THEN 'uniq ' || CAST(d.doc_id AS VARCHAR)
+                     || ' standalone replacement text'
+              WHEN d.doc_id % 20 = 5 THEN COALESCE(m.text, d.text)
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents m ON m.doc_id = d.doc_id - 4
+),
+toks AS (
+  SELECT doc_id, {_TOKENS.format(t='text')} AS t FROM docs2
+), idx AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
 # x143 erases vec_id % 17 == 5 from the persisted index by rewriting
 # only the affected cell partitions, then probes ALL cells — exact, so
 # the truth is brute force over the SURVIVING corpus (x06's shape with

@@ -3837,6 +3837,107 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
+@query("x147_ivf_split_probe")
+def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of an IVF index AFTER cell-split maintenance (ann_index.
+    split_cells): the codebook is grown until every cell's occupancy is
+    under |corpus|/16 — each hot cell 2-means'd into two children, only
+    those directories rewritten, the centroid table kept gap-free — and
+    the probe covers every post-split cell (nprobe == k'), so the
+    oracle is x06's brute-force cosine SQL: the split moves rows
+    between directories and must never change what a full probe sees
+    (a row lost to a child directory or an unreachable new cell would
+    vacate a top-k rank slot and break the hash). This is the
+    occupancy-maintenance escape for the append path's frozen-k drift
+    (SCALE.md round-10 fold A/B measures the cost side); x125/x142/
+    x145 hash build/append/live-read, this hashes the SPLIT."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivf_split")
+    marker = os.path.join(idx, "_split_done")
+    if not os.path.exists(marker):
+        ann_index.save_ivf_index(emb, idx, k=8)
+        target = max(2, emb.count() // 16)
+        for _ in range(8):
+            if (
+                ann_index.split_cells(
+                    spark, idx, target_occupancy=target
+                ).count()
+                == 0
+            ):
+                break
+        open(marker, "w").close()
+    indexed, centroids = ann_index.load_ivf_index(spark, idx)
+    out = ann_index.probe_ivf(
+        indexed,
+        emb.filter(F.col("vec_id") < 10),
+        centroids,
+        k=5,
+        nprobe=len(centroids),
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
+@query("x148_dedup_stream_update")
+def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stream's UPDATE path (streaming/dedup_stream.
+    rebuild_updated): the corpus folds in as two micro-batches, a third
+    batch RE-DELIVERS every doc_id % 20 == 5 with changed text — half
+    replaced by unique standalone text (their near-dup edges must
+    RETRACT: the component splits, which the star-edge fold can never
+    express), half replaced by a STANDING doc's text verbatim (a
+    forced MERGE) — and the first-delivery-wins guard diverts them all
+    to the redelivered/ quarantine. rebuild_updated then consumes the
+    quarantine: latest text per id, pruned pair discovery, cap-flip
+    analysis, affected-component recompute, tombstoned append-only txn
+    layer. The returned map is the ORACLE's one-shot recursive-CTE
+    cluster map over corpus-prime — (old \\ updated) UNION updated —
+    so the driver hash proves retraction, merge, and the untouched
+    components' passthrough are all exact."""
+    import os
+
+    from ..streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = _state_dir(sf_dir, "documents", "dedup_stream_upd")
+    marker = os.path.join(state, "_rebuilt")
+    if not os.path.exists(marker):
+        fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+        fold_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+        merge_src = docs.select(
+            (F.col("doc_id") + 4).alias("doc_id"),
+            F.col("text").alias("m_text"),
+        )
+        updates = (
+            docs.filter(F.col("doc_id") % 20 == 5)
+            .join(merge_src, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 40 == 5,
+                    F.concat(
+                        F.lit("uniq "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" standalone replacement text"),
+                    ),
+                )
+                .otherwise(F.coalesce("m_text", "text"))
+                .alias("text"),
+            )
+        )
+        fold_batch(spark, updates, 2, state)
+        rebuild_updated(spark, state)
+        open(marker, "w").close()
+    return current_map(spark, state)
+
+
 @query("x124_skew_salted_join")
 def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact-to-dim join over a deliberately Zipf-skewed key
@@ -4106,9 +4207,25 @@ DRIVER_WINDOW: list[str] = [
     # scale shape that actually estimates) stays registered in the
     # extras, rows-only, tolerance-tested and benched. Remaining
     # designated rows-only slots: x76, x78, x79.
-    "x75b_ann_pq_exact_rerank", "x76_sketch_rollup",
+    # Round-10 swaps (VERDICT r9 items 1-2 + the no-prior-row rule):
+    # x146 takes x75b's slot — the IVFADC COMPOSITION (coarse prune ->
+    # per-cell ADC cogroup -> exact re-rank) pins strictly more than
+    # x75b's flat ADC re-rank with the same x06 oracle (nprobe == k AND
+    # shortlist == |corpus|); x75b stays in the extras with its
+    # r8/r9-green rows, pytest-oracle-checked. x79b takes x79's slot —
+    # the LAST convertible rows-only slot becomes a HASH slot: the
+    # deterministic sign-bit hyperplane quantizer makes the cell table
+    # SQL-expressible, so the whole SemDeDup downstream (within-cell
+    # pairs -> transitive clusters -> min-id representative) is now
+    # driver-hashed via a recursive-CTE oracle; x79 (k-means cells, the
+    # engine-fit path) stays registered rows-only with its composition
+    # invariants pytest-checked. Remaining designated rows-only slots:
+    # x76, x78 (estimate-valued; exactness pins x77b/x130 cover the
+    # mechanics).
+    "x146_ivfpq_probe", "x76_sketch_rollup",
     "x77b_theta_overlap_exact",
-    "x78_table_profile_approx", "x79_semantic_dedup", "x99_corpus_prep",
+    "x78_table_profile_approx", "x79b_semantic_dedup_hyperplane",
+    "x99_corpus_prep",
     # Round-7 continuation (no-prior-row rule): x142 takes x125's slot
     # with the SAME x06 oracle — the hash now proves build-90 +
     # append-10 == brute force, strictly more than x125's full-build
@@ -4125,8 +4242,17 @@ DRIVER_WINDOW: list[str] = [
     # force, strictly more than x142's post-append batch check. x142
     # stays pytest-oracle-checked with its r7-green row on record; the
     # index-maintenance family keeps x143's delete row in the window.
+    # Round-10 continuation (no-prior-row rule): x147 takes x143's slot
+    # — the index-maintenance family's driver signal moves to the NEW
+    # split path (x143's delete row is r9-green and stays
+    # pytest-oracle-checked; the family keeps x145's live read and
+    # x146's IVFADC in-window). x148 takes x104b's slot — the dedup
+    # stream's UPDATE path (retraction + merge + cap flips through the
+    # tombstoned rebuild) is strictly new driver signal; x104b is
+    # r9-green and the canonical-selection family keeps x140.
     "x145_live_index_probe", "x130_histogram_quantiles",
-    "x131_incremental_rollup", "x143_ann_index_delete",
+    "x131_incremental_rollup", "x147_ivf_split_probe",
+    "x148_dedup_stream_update",
     # round-5 late additions (same no-prior-row rule): x126-x129 take the
     # slots of x103 / x110 / x112 / x107 (all driver-green in r04, still
     # pytest-oracle-checked; family reps that remain — quality gates ->
@@ -4152,7 +4278,6 @@ DRIVER_WINDOW: list[str] = [
     # variants x104b/x105b take their recomputing twins' slots with the
     # SAME oracles — the driver hash proves materialized == recomputed;
     # x104/x105 stay pytest-oracle-checked at sf0.001 (r05-green rows).
-    "x104b_canonical_dedup_materialized",
     "x105b_leakage_safe_split_materialized",
     # Round-6 late additions (no-prior-row rule): x134/x135/x136 take
     # the slots of x98 / x100 / x108 (all driver-green in r05, oracles

@@ -150,7 +150,7 @@ _BLOOM_SCHEMA = "bm binary, n_bits long, n_hashes int, covered_max int, n_items 
 
 
 def build_membership_bloom(
-    spark: SparkSession, state_dir: str, fpp: float = 0.01
+    spark: SparkSession, state_dir: str, fpp: float = 1e-5
 ) -> dict | None:
     """Build (or rebuild) the membership Bloom artifact over every
     first-delivered id registered so far, and persist it to
@@ -158,15 +158,25 @@ def build_membership_bloom(
     parameters + the highest batch id it covers). The artifact is a
     PRUNE, never truth (the x80 discipline): the per-fold re-delivery
     probe consults it map-side and pays the exact id-layer probe only
-    for maybe-hits, so the bytes the exact probe reads track the
-    batch's true re-deliveries plus an ``fpp`` sliver — flat as the
-    batch COUNT grows — instead of one footer + row-group probe per
-    standing id layer per fold. Sized at build time from the actual
-    registered-id count (~1.2 MB per 10^6 ids at 1% fpp); the write is
-    an idempotent overwrite, so the natural owner is the same
-    maintenance cadence as ``compact_state`` (which calls this after
-    every bin-pack). Returns the artifact dict, or None when no ids
-    are registered yet."""
+    for maybe-hits — a CLEAN batch (no re-deliveries, the append-mostly
+    stream's common case) whose maybe set is empty skips the covered
+    layers' probe ENTIRELY, zero files touched, which is what keeps
+    membership-probe bytes flat as batches accumulate past compaction
+    (SCALE.md round 10 measured the plain probe's bytes growing ~3x
+    from 16 to 256 layers while the bloomed clean fold reads nothing).
+
+    SIZE ``fpp`` AGAINST THE BATCH, not per-key intuition: a clean
+    batch of B ids skips the probe with probability (1-fpp)^B, so pick
+    fpp << 1/B (the 1e-5 default keeps 10k-id clean batches probe-free
+    ~90% of the time; each factor of 10 costs ~0.6 bytes/key — 1e-5 is
+    ~3.6 B/key, still 2.2x smaller than the raw ids). Past ~10^8
+    registered ids a single broadcast bitmap stops being the right
+    shape regardless of fpp; shard the registry (one state per id
+    range) before that point. Sized at build time from the actual
+    registered-id count; the write is an idempotent overwrite, so the
+    natural owner is the same maintenance cadence as ``compact_state``
+    (which calls this after every bin-pack). Returns the artifact
+    dict, or None when no ids are registered yet."""
     from ..operators.dedup import _bloom_build_bitmap, _bloom_params
 
     layers = _list_batches(spark, f"{state_dir}/ids")
@@ -408,14 +418,18 @@ def fold_batch(
                 maybe = arr_ids.filter(might(h1, h2))
                 parts = []
                 if covered:
-                    parts.append(
-                        _keys_pruned_capped(
-                            spark.read.schema("doc_id long").parquet(*covered),
-                            "doc_id",
-                            maybe,
-                            2048,
-                        )[0]
+                    pruned, vals = _keys_pruned_capped(
+                        spark.read.schema("doc_id long").parquet(*covered),
+                        "doc_id",
+                        maybe,
+                        2048,
                     )
+                    # the clean-batch fast path: an EMPTY maybe set means
+                    # every arriving id is provably absent from the
+                    # covered layers — skip their probe outright (zero
+                    # files touched; this is the bytes-flat claim)
+                    if vals != []:
+                        parts.append(pruned)
                 if recent:
                     parts.append(
                         _keys_pruned_capped(
@@ -425,9 +439,12 @@ def fold_batch(
                             2048,
                         )[0]
                     )
-                prior_ids = parts[0]
-                for extra in parts[1:]:
-                    prior_ids = prior_ids.unionByName(extra)
+                if parts:
+                    prior_ids = parts[0]
+                    for extra in parts[1:]:
+                        prior_ids = prior_ids.unionByName(extra)
+                else:  # all layers covered, nothing maybe-present
+                    prior_ids = spark.createDataFrame([], "doc_id long")
             else:
                 prior_ids, _ = _keys_pruned_capped(
                     spark.read.schema("doc_id long").parquet(*prior_ids_dirs),
@@ -1034,6 +1051,81 @@ def rebuild_updated(
     }
 
 
+def apply_tombstones(spark: SparkSession, state_dir: str) -> dict:
+    """Physical OPTIMIZE for the update path: fold the tombstone mask
+    into the layers — rewrite every base/postings layer directory that
+    still holds superseded rows WITHOUT them, then drop the tombstone
+    store, returning every future fold to the unmasked fast path (the
+    broadcast mask costs little, but it grows with total ids ever
+    updated and every reader pays it forever otherwise).
+
+    The df layers are deliberately NOT touched: the rebuild's signed
+    delta layers already make the per-shingle SUM the live count, and
+    that algebra stays true whether or not the superseded posting/base
+    ROWS physically exist — so the rewrite here never has to keep two
+    artifact families transactionally consistent. Crash safety follows:
+    each layer rewrite is an idempotent overwrite that only ever
+    removes already-masked rows (a half-done pass leaves the mask
+    correct — masking a missing row is a no-op), and the tombstone
+    store is deleted LAST, only after every affected layer is clean.
+    Work is bounded by the layers that contain updated ids (pruned
+    discovery per layer), not the corpus. Run between folds, like
+    compact_state. Returns {"tombstoned_ids", "layers_rewritten"}."""
+    from ..operators.dedup import _keys_pruned_capped
+
+    tombs = _read_tombstones(spark, state_dir)
+    if tombs is None:
+        return {"tombstoned_ids": 0, "layers_rewritten": 0}
+    latest = (
+        tombs.groupBy("doc_id")
+        .agg(F.max("replaced_below").alias("__rb"))
+        .localCheckpoint(eager=True)
+    )
+    n_ids = latest.count()
+    rewritten = 0
+    for root in ("base", "postings"):
+        for b, path in _list_batches(spark, f"{state_dir}/{root}"):
+            dead_ids = latest.filter(F.col("__rb") > int(b)).select(
+                "doc_id"
+            )
+            if root == "postings":
+                # bucket is a partition column of the LAYER dir; read
+                # it as data so the rewrite preserves the layout
+                layer = spark.read.schema(
+                    "doc_id long, shingle string, shingle_h long, bucket int"
+                ).parquet(path)
+            else:
+                layer = spark.read.schema(_BASE_SCHEMA).parquet(path)
+            hit, vals = _keys_pruned_capped(
+                layer.select("doc_id"), "doc_id", dead_ids, 2048
+            )
+            if vals == [] or hit.limit(1).count() == 0:
+                continue  # no superseded rows in this layer
+            survivors = layer.join(
+                F.broadcast(dead_ids), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            if root == "postings":
+                (
+                    survivors.repartition("bucket")
+                    .sortWithinPartitions("bucket", "shingle_h")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(path)
+                )
+            else:
+                (
+                    survivors.repartitionByRange(F.col("doc_id"))
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+            rewritten += 1
+    fs, jp = _fs_path(spark, f"{state_dir}/tombstones")
+    fs.delete(jp, True)
+    spark.catalog.clearCache()
+    return {"tombstoned_ids": int(n_ids), "layers_rewritten": rewritten}
+
+
 def start_dedup_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -1097,4 +1189,5 @@ __all__ = [
     "compact_state",
     "build_membership_bloom",
     "rebuild_updated",
+    "apply_tombstones",
 ]

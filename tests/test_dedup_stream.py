@@ -984,3 +984,57 @@ def test_rebuild_updated_randomized_matches_one_shot(spark, tmp_path):
     corpus_prime = _apply_updates(docs, latest)
     got = current_map(spark, state).toPandas()
     assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(corpus_prime)
+
+
+def test_apply_tombstones_physical_rewrite_preserves_semantics(
+    spark, tmp_path
+):
+    """Folding the tombstone mask into the layers must change NOTHING
+    observable: the map stands, a post-OPTIMIZE fold still lands on
+    one-shot truth (the df delta algebra is independent of whether the
+    superseded rows physically exist), the standing base holds exactly
+    one live copy per id, and the tombstone store is gone — future
+    readers take the unmasked fast path."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.sources import load_table
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        apply_tombstones,
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    fold_batch(spark, b0, 0, state)
+    updates = b0.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" an entirely new suffix"))
+    )
+    fold_batch(spark, updates, 1, state)
+    rebuild_updated(spark, state)
+    before = current_map(spark, state).toPandas()
+
+    stats = apply_tombstones(spark, state)
+    assert stats["tombstoned_ids"] == updates.count()
+    assert stats["layers_rewritten"] >= 2  # batch-0 base + its postings
+    assert not os.path.isdir(f"{state}/tombstones")
+    # map untouched; one live copy per id with the UPDATED text live
+    after = current_map(spark, state).toPandas()
+    assert dict(zip(after["doc_id"], after["cluster_id"])) == dict(
+        zip(before["doc_id"], before["cluster_id"])
+    )
+    base = spark.read.parquet(f"{state}/base")
+    assert base.count() == base.select("doc_id").distinct().count()
+    # a SECOND call is a no-op
+    again = apply_tombstones(spark, state)
+    assert again == {"tombstoned_ids": 0, "layers_rewritten": 0}
+    # and the post-OPTIMIZE state folds on: one-shot truth over
+    # corpus-prime + the new batch
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    fold_batch(spark, b1, 5, state)
+    got = current_map(spark, state).toPandas()
+    want = _truth(_apply_updates(b0, updates).unionByName(b1))
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want

@@ -89,9 +89,16 @@ WINDOW_ROWS_ONLY = {
     # slot became the hash slot x77b the same round (exact-mode theta
     # sketches == x48's exact SQL); x77's engine-default estimate path
     # stays in the extras, tolerance-tested and benched.
+    # Round 10 (VERDICT r9 item 2): x79's slot became the hash slot
+    # x79b — a deterministic sign-bit hyperplane quantizer makes the
+    # cell table SQL-expressible, so the whole SemDeDup downstream is
+    # driver-hashed via a recursive-CTE oracle; x79's k-means-fit path
+    # stays in the extras, composition-invariant-tested and benched.
+    # x76/x78 are ESTIMATE-VALUED (theta/HLL sketch outputs) and stay
+    # rows-only by nature; their mechanics are hash-pinned by x77b and
+    # tolerance-tested in pytest.
     "x76_sketch_rollup",
     "x78_table_profile_approx",
-    "x79_semantic_dedup",
 }
 
 
