@@ -210,6 +210,15 @@ HEADLINE = [
     # x75's approximate path stays benched above for the recall curve)
     "x145_live_index_probe",
     "x75b_ann_pq_exact_rerank",
+    # round-10: the composed IVFADC serving probe, the hyperplane-
+    # quantized semantic-dedup hash twin, the post-split full-probe pin
+    # (state built on warm-up like x142/x143/x145), and the dedup
+    # stream's UPDATE path (stream state folded + rebuilt on warm-up;
+    # timed runs read the rebuilt map)
+    "x146_ivfpq_probe",
+    "x79b_semantic_dedup_hyperplane",
+    "x147_ivf_split_probe",
+    "x148_dedup_stream_update",
 ]
 
 
