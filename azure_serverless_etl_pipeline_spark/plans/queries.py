@@ -3816,8 +3816,8 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist covering the corpus makes the re-rank exact, so the
     oracle is x06's brute-force cosine SQL — the x125/x75b pin applied
     to the composition; the approximate nprobe x shortlist trade is on
-    RECALL.md's curve and the pruned/cogrouped plan shape is gated in
-    test_plan_quality."""
+    RECALL.md's curve and the pruned codes-scan plan shape is gated in
+    test_ann_index (PartitionFilters on cell)."""
     import os
 
     from ..operators import ann_index

@@ -39,7 +39,7 @@
    plus served probe walls at production knobs.
 
 Run on an otherwise idle machine:
-    python scripts/scale_round10_ops.py [claim1|claim2|claim3|claim4]
+    python scripts/scale_round10_ops.py [claim1..claim5]
 (no arg = all).
 """
 
@@ -432,6 +432,68 @@ def split_fold_probe(spark) -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# claim 5: rebuild_updated cost vs standing-corpus size
+# ---------------------------------------------------------------------------
+
+
+def rebuild_scale_probe(spark) -> list[tuple]:
+    """The UPDATE path's cost must track the update and what it touches
+    (pair discovery prunes to batch-touching postings; the member
+    recompute is bounded by the affected components + cap-flip
+    holders), NOT the standing corpus. Same FIXED 250-doc update
+    workload (changed text for sf0.1 ids % 20 == 3) against a standing
+    stream state of 1x vs 10x documents."""
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        fold_batch,
+        rebuild_updated,
+    )
+
+    sc = spark.sparkContext
+    docs1x = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows: list[tuple] = []
+    for tag, n_rep in (("1x", 1), ("10x", 10)):
+        state = f"/tmp/scale_r10_rebuild_{tag}"
+        shutil.rmtree(state, ignore_errors=True)
+        corpus = (
+            docs1x
+            if n_rep == 1
+            else docs1x.unionByName(
+                _replicate_docs(spark, docs1x, n_rep - 1, 100_000_000)
+            )
+        )
+        s0, t0 = shuffle_bytes(sc), time.time()
+        for j in range(3):
+            fold_batch(
+                spark, corpus.filter(F.col("doc_id") % 3 == j), j, state,
+                max_shingle_freq=100,
+            )
+        rows.append(
+            (
+                f"rebuild_state_build_{tag}",
+                round(time.time() - t0, 2),
+                (shuffle_bytes(sc) - s0) >> 20,
+            )
+        )
+        updates = docs1x.filter(F.col("doc_id") % 20 == 3).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" revised in round ten"))
+        )
+        fold_batch(spark, updates, 3, state, max_shingle_freq=100)
+        s0, t0 = shuffle_bytes(sc), time.time()
+        stats = rebuild_updated(spark, state, max_shingle_freq=100)
+        rows.append(
+            (
+                f"rebuild_fixed250upd_{tag}_members{stats['members']}",
+                round(time.time() - t0, 2),
+                (shuffle_bytes(sc) - s0) >> 20,
+            )
+        )
+        shutil.rmtree(state, ignore_errors=True)
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # claim 4: IVFPQ serving residency
 # ---------------------------------------------------------------------------
 
@@ -478,7 +540,7 @@ def ivfpq_residency_probe(spark) -> list[tuple]:
         )
 
     cent_mb = du("centroids") / 1e6
-    books_mb = du("codebooks") / 1e6
+    books_mb = du("pq_codebooks") / 1e6
     codes_mb = du("codes") / 1e6
     flat_gemm_mb = 65536 * dim * 8 / 1e6
     rows.append(
@@ -527,6 +589,8 @@ def main() -> None:
         rows += split_fold_probe(spark)
     if what in ("all", "claim4"):
         rows += ivfpq_residency_probe(spark)
+    if what in ("all", "claim5"):
+        rows += rebuild_scale_probe(spark)
     print("| op | sec | bytes col |")
     print("|---|---|---|")
     for name, sec, b in rows:
