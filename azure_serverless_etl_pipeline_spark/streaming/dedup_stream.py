@@ -33,6 +33,13 @@ batch k's artifacts):
   ids (rebuilt by compact_state); the fold's re-delivery probe
   consults it map-side and pays the exact ``ids/`` probe only for
   maybe-hits
+- ``tombstones/batch=K/`` — (doc_id, replaced_below) rows written by
+  ``rebuild_updated``'s txn layers: posting/base readers mask rows a
+  rebuild superseded (``apply_tombstones`` folds the mask in
+  physically and drops this root)
+- ``rebuild_txn/`` — the write-ahead undo record of an in-flight
+  rebuild txn (folds refuse while it exists; the next rebuild rolls
+  the partial txn back)
 
 The probe for batch k reads layers with batch < k only (a partition
 filter on the discovered ``batch`` column), so reprocessing is
