@@ -1038,3 +1038,34 @@ def test_apply_tombstones_physical_rewrite_preserves_semantics(
     got = current_map(spark, state).toPandas()
     want = _truth(_apply_updates(b0, updates).unionByName(b1))
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_rebuild_updated_uncapped_exact_semantics(spark, tmp_path):
+    """max_shingle_freq=None: no cap, no flip analysis — discovery is
+    exact and the rebuild must still equal the one-shot uncapped truth
+    (exercises the flip-free branch end to end, including the signed
+    df delta layer which is written regardless)."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    thr, n = 0.3, 3
+    a, b, u = "w1 w2 w3 w4 w5", "x1 x2 x3 x4 x5", "w1 w2 w3 w4 w5 x1 x2 x3 x4 x5"
+    first = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, u, b]})
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n, max_shingle_freq=None)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["z1 z2 z3 z4"]})
+    )
+    fold_batch(spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=None)
+    rebuild_updated(spark, state, threshold=thr, n=n, max_shingle_freq=None)
+    got = current_map(spark, state).toPandas()
+    want = _truth_p(_apply_updates(first, updates), thr, n, None)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert 1 not in want and 3 not in want  # the bridge retracted

@@ -743,3 +743,42 @@ def test_bucketed_posting_scan_is_pruned(spark, queries, tmp_path):
     ), "large-batch regime must row-prune via a broadcast semi-join"
     for owned in out2._owned_caches:
         owned.unpersist()
+
+
+def test_tombstone_mask_keeps_bucket_partition_pruning(spark, tmp_path):
+    """The update path's broadcast tombstone mask sits ABOVE the
+    bucketed posting scan; the generator's bucket filter must still
+    push THROUGH the mask join to the scan as a partition filter —
+    a mask that blocked pruning would re-read every bucket of the
+    standing index on every fold after the first rebuild."""
+    from pyspark.sql import functions as F
+
+    from azure_serverless_etl_pipeline_spark.operators.dedup import (
+        write_bucketed_layer,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        _mask_tombstoned,
+    )
+
+    sh = spark.createDataFrame(
+        [(i, f"shingle {i % 7} x") for i in range(200)],
+        "doc_id long, shingle string",
+    )
+    path = str(tmp_path / "postings" / "batch=0")
+    write_bucketed_layer(sh, 4, path)
+    scan = spark.read.schema(
+        "doc_id long, shingle string, shingle_h long, bucket int"
+    ).parquet(path).withColumn("batch", F.lit(0))
+    tombs = spark.createDataFrame(
+        [(3, 5)], "doc_id long, replaced_below int"
+    )
+    masked = _mask_tombstoned(scan, tombs)
+    pruned = masked.filter(F.col("bucket").isin([0, 2])).filter(
+        F.col("shingle_h").isin([1, 2, 3])
+    )
+    plan = plan_of(pruned)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "bucket" in part[0], plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "shingle_h" in pushed[0], plan
+    assert "BroadcastHashJoin" in plan  # the mask itself broadcasts
