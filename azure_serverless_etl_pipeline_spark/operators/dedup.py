@@ -1022,31 +1022,6 @@ def write_bucketed_df(sh: DataFrame, n_buckets: int, path: str) -> None:
     )
 
 
-def _keys_pruned(
-    scan: DataFrame,
-    col: str,
-    values: list,
-    key_frame: DataFrame,
-    max_in: int,
-) -> DataFrame:
-    """Row-prune ``scan`` to rows whose ``col`` is in a batch-derived
-    key set. Two regimes (SCALE.md round 9 measured both):
-
-    - ``len(values) <= max_in``: a literal ``isin`` — Catalyst pushes
-      the In to the parquet scan, and on a layout sorted by ``col``
-      row-group/page min-max stats skip everything but the matched
-      groups (the micro-batch regime: I/O tracks matches);
-    - larger sets: a broadcast SEMI-JOIN on ``key_frame`` — a
-      thousands-literal In costs seconds of driver/plan overhead
-      (measured 8-9s at 17k literals, pushdown on or off) while the
-      semi-join is ~1s; row skipping is lost but the scan stays
-      columnar, map-side, and never shuffles.
-    """
-    if len(values) <= max_in:
-        return scan.filter(F.col(col).isin(values))
-    return scan.join(F.broadcast(key_frame), col, "semi")
-
-
 def _capped_keys(key_frame: DataFrame, max_in: int) -> list | None:
     """At most ``max_in`` distinct keys off ``key_frame``'s single
     column, or None when the set exceeds the cap. ONE job either way —
@@ -1069,10 +1044,18 @@ def _keys_pruned_capped(
     key_frame: DataFrame,
     max_in: int,
 ) -> tuple[DataFrame, list | None]:
-    """``_keys_pruned`` with the key list materialized ONLY in the
-    pushed-In regime (see ``_capped_keys``). Returns (pruned scan,
-    values-or-None) so callers can derive bucket lists from the values
-    when they exist."""
+    """Row-prune ``scan`` to rows whose ``col`` is in a batch-derived
+    key set, with the key list materialized ONLY in the pushed-In
+    regime (see ``_capped_keys``). Two regimes, both measured (SCALE.md
+    round 9): at or under ``max_in`` keys a literal ``isin`` — Catalyst
+    pushes the In to the parquet scan, and on a layout sorted by
+    ``col`` row-group/page min-max stats skip everything but matched
+    groups (the micro-batch regime: I/O tracks matches); above it a
+    broadcast SEMI-JOIN on ``key_frame`` — a thousands-literal In costs
+    seconds of driver/plan overhead (measured 8-9s at 17k literals,
+    pushdown on or off) while the semi-join is ~1s, columnar, map-side,
+    shuffle-free. Returns (pruned scan, values-or-None) so callers can
+    derive bucket lists from the values when they exist."""
     vals = _capped_keys(key_frame, max_in)
     if vals is None:
         return scan.join(F.broadcast(key_frame), col, "semi"), None
@@ -1120,7 +1103,7 @@ def ngram_jaccard_pairs_incremental_bucketed(
     3. the verify stage re-fetches only CANDIDATE old docs from the
        id-sorted ``old_base`` — never the full array column.
 
-    Each pruned read goes through ``_keys_pruned``: a literal pushed
+    Each pruned read goes through ``_keys_pruned_capped``: a literal pushed
     ``In`` when the key set is small (parquet row-group/page skipping
     on the sorted layout — the micro-batch regime), a broadcast
     semi-join past ``max_in_pushdown`` keys (a thousands-literal In
@@ -1201,7 +1184,7 @@ def ngram_jaccard_pairs_incremental_bucketed(
     hvals = _capped_keys(all_hashes, max_in_pushdown)
 
     def _prune(scan: DataFrame, col: str, vals, frame: DataFrame) -> DataFrame:
-        # the two _keys_pruned regimes, driven by an already-decided
+        # the two _keys_pruned_capped regimes, driven by an already-decided
         # capped key list instead of re-collecting
         if vals is not None:
             return scan.filter(F.col(col).isin(vals))
@@ -1524,6 +1507,8 @@ def _bloom_build_bitmap(
 
     one = (
         _bloom_hashes(keys_df, key)
+        .select("__h1", "__h2")  # build reads only the hashes — never
+        # ship the raw keys through the Arrow pass
         .mapInPandas(build, schema="bm binary")
         .coalesce(1)
         .mapInPandas(or_reduce, schema="bm binary")

@@ -40,6 +40,10 @@ batch k's artifacts):
 - ``rebuild_txn/`` — the write-ahead undo record of an in-flight
   rebuild txn (folds refuse while it exists; the next rebuild rolls
   the partial txn back)
+- ``epoch_map/epoch=E/`` — the stream epoch's allocated layer id:
+  epochs and rebuild txns draw from ONE allocator (highest id ever
+  claimed + 1) so a txn layer can never collide with a resumed
+  stream's next epoch; replays reuse their pin
 
 The probe for batch k reads layers with batch < k only (a partition
 filter on the discovered ``batch`` column), so reprocessing is
@@ -115,6 +119,92 @@ def _list_batches(spark: SparkSession, root: str) -> list[tuple[int, str]]:
 def _batches_below(spark: SparkSession, root: str, k: int) -> list[str]:
     """Batch subdir paths with id < k, in batch order."""
     return [p for b, p in _list_batches(spark, root) if b < k]
+
+
+_LAYER_ROOTS = (
+    "base", "ids", "map", "redelivered", "postings", "df", "tombstones",
+)
+
+
+def _max_allocated(spark: SparkSession, state_dir: str) -> int:
+    """Highest layer id any writer has ever claimed: the max batch over
+    every layer root PLUS every epoch_map assignment (an assignment may
+    be pinned with no layer written yet — a fold that crashed between
+    pin and first write; its id is still TAKEN)."""
+    top = max(
+        (
+            b
+            for r in _LAYER_ROOTS
+            for b, _ in _list_batches(spark, f"{state_dir}/{r}")
+        ),
+        default=-1,
+    )
+    emap = f"{state_dir}/epoch_map"
+    fs, jp = _fs_path(spark, emap)
+    if fs.exists(jp) and any(
+        st.getPath().getName().startswith("epoch=")
+        for st in fs.listStatus(jp)
+    ):
+        assigned = (
+            spark.read.schema("batch int").parquet(emap).collect()
+        )
+        if assigned:
+            top = max(top, max(int(r.batch) for r in assigned))
+    return top
+
+
+def _fold_id_for(
+    spark: SparkSession, state_dir: str, epoch_id: int
+) -> tuple[int, bool]:
+    """(layer id for this epoch, already-pinned?). Stream epoch ids and
+    rebuild txn ids share ONE allocator (next id = highest ever claimed
+    + 1, persisted per epoch under ``epoch_map/epoch=E``) so they can
+    never collide: the round-10 review found that a rebuild txn at
+    max+1 is exactly the id a resumed stream's next epoch would fold,
+    and the fold's per-batch overwrite would silently destroy the txn's
+    layers (the updated docs' only live copies) while its tombstones
+    kept masking every older copy. Replays of a pinned epoch reuse the
+    pinned id (the crash-rerun idempotence contract); states written
+    before the allocator existed (no epoch_map entries, layer dirs AT
+    the epoch id) replay against their legacy id."""
+    path = f"{state_dir}/epoch_map/epoch={int(epoch_id)}"
+    fs, jp = _fs_path(spark, path)
+    if fs.exists(jp) and any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jp)
+    ):
+        return (
+            int(
+                spark.read.schema("batch int").parquet(path).collect()[0]
+                .batch
+            ),
+            True,
+        )
+    root_fs, root_jp = _fs_path(spark, f"{state_dir}/epoch_map")
+    no_entries = not root_fs.exists(root_jp) or not any(
+        st.getPath().getName().startswith("epoch=")
+        for st in root_fs.listStatus(root_jp)
+    )
+    if no_entries:
+        for r in ("ids", "base", "map"):
+            lf, lj = _fs_path(spark, f"{state_dir}/{r}/batch={int(epoch_id)}")
+            if lf.exists(lj):  # legacy replay: dirs live AT the epoch id
+                return int(epoch_id), False
+    return _max_allocated(spark, state_dir) + 1, False
+
+
+def _pin_fold_id(
+    spark: SparkSession, state_dir: str, epoch_id: int, batch_id: int
+) -> None:
+    """Persist the epoch->layer-id assignment. MUST run before the
+    fold's first layer write: a replay after any layer landed must find
+    the pin and reuse the id (otherwise _max_allocated would hand the
+    replay a fresh id and duplicate the batch)."""
+    spark.createDataFrame([(int(batch_id),)], "batch int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/epoch_map/epoch={int(epoch_id)}"
+    )
 
 
 _TOMB_SCHEMA = "doc_id long, replaced_below int"
@@ -289,6 +379,13 @@ def fold_batch(
     ids_root = f"{state_dir}/ids"
     map_root = f"{state_dir}/map"
 
+    # epoch -> layer id: stream epochs and rebuild txns share one
+    # allocator so a rebuild's txn layer can never be overwritten by
+    # the resumed stream's next epoch (see _fold_id_for); the pin is
+    # persisted only after every gate below has passed
+    epoch_id = int(batch_id)
+    batch_id, id_pinned = _fold_id_for(spark, state_dir, epoch_id)
+
     # one listing per root, reused everywhere below
     prior_base = _batches_below(spark, base_root, batch_id)
     prior_ids_dirs = _batches_below(spark, ids_root, batch_id)
@@ -347,23 +444,30 @@ def fold_batch(
     # detectable half of the mismatch loudly; an FS-metadata pass over
     # the layer dirs, no data read.
     if has_meta:
+        # ONE globStatus per root (review r10: the per-batch listStatus
+        # audit was an O(accumulated layers) FS-RPC pass on the hot
+        # ingest path — thousands of calls per fold on object stores
+        # after a day of per-minute batches)
         for root in (post_root, df_root):
-            for _b, bpath in _list_batches(spark, root):
-                jb = jvm.org.apache.hadoop.fs.Path(bpath)
-                for st in fs.listStatus(jb):
-                    name = st.getPath().getName()
-                    if not (st.isDirectory() and name.startswith("bucket=")):
-                        continue
-                    bucket = int(name.split("=", 1)[1])
-                    if bucket >= posting_buckets:
-                        raise ValueError(
-                            f"{bpath} holds bucket={bucket} but the state "
-                            f"pins posting_buckets={int(posting_buckets)} "
-                            f"({meta_path}): this layer was written with a "
-                            "different modulus and every bucketed read "
-                            "would silently mis-prune. Rewrite the layer "
-                            "with the pinned modulus."
-                        )
+            jroot = jvm.org.apache.hadoop.fs.Path(root)
+            rfs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not rfs.exists(jroot):
+                continue
+            hits = rfs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/batch=*/bucket=*")
+            )
+            for st in hits or []:
+                bucket = int(st.getPath().getName().split("=", 1)[1])
+                if bucket >= posting_buckets:
+                    bpath = st.getPath().getParent().toString()
+                    raise ValueError(
+                        f"{bpath} holds bucket={bucket} but the state "
+                        f"pins posting_buckets={int(posting_buckets)} "
+                        f"({meta_path}): this layer was written with a "
+                        "different modulus and every bucketed read "
+                        "would silently mis-prune. Rewrite the layer "
+                        "with the pinned modulus."
+                    )
     # an interrupted rebuild_updated leaves partially-committed txn
     # layers this fold would read as standing state — refuse until the
     # txn is rolled back or completed (rebuild_updated does either on
@@ -378,6 +482,10 @@ def fold_batch(
         spark.createDataFrame(
             [(int(posting_buckets),)], "posting_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    if not id_pinned:
+        # every gate passed: pin the epoch's layer id BEFORE any layer
+        # write so a crash-replay reuses it (see _pin_fold_id)
+        _pin_fold_id(spark, state_dir, epoch_id, batch_id)
 
     if prior_base or prior_ids_dirs:
         from pyspark.sql import Observation
@@ -579,7 +687,7 @@ def compact_state(
     state_dir: str,
     target_bytes: int = 128 << 20,
     min_file_bytes: int | None = None,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float = 1e-5,
 ) -> dict:
     """OPTIMIZE pass over the dedup state: bin-pack every per-batch leaf
     directory — the flat roots (base/ids/map/redelivered x batch=K) and
@@ -753,15 +861,11 @@ def rebuild_updated(
     posting_buckets = int(
         spark.read.parquet(f"{state_dir}/meta").collect()[0].posting_buckets
     )
-    roots = ("base", "ids", "map", "redelivered", "postings", "df", "tombstones")
-    txn = 1 + max(
-        (
-            b
-            for r in roots
-            for b, _ in _list_batches(spark, f"{state_dir}/{r}")
-        ),
-        default=-1,
-    )
+    # shared allocator with the stream's epoch pins (_max_allocated):
+    # the txn id is strictly above every id any fold has ever claimed,
+    # INCLUDING pinned-but-unwritten epochs, and future epochs allocate
+    # above the txn in turn — no collision in either direction
+    txn = 1 + _max_allocated(spark, state_dir)
     spark.createDataFrame([(int(txn),)], "txn int").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/rebuild_txn")
@@ -1080,6 +1184,16 @@ def apply_tombstones(spark: SparkSession, state_dir: str) -> dict:
     compact_state. Returns {"tombstoned_ids", "layers_rewritten"}."""
     from ..operators.dedup import _keys_pruned_capped
 
+    # an in-flight rebuild's tombstones are UNCOMMITTED: physically
+    # applying them here and then letting the next rebuild roll the txn
+    # back would delete the updated ids' only remaining copies (review
+    # r10) — refuse like fold_batch does until the txn is resolved
+    if _rebuild_marker(spark, state_dir) is not None:
+        raise ValueError(
+            f"{state_dir} has a pending rebuild_updated txn "
+            "(rebuild_txn marker present): run rebuild_updated to roll "
+            "back or complete it before applying tombstones"
+        )
     tombs = _read_tombstones(spark, state_dir)
     if tombs is None:
         return {"tombstoned_ids": 0, "layers_rewritten": 0}

@@ -344,8 +344,6 @@ def _emb_100x(spark):
 
 
 def split_fold_probe(spark) -> list[tuple]:
-    import pandas as pd
-
     from azure_serverless_etl_pipeline_spark.operators.ann_index import (
         ivf_cell_stats,
         save_ivf_index,

@@ -1069,3 +1069,83 @@ def test_rebuild_updated_uncapped_exact_semantics(spark, tmp_path):
     want = _truth_p(_apply_updates(first, updates), thr, n, None)
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
     assert 1 not in want and 3 not in want  # the bridge retracted
+
+
+def test_stream_epoch_after_rebuild_does_not_destroy_txn(spark, tmp_path):
+    """REGRESSION (round-10 review): rebuild_updated's txn layer id was
+    max(batch)+1 — exactly the id the resumed stream's next epoch would
+    fold, and the fold's per-batch overwrite silently destroyed the
+    txn's layers (the updated docs' only live copies) while the
+    tombstones kept masking every older copy. The shared epoch/txn
+    allocator must route the colliding EPOCH to a fresh layer id: the
+    txn layers survive, the map stays one-shot truth over corpus-prime
+    plus the new batch, and a replay of that epoch reuses its pin."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    thr, n = 0.3, 3
+    a, b, u = "w1 w2 w3 w4 w5", "x1 x2 x3 x4 x5", "w1 w2 w3 w4 w5 x1 x2 x3 x4 x5"
+    first = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, u, b]})
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n, max_shingle_freq=50)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["z1 z2 z3 z4"]})
+    )
+    fold_batch(spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=50)
+    stats = rebuild_updated(spark, state, threshold=thr, n=n, max_shingle_freq=50)
+    txn = stats["txn_batch"]
+    assert txn == 2  # the collision-prone id: the stream's next epoch
+
+    # the resumed stream's next epoch IS 2 — it must not land on the
+    # txn's layers; doc 4 pairs with u's NEW text
+    later = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [4], "text": ["z1 z2 z3 z4 z5"]})
+    )
+    fold_batch(spark, later, 2, state, threshold=thr, n=n, max_shingle_freq=50)
+    # txn layers intact: the updated doc's live base row is still there
+    txn_base = spark.read.parquet(f"{state}/base/batch={txn}").toPandas()
+    assert set(txn_base["doc_id"]) == {2}
+    corpus_prime = _apply_updates(first, updates).unionByName(later)
+    got = current_map(spark, state).toPandas()
+    want = _truth_p(corpus_prime, thr, n, 50)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert want[2] == want[4] == 2  # u's new text found its neighbor
+    # crash-rerun of the colliding epoch reuses its pinned layer id:
+    # the map is unchanged and no duplicate layers appeared
+    fold_batch(spark, later, 2, state, threshold=thr, n=n, max_shingle_freq=50)
+    again = current_map(spark, state).toPandas()
+    assert dict(zip(again["doc_id"], again["cluster_id"])) == want
+    import glob as _g
+
+    assert len(_g.glob(f"{state}/base/batch=*")) == 4  # 0,1,txn,epoch2
+
+
+def test_apply_tombstones_refuses_pending_txn(spark, tmp_path):
+    """Physically applying an UNCOMMITTED txn's tombstones and then
+    rolling the txn back would delete the updated ids' only copies —
+    the OPTIMIZE must refuse while a rebuild marker is pending."""
+    import pandas as pd
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        apply_tombstones,
+        fold_batch,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "e f g h"]})
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, docs, 0, state)
+    spark.createDataFrame([(9,)], "txn int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{state}/rebuild_txn")
+    with pytest.raises(ValueError, match="pending rebuild_updated txn"):
+        apply_tombstones(spark, state)
