@@ -115,30 +115,70 @@ def start_vector_ingest_stream(
     index_dir: str,
     checkpoint_dir: str,
     fold_every: int | None = None,
+    split_occupancy: int | None = None,
 ):
     """Tail a landing directory of embedding parquet files; every
     micro-batch quantizes against the standing codebook and lands in
     the append tier. ``fold_every=N`` runs the ``fold_appends``
     maintenance pass after every Nth batch (the between-batches window
     is the one moment without a concurrent writer — the same cadence
-    ownership as ``dedup_stream``'s compaction)."""
+    ownership as ``dedup_stream``'s compaction).
+
+    ``split_occupancy=T`` chains cell-split maintenance onto the fold
+    cadence: right after a fold (the append tier is empty — exactly
+    the state split_cells requires) any cell grown past T residents is
+    2-means'd until the occupancy target holds, and the sink's cached
+    codebook is REFRESHED so subsequent batches quantize against the
+    grown codebook (a stale cache would starve every new child cell:
+    appends keep landing in the retained ids and occupancy re-accrues
+    there). This is how a long-lived stream keeps k growing with the
+    corpus instead of paying the frozen-k occupancy term measured in
+    SCALE.md round 9 table 2 / flattened in round 10 table 3. Requires
+    ``fold_every`` (the split can only run on a drained append tier)."""
     import numpy as np
 
+    if split_occupancy is not None and not fold_every:
+        raise ValueError(
+            "split_occupancy requires fold_every: cell splits can only "
+            "run on a drained append tier, i.e. right after a fold"
+        )
     stream = (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing_dir)
     )
-    # the codebook is frozen for the stream's life: read it once here,
-    # not once per micro-batch
-    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
-    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+
+    # the codebook is frozen between maintenance events: read it once
+    # here (not per micro-batch) and refresh only after a split
+    def _codebook() -> "np.ndarray":
+        rows = (
+            spark.read.parquet(f"{index_dir}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        return np.vstack([np.asarray(r.centroid) for r in rows])
+
+    cache = {"centroids": _codebook()}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         append_batch(spark, batch_df, int(epoch_id), index_dir,
-                     centroids=centroids)
+                     centroids=cache["centroids"])
         if fold_every and (int(epoch_id) + 1) % fold_every == 0:
             fold_appends(spark, index_dir)
+            if split_occupancy is not None:
+                from ..operators.ann_index import split_cells
+
+                grew = False
+                for _ in range(8):
+                    rep = split_cells(
+                        spark, index_dir,
+                        target_occupancy=int(split_occupancy),
+                    )
+                    if rep.count() == 0:
+                        break
+                    grew = True
+                if grew:
+                    cache["centroids"] = _codebook()
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -529,3 +529,92 @@ def test_intra_epoch_duplicate_id_resolves_deterministically(
         .collect()
     )
     assert len(folded) == 1 and folded[0].label == labels.pop()
+
+
+def test_stream_split_maintenance_grows_codebook_and_stays_exact(
+    spark, corpus, tmp_path
+):
+    """E2E with split_occupancy chained onto the fold cadence: the
+    stream starts on a deliberately tiny codebook (k=2 over 70% of the
+    corpus — every cell far over target), folds + splits after every
+    batch, and REFRESHES its cached codebook so later batches quantize
+    against the grown one. End state: occupancy at target, a gap-free
+    grown codebook, and a full probe still equal to brute force over
+    everything ever streamed."""
+    import glob as _g
+
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        probe_ivf,
+        save_ivf_index,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        load_live_index,
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    base = corpus.filter(F.col("vec_id") % 10 < 7)
+    arriving = corpus.filter(F.col("vec_id") % 10 >= 7)
+    save_ivf_index(base, idx, k=2)
+    target = int(corpus.count() / 6)
+
+    for part in range(3):
+        arriving.filter(F.col("vec_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = start_vector_ingest_stream(
+        spark,
+        landing,
+        idx,
+        str(tmp_path / "ckpt"),
+        fold_every=1,
+        split_occupancy=target,
+    )
+    q.awaitTermination(300)
+
+    assert not _g.glob(f"{idx}/appends/batch=*")  # drained every fold
+    live = load_live_index(spark, idx)
+    assert live.count() == corpus.count()
+    occ = live.groupBy("cell").agg(F.count("*").alias("n"))
+    assert occ.filter(F.col("n") > target).count() == 0
+    rows = spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    k_after = centroids.shape[0]
+    assert k_after > 2  # the codebook actually grew
+    cells = sorted(r.cell for r in occ.select("cell").collect())
+    assert cells == list(range(k_after))  # gap-free
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = (
+        probe_ivf(live, queries, centroids, k=5, nprobe=k_after)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_stream_split_without_fold_cadence_refused(spark, tmp_path):
+    import pytest
+
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    with pytest.raises(ValueError, match="split_occupancy requires"):
+        start_vector_ingest_stream(
+            spark,
+            str(tmp_path / "landing"),
+            str(tmp_path / "index"),
+            str(tmp_path / "ckpt"),
+            split_occupancy=10,
+        )
