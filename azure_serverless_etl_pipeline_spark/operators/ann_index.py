@@ -1026,6 +1026,65 @@ def save_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
 
 
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> None:
+    """Fold a batch of NEW vectors into a persisted IVFADC index without
+    refitting either codebook: one map-side pass assigns the coarse
+    cell against the frozen centroids, a second Arrow pass PQ-encodes
+    against the frozen subcodebooks, and the batch appends to BOTH
+    tiers — full vectors to ``cells/`` (the re-rank tier) and 8-byte
+    codes to ``codes/`` (the ADC tier) — touching only the cell
+    directories the batch lands in. The assignment executes ONCE (an
+    eager checkpoint feeds both writes); NULL embeddings quarantine
+    exactly as ``append_to_ivf_index`` does, with the same optional
+    ``batch_id`` idempotency key for the quarantine dir.
+
+    At-least-once, like the plain append: a retried batch duplicates
+    rows in both tiers, and a crash BETWEEN the two tier writes leaves
+    them inconsistent (a vector present for re-rank but invisible to
+    the ADC shortlist) — the recovery is to retry the batch, and
+    exactly-once delivery belongs to a streaming wrapper's per-epoch
+    overwrite discipline. Probe exactness after a clean append is
+    pinned in tests: nprobe == k + shortlist == |corpus ∪ batch|
+    equals brute force over the union."""
+    spark = new_vectors.sparkSession
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    books = load_pq_codebooks(spark, path)
+    assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
+    if batch_id is None:
+        q_path, q_mode = f"{path}/quarantine", "append"
+    else:
+        q_path = f"{path}/quarantine/batch={int(batch_id)}"
+        q_mode = "overwrite"
+
+    def write_valid(valid: DataFrame) -> None:
+        staged = valid.localCheckpoint(eager=True)
+        (
+            staged.write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
+        (
+            encode_pq(
+                staged, books, vec_col=vec_col, id_col=id_col,
+                keep_cols=("cell",),
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+
+    _write_quarantining_nulls(
+        assigned, new_vectors, vec_col, write_valid, q_path, q_mode
+    )
+
+
 def load_pq_codebooks(spark, path: str) -> np.ndarray:
     """(m, pq_k, dim/m) codebook tensor from a save_ivfpq_index dir."""
     rows = (

@@ -932,3 +932,58 @@ def test_split_cells_refuses_pending_appends_and_codes(
     save_ivfpq_index(corpus, pq, k=4, m=8, pq_k=16)
     with pytest.raises(ValueError, match="PQ codes tier"):
         split_cells(spark, pq, target_occupancy=10)
+
+
+def test_ivfpq_append_exactness_pin(spark, corpus, tmp_path_factory):
+    """append_to_ivfpq_index: build on 80% of the corpus, append the
+    rest against the FROZEN coarse + PQ codebooks — both tiers receive
+    the batch (a cells-only append would be invisible to the ADC
+    shortlist), and the exactness pin holds over the union: nprobe == k
+    + shortlist == |corpus| equals brute force, so a batch row missing
+    from either tier would vacate a rank slot and break equality. A
+    NULL embedding quarantines instead of entering either tier."""
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq_app") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+    save_ivfpq_index(base, idx, k=8, m=8, pq_k=16)
+    dirty = arriving.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"vec_id": [9_000_001], "embedding": [None]})
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+    )
+    append_to_ivfpq_index(dirty, idx, batch_id=0)
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert codes.count() == cells.count() == corpus.count()
+    quar = spark.read.parquet(f"{idx}/quarantine/batch=0")
+    assert {r.vec_id for r in quar.collect()} == {9_000_001}
+
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=8, shortlist=corpus.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
