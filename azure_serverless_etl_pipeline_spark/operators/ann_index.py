@@ -308,6 +308,24 @@ def _assign_cells_gemm(
     return vectors.mapInPandas(assign, schema=out_schema)
 
 
+def _load_centroid_matrix(spark, path: str) -> np.ndarray:
+    """The coarse codebook as a matrix, row position == cell id (the
+    load_ivf_index contract — shared by every append/probe path)."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.vstack([np.asarray(r.centroid) for r in rows])
+
+
+def _quarantine_target(path: str, batch_id: int | None) -> tuple[str, str]:
+    """(quarantine path, write mode) for an append batch: a batch key
+    makes the quarantine an idempotent per-batch overwrite (retried
+    batches replace their rows); without one it is a bare append and a
+    retry duplicates them — shared by both append entry points so the
+    retry semantics cannot drift."""
+    if batch_id is None:
+        return f"{path}/quarantine", "append"
+    return f"{path}/quarantine/batch={int(batch_id)}", "overwrite"
+
+
 def _write_quarantining_nulls(
     assigned: DataFrame,
     raw_batch: DataFrame,
@@ -402,14 +420,9 @@ def append_to_ivf_index(
     this whole entry point is at-least-once; exactly-once retries
     belong to the streaming path's per-epoch dirs)."""
     spark = new_vectors.sparkSession
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    centroids = _load_centroid_matrix(spark, path)
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
-    if batch_id is None:
-        q_path, q_mode = f"{path}/quarantine", "append"
-    else:
-        q_path = f"{path}/quarantine/batch={int(batch_id)}"
-        q_mode = "overwrite"
+    q_path, q_mode = _quarantine_target(path, batch_id)
     _write_quarantining_nulls(
         assigned,
         new_vectors,
@@ -1053,15 +1066,10 @@ def append_to_ivfpq_index(
     pinned in tests: nprobe == k + shortlist == |corpus ∪ batch|
     equals brute force over the union."""
     spark = new_vectors.sparkSession
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    centroids = np.vstack([np.asarray(r.centroid) for r in rows])
+    centroids = _load_centroid_matrix(spark, path)
     books = load_pq_codebooks(spark, path)
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
-    if batch_id is None:
-        q_path, q_mode = f"{path}/quarantine", "append"
-    else:
-        q_path = f"{path}/quarantine/batch={int(batch_id)}"
-        q_mode = "overwrite"
+    q_path, q_mode = _quarantine_target(path, batch_id)
 
     def write_valid(valid: DataFrame) -> None:
         staged = valid.localCheckpoint(eager=True)

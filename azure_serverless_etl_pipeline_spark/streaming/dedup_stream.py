@@ -127,10 +127,26 @@ _LAYER_ROOTS = (
 
 
 def _max_allocated(spark: SparkSession, state_dir: str) -> int:
-    """Highest layer id any writer has ever claimed: the max batch over
-    every layer root PLUS every epoch_map assignment (an assignment may
-    be pinned with no layer written yet — a fold that crashed between
-    pin and first write; its id is still TAKEN)."""
+    """Highest layer id any writer has ever claimed. O(1) once the
+    ``alloc_hw/`` high-water file exists: every allocation (fold pin or
+    rebuild txn) bumps it BEFORE writing anything under its id, so
+    hw >= every claimed id by construction — the alternative (reading
+    every epoch_map entry per fold) is an O(total epochs) tiny-file
+    scan on the hot ingest path, the same class of unbounded per-fold
+    cost the bucket-audit globStatus fix removed (review r10, second
+    pass). Layer ids can exceed hw only on states that predate the
+    allocator; the one-time full scan below seeds them."""
+    fs, jp = _fs_path(spark, f"{state_dir}/alloc_hw")
+    if fs.exists(jp) and any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jp)
+    ):
+        return int(
+            spark.read.schema("hw int")
+            .parquet(f"{state_dir}/alloc_hw")
+            .collect()[0]
+            .hw
+        )
     top = max(
         (
             b
@@ -140,10 +156,10 @@ def _max_allocated(spark: SparkSession, state_dir: str) -> int:
         default=-1,
     )
     emap = f"{state_dir}/epoch_map"
-    fs, jp = _fs_path(spark, emap)
-    if fs.exists(jp) and any(
+    efs, ejp = _fs_path(spark, emap)
+    if efs.exists(ejp) and any(
         st.getPath().getName().startswith("epoch=")
-        for st in fs.listStatus(jp)
+        for st in efs.listStatus(ejp)
     ):
         assigned = (
             spark.read.schema("batch int").parquet(emap).collect()
@@ -151,6 +167,16 @@ def _max_allocated(spark: SparkSession, state_dir: str) -> int:
         if assigned:
             top = max(top, max(int(r.batch) for r in assigned))
     return top
+
+
+def _bump_alloc_hw(spark: SparkSession, state_dir: str, value: int) -> None:
+    """Record a claimed layer id. MUST run before anything is written
+    under the id (pin, marker, or layer): hw >= every claimed id is the
+    invariant that lets _max_allocated skip the full scan; a crash
+    right after the bump merely burns the id (a harmless gap)."""
+    spark.createDataFrame([(int(value),)], "hw int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{state_dir}/alloc_hw")
 
 
 def _fold_id_for(
@@ -186,10 +212,17 @@ def _fold_id_for(
         for st in root_fs.listStatus(root_jp)
     )
     if no_entries:
-        for r in ("ids", "base", "map"):
-            lf, lj = _fs_path(spark, f"{state_dir}/{r}/batch={int(epoch_id)}")
-            if lf.exists(lj):  # legacy replay: dirs live AT the epoch id
-                return int(epoch_id), False
+        # legacy replay: pre-allocator folds wrote their dirs AT the
+        # epoch id. Probe ONLY ids/ — it is the one root every legacy
+        # fold writes that a rebuild txn never does; probing base/ or
+        # map/ here would misread a legacy-state rebuild's txn layer
+        # (txn = max+1 = the resumed stream's next epoch) as this
+        # epoch's own and re-open the overwrite collision for exactly
+        # the states the allocator cannot protect yet (review r10,
+        # second pass).
+        lf, lj = _fs_path(spark, f"{state_dir}/ids/batch={int(epoch_id)}")
+        if lf.exists(lj):
+            return int(epoch_id), False
     return _max_allocated(spark, state_dir) + 1, False
 
 
@@ -200,6 +233,7 @@ def _pin_fold_id(
     fold's first layer write: a replay after any layer landed must find
     the pin and reuse the id (otherwise _max_allocated would hand the
     replay a fresh id and duplicate the batch)."""
+    _bump_alloc_hw(spark, state_dir, batch_id)
     spark.createDataFrame([(int(batch_id),)], "batch int").coalesce(
         1
     ).write.mode("overwrite").parquet(
@@ -453,8 +487,15 @@ def fold_batch(
             rfs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
             if not rfs.exists(jroot):
                 continue
+            # the ROOT portion is a literal path, not a pattern: a
+            # state_dir containing glob metachars ({}, [], *) would
+            # otherwise rewrite the match and silently BYPASS this
+            # loud gate (review r10, second pass)
+            esc = "".join(
+                "\\" + c if c in "*?[]{}\\" else c for c in root
+            )
             hits = rfs.globStatus(
-                jvm.org.apache.hadoop.fs.Path(f"{root}/batch=*/bucket=*")
+                jvm.org.apache.hadoop.fs.Path(f"{esc}/batch=*/bucket=*")
             )
             for st in hits or []:
                 bucket = int(st.getPath().getName().split("=", 1)[1])
@@ -864,8 +905,11 @@ def rebuild_updated(
     # shared allocator with the stream's epoch pins (_max_allocated):
     # the txn id is strictly above every id any fold has ever claimed,
     # INCLUDING pinned-but-unwritten epochs, and future epochs allocate
-    # above the txn in turn — no collision in either direction
+    # above the txn in turn — no collision in either direction; hw is
+    # bumped before the marker so a crash can never leave txn layers
+    # above the recorded high water
     txn = 1 + _max_allocated(spark, state_dir)
+    _bump_alloc_hw(spark, state_dir, txn)
     spark.createDataFrame([(int(txn),)], "txn int").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/rebuild_txn")

@@ -12,8 +12,10 @@ re-delivery, `function_app.py:16-29` / `blob_to_cosmosdb.py:32-38`).
 Design (LSM-ish, two tiers):
 
 - ``start_vector_ingest_stream``: each micro-batch is cell-assigned
-  against the FROZEN codebook (read once at stream start; one map-side
-  Arrow-GEMM projection — no k-means, no shuffle) and written to
+  against the CACHED codebook (read once at stream start; one map-side
+  Arrow-GEMM projection — no k-means, no shuffle; refreshed only by
+  the split_occupancy maintenance cadence, which grows k between
+  folds) and written to
   ``{index}/appends/batch={epoch}`` with
   ``mode=overwrite`` — a replayed epoch overwrites its own directory,
   so re-delivery is idempotent by construction.
@@ -71,9 +73,10 @@ def append_batch(
     """Assign the batch against the frozen codebook and write it to its
     own epoch directory (overwrite -> idempotent per epoch). Pass
     ``centroids`` (the codebook matrix) to skip the per-call read of
-    the centroids parquet — the stream sink reads it ONCE at start,
-    because the codebook is frozen for the stream's whole life by
-    design (only a rebuild changes it).
+    the centroids parquet — the stream sink reads it once at start and
+    refreshes it only at maintenance events (a split_occupancy cell
+    split, or an offline refit); between those the codebook is frozen
+    by design.
 
     A NULL embedding gets a NULL cell from assign_cells (no nearest
     centroid); such rows are QUARANTINED to
@@ -166,17 +169,31 @@ def start_vector_ingest_stream(
         if fold_every and (int(epoch_id) + 1) % fold_every == 0:
             fold_appends(spark, index_dir)
             if split_occupancy is not None:
+                import logging
+
                 from ..operators.ann_index import split_cells
 
-                grew = False
+                grew, converged = False, False
                 for _ in range(8):
                     rep = split_cells(
                         spark, index_dir,
                         target_occupancy=int(split_occupancy),
                     )
                     if rep.count() == 0:
+                        converged = True
                         break
                     grew = True
+                if grew and not converged:
+                    # no silent caps: a cell splitting pathologically
+                    # (n -> n-1, 1) can outlast the per-fold round
+                    # budget; the next fold retries, but probes pay
+                    # the occupancy term until then — say so
+                    logging.getLogger(__name__).warning(
+                        "split maintenance hit its per-fold round "
+                        "budget with cells still over %d residents; "
+                        "continuing next fold",
+                        int(split_occupancy),
+                    )
                 if grew:
                     cache["centroids"] = _codebook()
 

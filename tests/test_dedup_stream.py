@@ -1149,3 +1149,65 @@ def test_apply_tombstones_refuses_pending_txn(spark, tmp_path):
     ).parquet(f"{state}/rebuild_txn")
     with pytest.raises(ValueError, match="pending rebuild_updated txn"):
         apply_tombstones(spark, state)
+
+
+def test_legacy_state_rebuild_then_colliding_epoch(spark, tmp_path):
+    """Second-pass review regression: on a PRE-ALLOCATOR state (no
+    epoch_map), the legacy-replay detection must probe only ids/ —
+    every legacy fold writes it, a rebuild txn never does. Probing
+    base/ or map/ would misread the txn's layers (txn = max+1 = the
+    resumed stream's next epoch) as the epoch's own and re-open the
+    overwrite collision for exactly the states the allocator cannot
+    protect. Also pins that a GENUINE legacy replay (ids/ present at
+    the epoch id) still reuses its literal id."""
+    import glob as _g
+    import shutil
+
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        current_map,
+        fold_batch,
+        rebuild_updated,
+    )
+
+    thr, n = 0.3, 3
+    a, b, u = "w1 w2 w3 w4 w5", "x1 x2 x3 x4 x5", "w1 w2 w3 w4 w5 x1 x2 x3 x4 x5"
+    first = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, u, b]})
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n, max_shingle_freq=50)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["z1 z2 z3 z4"]})
+    )
+    fold_batch(spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=50)
+    # strip the allocator artifacts: the state now looks pre-allocator
+    shutil.rmtree(f"{state}/epoch_map", ignore_errors=True)
+    shutil.rmtree(f"{state}/alloc_hw", ignore_errors=True)
+
+    # legacy replay first: epoch 1's ids/ layer exists -> literal id
+    fold_batch(spark, updates, 1, state, threshold=thr, n=n, max_shingle_freq=50)
+    assert len(_g.glob(f"{state}/base/batch=*")) == 2  # no duplicate layer
+    shutil.rmtree(f"{state}/epoch_map", ignore_errors=True)
+    shutil.rmtree(f"{state}/alloc_hw", ignore_errors=True)
+
+    stats = rebuild_updated(
+        spark, state, threshold=thr, n=n, max_shingle_freq=50
+    )
+    txn = stats["txn_batch"]
+    assert txn == 2  # max+1 on the legacy state: the next epoch's id
+
+    # the resumed legacy stream's next epoch IS 2: base/batch=2 is the
+    # txn's layer, ids/batch=2 does not exist -> must allocate fresh
+    later = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [4], "text": ["z1 z2 z3 z4 z5"]})
+    )
+    fold_batch(spark, later, 2, state, threshold=thr, n=n, max_shingle_freq=50)
+    txn_base = spark.read.parquet(f"{state}/base/batch={txn}").toPandas()
+    assert set(txn_base["doc_id"]) == {2}  # txn layer survived
+    corpus_prime = _apply_updates(first, updates).unionByName(later)
+    got = current_map(spark, state).toPandas()
+    want = _truth_p(corpus_prime, thr, n, 50)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert want[2] == want[4] == 2
