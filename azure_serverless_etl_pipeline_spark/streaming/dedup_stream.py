@@ -173,8 +173,19 @@ def _bump_alloc_hw(spark: SparkSession, state_dir: str, value: int) -> None:
     """Record a claimed layer id. MUST run before anything is written
     under the id (pin, marker, or layer): hw >= every claimed id is the
     invariant that lets _max_allocated skip the full scan; a crash
-    right after the bump merely burns the id (a harmless gap)."""
-    spark.createDataFrame([(int(value),)], "hw int").coalesce(
+    right after the bump merely burns the id (a harmless gap).
+
+    MONOTONE by construction (advice r10): the written value is clamped
+    to max(value, current _max_allocated). A legacy replay pins the
+    literal epoch id, which on a pre-allocator state can sit BELOW
+    already-claimed layer ids — writing it raw would seed alloc_hw under
+    the true maximum, _max_allocated would then short-circuit on the
+    poisoned hw forever, and the next allocation could reuse an existing
+    legacy layer id (its overwrite destroying that layer's data). When
+    alloc_hw does not exist yet, _max_allocated runs its one-time full
+    layer scan here, so the very first write is seeded correctly."""
+    clamped = max(int(value), _max_allocated(spark, state_dir))
+    spark.createDataFrame([(int(clamped),)], "hw int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{state_dir}/alloc_hw")
 

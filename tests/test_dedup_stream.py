@@ -1211,3 +1211,57 @@ def test_legacy_state_rebuild_then_colliding_epoch(spark, tmp_path):
     want = _truth_p(corpus_prime, thr, n, 50)
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
     assert want[2] == want[4] == 2
+
+
+def test_legacy_replay_cannot_poison_alloc_hw(spark, tmp_path):
+    """Advice r10 regression: replaying a LOW epoch on a pre-allocator
+    state pins the literal epoch id, and an unclamped _bump_alloc_hw
+    would seed alloc_hw BELOW already-claimed layer ids. _max_allocated
+    then short-circuits on the poisoned hw forever, so the next
+    allocation (fresh epoch or rebuild txn) collides with an existing
+    legacy layer and its per-batch overwrite silently destroys it. The
+    clamp must seed hw with the pre-allocator maximum instead."""
+    import glob as _g
+    import shutil
+
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
+        _max_allocated,
+        current_map,
+        fold_batch,
+    )
+
+    thr, n = 0.3, 3
+    first = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["w1 w2 w3 w4", "x1 x2 x3 x4"]})
+    )
+    second = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "text": ["y1 y2 y3 y4"]})
+    )
+    state = str(tmp_path / "state")
+    fold_batch(spark, first, 0, state, threshold=thr, n=n)
+    fold_batch(spark, second, 1, state, threshold=thr, n=n)
+    # strip the allocator artifacts: the state now looks pre-allocator
+    shutil.rmtree(f"{state}/epoch_map", ignore_errors=True)
+    shutil.rmtree(f"{state}/alloc_hw", ignore_errors=True)
+
+    # legacy replay of the LOW epoch: pins literal id 0 — the bump must
+    # not seed hw below layer 1
+    fold_batch(spark, first, 0, state, threshold=thr, n=n)
+    assert _max_allocated(spark, state) >= 1
+
+    # a fresh epoch must allocate ABOVE every legacy layer, never
+    # overwrite batch=1
+    third = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [4], "text": ["z1 z2 z3 z4"]})
+    )
+    fold_batch(spark, third, 2, state, threshold=thr, n=n)
+    assert len(_g.glob(f"{state}/base/batch=*")) == 3
+    surviving = spark.read.parquet(f"{state}/base/batch=1").toPandas()
+    assert set(surviving["doc_id"]) == {3}  # layer 1 not destroyed
+    got = current_map(spark, state).toPandas()
+    want = _truth_p(
+        first.unionByName(second).unionByName(third), thr, n, 50
+    )
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
