@@ -198,8 +198,120 @@ def embedding_spectrum(
     )
 
 
+def spectrum_power_iteration(
+    df: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    iters: int = 12,
+    squarings: int = 6,
+    quant: int = 6,
+) -> DataFrame:
+    """Dominant covariance eigenpair by FIXED-COUNT power iteration —
+    the hash-checkable half of the spectrum diagnostic (verdict r10
+    item 6). ``embedding_spectrum``'s eigvalsh is genuinely rows-only
+    (LAPACK phase/ordering is not SQL-expressible); this query pins the
+    same machinery — GEMM covariance -> iterate -> normalize -> read
+    off the eigenvalue — bit-exactly against an unrolled-CTE DuckDB
+    oracle (the x96 pagerank trick) by running the ENTIRE iteration in
+    EXACT INTEGER arithmetic:
+
+    - the covariance enters as the q6 GEMM table x128c already
+      hash-pins, lifted onto the integer grid (cov * 10^quant — exact);
+    - every matvec / matmul is integer (int64 where products provably
+      fit, Python bigints elsewhere; HUGEINT sums in the oracle) —
+      exact and order-independent, so there is NO summation-order
+      noise to absorb. A float-with-re-quantization design was tried
+      first and measurably fails: grid-aligned inputs make the matvec
+      land EXACTLY on half-quantum rounding boundaries (w = 0.125 *
+      sum of grid values), where ULP noise decides the floor —
+      systematic mismatches, not tail risk;
+    - the measured eigengap is tiny (lambda2/lambda1 = 0.987 at
+      sf0.01 — plain power iteration needs ~700 steps for 1e-4), so
+      the iteration runs against B ~ A^(2^squarings): a chain of
+      integer matrix squarings, each rescaled to the grid (same
+      eigenvectors, gap r^(2^squarings) — 0.44 at the default 6, so
+      12 vector steps land ~6e-5 contamination even there);
+    - normalization uses the L-INFINITY norm (max |.|, exact) and
+      rescales to max == 10^quant by EXACT rational rounding:
+      floor((2*x*10^quant + m) / (2*m)) — half-up, integer-exact on
+      both sides (the oracle spells floor division out, DuckDB's
+      ``//`` truncates toward zero);
+    - the eigenvalue reads off ONE final matvec with the ORIGINAL
+      integer covariance (no scale-factor bookkeeping or root-taking
+      from the squaring chain): max|A v| / 10^(2*quant) with
+      max|v| == 10^quant.
+
+    The iteration runs on the collected d x d matrix (bounded driver
+    artifact, the embedding_spectrum shape); the corpus pays only the
+    one-pass GEMM partials. Start vector = 1/8 exactly (all-ones over
+    sqrt(64)) — fixed, so the eigenvector sign is deterministic, not a
+    LAPACK phase. Output: (component, loading, eigenvalue)."""
+    import numpy as np
+
+    cells = embedding_covariance_gemm(
+        df, dim=dim, vec_col=vec_col, quant=quant
+    ).collect()
+    scale = 10**quant
+    C = [[0] * dim for _ in range(dim)]
+    for r in cells:
+        # cov is k/scale as a double; recover k exactly (eps << 0.5)
+        k = int(r["cov"] * scale + (0.5 if r["cov"] >= 0 else -0.5))
+        C[r["i"] - 1][r["j"] - 1] = k
+        C[r["j"] - 1][r["i"] - 1] = k
+    A = np.array(C, dtype=np.int64)
+
+    def _rescale(M):
+        """Exact half-up rescale to max-abs == scale: the elementwise
+        floor((2*M*scale + mm) / (2*mm)). Goes through object (bigint)
+        arrays — 2*entry*scale overflows int64 at the squared-matrix
+        magnitudes; floor-division semantics are Python's."""
+        mm = int(np.abs(M).max())
+        if mm == 0:
+            return M.astype(np.int64), 0
+        out = (2 * M.astype(object) * scale + mm) // (2 * mm)
+        return out.astype(np.int64), mm
+
+    # squaring chain: the covariance's eigengap can be tiny (measured
+    # lambda2/lambda1 = 0.987 at sf0.01 — plain power iteration needs
+    # ~700 steps for 1e-4), so iterate with B ~ A^(2^squarings), whose
+    # gap is r^(2^squarings); entries re-normalize to the integer grid
+    # after every squaring, keeping all products inside exact-integer
+    # range. Eigenvectors are unchanged by the normalization (a scalar
+    # multiple) and by squaring (PSD: same eigenbasis, powered
+    # spectrum).
+    B, mm0 = _rescale(A)
+    if mm0 == 0:  # degenerate all-zero covariance
+        rows = [(i + 1, 0.0, 0.0) for i in range(dim)]
+        return df.sparkSession.createDataFrame(
+            rows, "component int, loading double, eigenvalue double"
+        )
+    for _ in range(squarings):
+        B, _ = _rescale(B @ B)  # products <= dim * scale^2: int64-exact
+
+    v = np.full(dim, scale // 8, dtype=np.int64)  # 0.125 on the grid
+    for _ in range(iters):
+        w = B @ v  # <= dim * scale^2: int64-exact
+        m = int(np.abs(w).max())
+        if m == 0:
+            break
+        v = ((2 * w.astype(object) * scale + m) // (2 * m)).astype(
+            np.int64
+        )
+    # eigenvalue reads off ONE matvec with the ORIGINAL integer
+    # covariance (max|v| == scale by the rescale), so no root-taking or
+    # scale-factor bookkeeping from the squaring chain enters
+    wf = A.astype(object) @ v.astype(object)  # bigint-safe for any cov
+    mf = int(max(abs(int(x)) for x in wf))
+    eig = float(mf) / float(scale * scale)
+    rows = [(i + 1, float(v[i]) / float(scale), eig) for i in range(dim)]
+    return df.sparkSession.createDataFrame(
+        rows, "component int, loading double, eigenvalue double"
+    )
+
+
 __all__ = [
     "embedding_covariance",
     "embedding_covariance_gemm",
     "embedding_spectrum",
+    "spectrum_power_iteration",
 ]

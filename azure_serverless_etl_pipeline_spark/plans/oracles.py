@@ -2642,6 +2642,125 @@ EXTRA_ORACLES["x75b_ann_pq_exact_rerank"] = ORACLES["x06_ann_cosine_topk"]
 # gap mislabeling cells) would vacate a rank slot and break the hash.
 EXTRA_ORACLES["x147_ivf_split_probe"] = ORACLES["x06_ann_cosine_topk"]
 
+# x149 probes the TWO-TIER (IVFADC) index after the same split
+# maintenance: the split relocates the hot cells' PQ code rows into the
+# child directories alongside the vectors, and the full probe
+# (nprobe == k', shortlist == |corpus|) must still equal brute force —
+# x06's SQL; a code row lost by the relocation (or a codes/cells
+# disagreement) would vacate a rank slot and break the hash.
+EXTRA_ORACLES["x149_ivfpq_split_probe"] = ORACLES["x06_ann_cosine_topk"]
+
+
+def _power_iteration_sql(
+    dim: int = 64, iters: int = 12, squarings: int = 6
+) -> str:
+    """x137b's unrolled-CTE twin (the x96 pagerank trick): fixed-count
+    power iteration on the q6 GEMM covariance (x128c's hash-pinned
+    table) in EXACT INTEGER arithmetic end to end, mirroring
+    linalg.spectrum_power_iteration step for step. The covariance
+    lifts onto the 10^6 integer grid (the same floor(x*1e6+0.5) that
+    x128c pins, kept as the integer); a chain of integer MATRIX
+    SQUARINGS (rescaled to the grid after each — the eigengap is too
+    small for plain iteration) precedes the vector steps; every
+    matvec/matmul is SUM of integer products (DuckDB widens integer
+    SUM to HUGEINT — exact, order-independent, so no float
+    summation-order noise exists to absorb); norms are MAX(ABS(.));
+    rescales are the exact rational half-up floor((2*x*10^6 + m) /
+    (2*m)), with floor division spelled out because ``//`` truncates
+    toward zero on negatives. The eigenvalue reads off one final
+    matvec with the ORIGINAL integer covariance; only the last SELECT
+    divides back to doubles. MATERIALIZED throughout: each level is
+    referenced twice, so an inlined chain would expand the base corpus
+    scan exponentially — DuckDB runs out of file handles before
+    planning finishes."""
+
+    def floordiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0 OR ({num}) % ({den}) = 0 "
+            f"THEN ({num}) // ({den}) "
+            f"ELSE ({num}) // ({den}) - 1 END"
+        )
+
+    resc = floordiv("2 * c * 1000000 + m", "2 * m")
+    parts = [
+        f"""WITH cells AS MATERIALIZED (
+  SELECT i.g AS i, j.g AS j,
+         CAST(e.embedding[i.g] AS DOUBLE) * CAST(e.embedding[j.g] AS DOUBLE)
+           AS p,
+         CAST(e.embedding[i.g] AS DOUBLE) AS xi,
+         CAST(e.embedding[j.g] AS DOUBLE) AS xj
+  FROM embeddings e,
+       (SELECT UNNEST(generate_series(1, {dim})) AS g) i,
+       (SELECT UNNEST(generate_series(1, {dim})) AS g) j
+  WHERE i.g <= j.g
+), agg AS (
+  SELECT i, j, COUNT(*) AS n, SUM(p) AS sp, SUM(xi) AS sxi, SUM(xj) AS sxj
+  FROM cells GROUP BY i, j
+), cov AS (
+  SELECT i, j,
+         CAST(CAST(floor((sp / n - (sxi / n) * (sxj / n)) * 1e6 + 0.5)
+              AS BIGINT) AS HUGEINT) AS c
+  FROM agg
+), a0 AS MATERIALIZED (
+  SELECT i, j, c FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov WHERE i < j
+), am AS (
+  SELECT MAX(ABS(c)) AS m FROM a0
+), b0 AS MATERIALIZED (
+  SELECT i, j, {resc} AS c FROM a0, am
+)"""
+    ]
+    for t in range(1, squarings + 1):
+        parts.append(
+            f""", p{t} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j, SUM(a.c * b.c) AS c
+  FROM b{t-1} a JOIN b{t-1} b ON a.j = b.i GROUP BY a.i, b.j
+), pm{t} AS (
+  SELECT MAX(ABS(c)) AS m FROM p{t}
+), b{t} AS MATERIALIZED (
+  SELECT i, j, {resc} AS c FROM p{t}, pm{t}
+)"""
+        )
+    parts.append(
+        f""", v0 AS (
+  SELECT UNNEST(generate_series(1, {dim})) AS comp,
+         CAST(125000 AS HUGEINT) AS v
+)"""
+    )
+    vdiv = floordiv("2 * w * 1000000 + m", "2 * m")
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT s.i AS comp, SUM(s.c * v{t-1}.v) AS w
+  FROM b{squarings} s JOIN v{t-1} ON v{t-1}.comp = s.j GROUP BY s.i
+), m{t} AS (
+  SELECT MAX(ABS(w)) AS m FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT comp, {vdiv} AS v FROM w{t}, m{t}
+)"""
+        )
+    parts.append(
+        f""", wf AS MATERIALIZED (
+  SELECT s.i AS comp, SUM(s.c * v{iters}.v) AS w
+  FROM a0 s JOIN v{iters} ON v{iters}.comp = s.j GROUP BY s.i
+), mf AS (
+  SELECT MAX(ABS(w)) AS m FROM wf
+)
+SELECT v{iters}.comp AS component,
+       CAST(v{iters}.v AS DOUBLE) / 1e6 AS loading,
+       CAST(mf.m AS DOUBLE) / 1e12 AS eigenvalue
+FROM v{iters}, mf"""
+    )
+    return "".join(parts)
+
+
+# x137b: the spectrum family's hash slot — the full eigvalsh diagnostic
+# (x137) is genuinely rows-only, but the dominant eigenpair by
+# fixed-count, grid-quantized, L-inf-normalized power iteration is
+# SQL-expressible and bit-exact (see _power_iteration_sql).
+EXTRA_ORACLES["x137b_spectrum_power_iteration"] = _power_iteration_sql()
+
 # x148: the dedup stream's UPDATE path. Corpus-prime applies the same
 # update rule the query folds through the redelivered/ quarantine —
 # doc_id % 40 == 5 replaced by unique standalone text (edge

@@ -3881,6 +3881,76 @@ def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
+@query("x149_ivfpq_split_probe")
+def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC probe AFTER cell-split maintenance on the TWO-TIER index
+    (verdict r10 item 1 — the composition x147 and x146 each pin half
+    of): split_cells on a PQ-carrying index grows the coarse codebook
+    AND relocates the hot cells' 8-byte code rows into the child
+    directories (a re-partition, never a re-encode — codes encode raw
+    vectors; ann_index._sync_codes_to_cells), crash-safe behind the
+    codes/_split_pending.json write-ahead manifest. The probe covers
+    every post-split cell (nprobe == k') with the shortlist spanning
+    the corpus, so the oracle is x06's brute-force cosine SQL: a code
+    row left in a directory its vector vacated would not break THIS pin
+    (full probe scans every cell), but a row LOST by the relocation, a
+    centroid-table gap, or a codes/cells disagreement feeding the
+    re-rank the wrong cell pruning would vacate a rank slot and break
+    the hash. The narrower-probe regime is pytest-pinned
+    (test_split_cells_relocates_pq_codes: tiers agree per id,
+    codes bit-identical through the split)."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivfpq_split")
+    marker = os.path.join(idx, "_split_done")
+    if not os.path.exists(marker):
+        ann_index.save_ivfpq_index(emb, idx, k=8, m=8, pq_k=16)
+        target = max(2, emb.count() // 16)
+        for _ in range(8):
+            if (
+                ann_index.split_cells(
+                    spark, idx, target_occupancy=target
+                ).count()
+                == 0
+            ):
+                break
+        open(marker, "w").close()
+    n_cells = spark.read.parquet(f"{idx}/centroids").count()
+    out = ann_index.search_ivfpq(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=n_cells,
+        shortlist=emb.count(),
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
+@query("x137b_spectrum_power_iteration")
+def x137b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance eigenpair by fixed-count power iteration
+    (operators/linalg.spectrum_power_iteration) — the hash-checkable
+    conversion of x137's rows-only spectrum slot (verdict r10 item 6):
+    the corpus pays only the x128b GEMM-partial pass; the iteration
+    runs on the collected q6 covariance (the table x128c already
+    hash-pins) with every matvec re-quantized to the 1e-6 grid and
+    L-infinity normalization (max(abs) — order-independent, no second
+    float sum), so the DuckDB twin is an unrolled 12-level CTE (the
+    x96 pagerank trick) that lands bit-identical. x137's top-8
+    eigvalsh diagnostic stays registered rows-only — LAPACK
+    phase/ordering is the genuinely non-SQL tail — with its numpy
+    parity pytest; this pins the shared GEMM -> iterate -> normalize
+    machinery in the driver window."""
+    from ..operators.linalg import spectrum_power_iteration
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spectrum_power_iteration(emb, dim=64, iters=12, quant=6)
+
+
 @query("x148_dedup_stream_update")
 def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup stream's UPDATE path (streaming/dedup_stream.
@@ -4188,7 +4258,17 @@ DRIVER_WINDOW: list[str] = [
     # slot with the same oracle), x111 (containment family keeps x92),
     # x106 (anomaly family keeps x123), x119 (trend family r05-green).
     # ------------------------------------------------------------------
-    "x97b_contrastive_triplets_materialized", "x121_type_cooccurrence",
+    # Round-11 swap (VERDICT r10 item 6): x137b takes x121's slot — the
+    # spectrum family's rows-only tail becomes a HASH slot: fixed-count
+    # power iteration in exact integer arithmetic (squaring chain +
+    # L-inf rescale) is SQL-expressible via an unrolled HUGEINT CTE, so
+    # the GEMM -> iterate -> normalize machinery is now driver-hashed;
+    # x137's eigvalsh top-8 stays registered rows-only (LAPACK phase is
+    # the genuinely non-SQL part) with its numpy-parity pytest. x121 is
+    # r10-green and stays pytest-oracle-checked; the event time-window
+    # family keeps x88 in-window.
+    "x97b_contrastive_triplets_materialized",
+    "x137b_spectrum_power_iteration",
     # Round-8 swap (VERDICT r7 item 5): x75b takes x75's slot — the PQ
     # family's designated rows-only slot becomes a HASH slot: with
     # shortlist == |corpus| the exact re-rank makes ADC output equal
@@ -4250,8 +4330,15 @@ DRIVER_WINDOW: list[str] = [
     # stream's UPDATE path (retraction + merge + cap flips through the
     # tombstoned rebuild) is strictly new driver signal; x104b is
     # r9-green and the canonical-selection family keeps x140.
+    # Round-11 swap (VERDICT r10 item 1 + the no-prior-row rule): x149
+    # takes x147's slot with the SAME x06 oracle — the hash now proves
+    # cell-split maintenance on the TWO-TIER (IVFADC) index: codes
+    # relocated with their vectors through the split, centroid table
+    # gap-free, full probe == brute force — strictly more than x147's
+    # flat-tier split. x147 is r10-green and stays pytest-oracle-
+    # checked; the maintenance family keeps x145/x146 in-window.
     "x145_live_index_probe", "x130_histogram_quantiles",
-    "x131_incremental_rollup", "x147_ivf_split_probe",
+    "x131_incremental_rollup", "x149_ivfpq_split_probe",
     "x148_dedup_stream_update",
     # round-5 late additions (same no-prior-row rule): x126-x129 take the
     # slots of x103 / x110 / x112 / x107 (all driver-green in r04, still

@@ -119,6 +119,7 @@ def start_vector_ingest_stream(
     checkpoint_dir: str,
     fold_every: int | None = None,
     split_occupancy: int | None = None,
+    ivfpq: bool = False,
 ):
     """Tail a landing directory of embedding parquet files; every
     micro-batch quantizes against the standing codebook and lands in
@@ -137,7 +138,23 @@ def start_vector_ingest_stream(
     there). This is how a long-lived stream keeps k growing with the
     corpus instead of paying the frozen-k occupancy term measured in
     SCALE.md round 9 table 2 / flattened in round 10 table 3. Requires
-    ``fold_every`` (the split can only run on a drained append tier)."""
+    ``fold_every`` (the split can only run on a drained append tier).
+
+    ``ivfpq=True`` (verdict r10 item 3) ingests into a persisted IVFADC
+    index (``save_ivfpq_index`` layout) instead of the flat two-tier
+    one: each epoch runs ``append_to_ivfpq_index`` with the epoch id as
+    its batch key, so both the full-vector cells tier AND the 8-byte
+    ADC codes tier receive the batch exactly once — a foreachBatch
+    replay no-ops on the epoch's commit record, and a crash between the
+    two tier writes is rolled back by the replay's txn resolution. No
+    separate append tier exists in this mode (the txn IS the staging),
+    so ``fold_every`` anchors only the maintenance cadence: the
+    (PQ-aware) cell split relocates hot cells' codes alongside their
+    vectors. Both codebooks are cached at stream start — the PQ
+    subcodebooks are frozen for the index's lifetime; the coarse
+    centroids refresh after a split exactly as in flat mode. Codebook
+    drift under the frozen quantizers is measured per batch
+    (``ann_index.needs_refit``) rather than repaired here."""
     import numpy as np
 
     if split_occupancy is not None and not fold_every:
@@ -162,40 +179,59 @@ def start_vector_ingest_stream(
         return np.vstack([np.asarray(r.centroid) for r in rows])
 
     cache = {"centroids": _codebook()}
+    if ivfpq:
+        from ..operators.ann_index import load_pq_codebooks
+
+        cache["books"] = load_pq_codebooks(spark, index_dir)
+
+    def _run_splits() -> None:
+        import logging
+
+        from ..operators.ann_index import split_cells
+
+        grew, converged = False, False
+        for _ in range(8):
+            rep = split_cells(
+                spark, index_dir,
+                target_occupancy=int(split_occupancy),
+            )
+            if rep.count() == 0:
+                converged = True
+                break
+            grew = True
+        if grew and not converged:
+            # no silent caps: a cell splitting pathologically
+            # (n -> n-1, 1) can outlast the per-fold round
+            # budget; the next fold retries, but probes pay
+            # the occupancy term until then — say so
+            logging.getLogger(__name__).warning(
+                "split maintenance hit its per-fold round "
+                "budget with cells still over %d residents; "
+                "continuing next fold",
+                int(split_occupancy),
+            )
+        if grew:
+            cache["centroids"] = _codebook()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        append_batch(spark, batch_df, int(epoch_id), index_dir,
-                     centroids=cache["centroids"])
+        if ivfpq:
+            from ..operators.ann_index import append_to_ivfpq_index
+
+            append_to_ivfpq_index(
+                batch_df,
+                index_dir,
+                batch_id=int(epoch_id),
+                centroids=cache["centroids"],
+                books=cache["books"],
+            )
+        else:
+            append_batch(spark, batch_df, int(epoch_id), index_dir,
+                         centroids=cache["centroids"])
         if fold_every and (int(epoch_id) + 1) % fold_every == 0:
-            fold_appends(spark, index_dir)
+            if not ivfpq:
+                fold_appends(spark, index_dir)
             if split_occupancy is not None:
-                import logging
-
-                from ..operators.ann_index import split_cells
-
-                grew, converged = False, False
-                for _ in range(8):
-                    rep = split_cells(
-                        spark, index_dir,
-                        target_occupancy=int(split_occupancy),
-                    )
-                    if rep.count() == 0:
-                        converged = True
-                        break
-                    grew = True
-                if grew and not converged:
-                    # no silent caps: a cell splitting pathologically
-                    # (n -> n-1, 1) can outlast the per-fold round
-                    # budget; the next fold retries, but probes pay
-                    # the occupancy term until then — say so
-                    logging.getLogger(__name__).warning(
-                        "split maintenance hit its per-fold round "
-                        "budget with cells still over %d residents; "
-                        "continuing next fold",
-                        int(split_occupancy),
-                    )
-                if grew:
-                    cache["centroids"] = _codebook()
+                _run_splits()
 
     return (
         stream.writeStream.foreachBatch(sink)

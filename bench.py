@@ -219,6 +219,10 @@ HEADLINE = [
     "x79b_semantic_dedup_hyperplane",
     "x147_ivf_split_probe",
     "x148_dedup_stream_update",
+    # round-11 additions: IVFADC split maintenance + integer power
+    # iteration (the spectrum family's hash slot)
+    "x149_ivfpq_split_probe",
+    "x137b_spectrum_power_iteration",
 ]
 
 

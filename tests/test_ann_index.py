@@ -249,6 +249,42 @@ def test_embedding_spectrum_matches_numpy(spark, corpus):
     assert np.abs(got["eigenvalue"].to_numpy() - want).max() <= 1e-7
 
 
+def test_spectrum_power_iteration_finds_dominant_eigenpair(spark, corpus):
+    """x137b's integer power iteration must land on the TRUE dominant
+    eigenpair of the sample covariance (numpy eigvalsh/eigh as ground
+    truth): eigenvalue within the quantization+convergence tolerance,
+    loading vector aligned with the dominant eigenvector (|cosine| ~ 1
+    after max-abs normalization), max|loading| == 1 exactly by the
+    L-infinity rescale, and the whole thing deterministic across
+    runs (bigint arithmetic — no float in the loop)."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.linalg import (
+        spectrum_power_iteration,
+    )
+
+    got = spectrum_power_iteration(corpus, dim=64, iters=12).toPandas()
+    got = got.sort_values("component", ignore_index=True)
+    again = (
+        spectrum_power_iteration(corpus, dim=64, iters=12)
+        .toPandas()
+        .sort_values("component", ignore_index=True)
+    )
+    assert got.equals(again)  # deterministic
+
+    x = np.vstack(
+        [r["embedding"] for r in corpus.select("embedding").collect()]
+    ).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    lam, top = evals[-1], evecs[:, -1]
+    assert abs(float(got["eigenvalue"].iloc[0]) - lam) <= 1e-4 * max(lam, 1e-9)
+    v = got["loading"].to_numpy()
+    assert np.abs(np.abs(v).max() - 1.0) < 1e-12  # L-inf normalized
+    cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.9999
+
+
 def test_assign_cells_matches_quantizer_rule(spark, corpus):
     """Map-side cell assignment must reproduce the index quantizer's
     rule (squared-euclidean argmin over the codebook, ties to lowest
@@ -908,7 +944,7 @@ def test_split_cells_degenerate_identical_vectors(spark, tmp_path_factory):
     assert all(int(r.n_kept) > 0 and int(r.n_moved) > 0 for r in report.itertuples())
 
 
-def test_split_cells_refuses_pending_appends_and_codes(
+def test_split_cells_refuses_pending_appends_and_open_txn(
     spark, corpus, tmp_path_factory
 ):
     from azure_serverless_etl_pipeline_spark.operators.ann_index import (
@@ -928,10 +964,352 @@ def test_split_cells_refuses_pending_appends_and_codes(
     with pytest.raises(ValueError, match="pending append epochs"):
         split_cells(spark, path, target_occupancy=10)
 
+    # an OPEN IVFADC append txn (torn mid-append) must refuse too: the
+    # 2-means would bake a half-appended batch into child assignments
     pq = str(tmp_path_factory.mktemp("refusepq") / "index")
     save_ivfpq_index(corpus, pq, k=4, m=8, pq_k=16)
-    with pytest.raises(ValueError, match="PQ codes tier"):
+    spark.createDataFrame([(7,)], "batch long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{pq}/append_txn/meta")
+    with pytest.raises(ValueError, match="pending IVFADC append txn"):
         split_cells(spark, pq, target_occupancy=10)
+
+
+def test_split_cells_allocates_above_empty_centroid(
+    spark, corpus, tmp_path_factory
+):
+    """Advice r10 regression: a centroid row with ZERO residents (here a
+    cell drained by delete_from_ivf_index, whose directory is removed)
+    can hold the max cell id; child-id allocation from the occupied
+    directories would collide with it and silently replace the
+    centroid. Allocation must come from the centroid TABLE."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        split_cells,
+    )
+
+    path = str(tmp_path_factory.mktemp("emptycell") / "index")
+    save_ivf_index(corpus, path, k=4)
+    before, cents_before = load_ivf_index(spark, path)
+    top = max(r.cell for r in before.select("cell").distinct().collect())
+    # drain the max-id cell entirely: its dir is removed, centroid stays
+    victims = before.filter(F.col("cell") == top).select("vec_id")
+    n_drained = victims.count()
+    delete_from_ivf_index(spark, path, victims)
+    occupied = {
+        r.cell
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert top not in {int(c) for c in occupied}
+
+    report = split_cells(
+        spark, path, target_occupancy=max(2, (corpus.count() - n_drained) // 8)
+    ).toPandas()
+    assert len(report) > 0
+    # every new child id sits ABOVE the drained centroid's id
+    assert all(int(c) > int(top) for c in report["new_cell"])
+    _, cents_after = load_ivf_index(spark, path)
+    # the drained cell's centroid row survived bit-identically
+    assert np.array_equal(cents_after[int(top)], cents_before[int(top)])
+    assert cents_after.shape[0] == cents_before.shape[0] + len(report)
+
+
+def test_split_cells_relocates_pq_codes(spark, corpus, tmp_path_factory):
+    """Verdict r10 item 1: splitting an IVFADC index relocates the hot
+    cells' code rows into the child directories — codes bytes are
+    BIT-IDENTICAL (raw-vector encodings survive a coarse split; no
+    re-encode), the codes tier's partitioning agrees with the cells
+    tier per id, and the composed probe at nprobe == k' + full
+    shortlist still equals brute force."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivfpq_index,
+        search_ivfpq,
+        split_cells,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("pqsplit") / "index")
+    save_ivfpq_index(corpus, idx, k=4, m=8, pq_k=16)
+    codes_before = {
+        r.vec_id: tuple(r.codes)
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    }
+    target = int(corpus.count() / 8)
+    total = 0
+    for _ in range(8):
+        rep = split_cells(spark, idx, target_occupancy=target)
+        n = rep.count()
+        total += n
+        if n == 0:
+            break
+    assert total > 0
+
+    cells = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    codes = spark.read.parquet(f"{idx}/codes").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    # codes bytes unchanged, one row per id, cell labels == cells tier
+    got = {r.vec_id: tuple(r.codes) for r in codes.collect()}
+    assert got == codes_before
+    mism = (
+        codes.select("vec_id", F.col("cell").alias("code_cell"))
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .filter(F.col("code_cell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+    # no stale pending manifest
+    import os
+
+    assert not os.path.exists(f"{idx}/codes/_split_pending.json")
+
+    _, cents = load_ivf_index(spark, idx)
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got_df = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=cents.shape[0],
+            shortlist=corpus.count(),
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got_df.equals(want[got_df.columns])
+
+
+def test_split_cells_crash_between_tiers_repairs(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Kill the split between the cells rewrite and the codes
+    relocation: the write-ahead manifest must survive, the next call
+    must repair (re-sync the listed cells from the cells tier) and the
+    repaired index must be bit-identical to a clean split."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("pqcrash") / "index")
+    ann_index.save_ivfpq_index(corpus, idx, k=4, m=8, pq_k=16)
+    target = int(corpus.count() / 8)
+
+    real_sync = ann_index._sync_codes_to_cells
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before codes relocation")
+
+    monkeypatch.setattr(ann_index, "_sync_codes_to_cells", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.split_cells(spark, idx, target_occupancy=target)
+    monkeypatch.setattr(ann_index, "_sync_codes_to_cells", real_sync)
+
+    # torn state: manifest pending, cells moved, codes not
+    assert os.path.exists(f"{idx}/codes/_split_pending.json")
+    # torn-but-safe: a FULL probe is still exact (stale code labels are
+    # scanned under their old cells, every cell probed)
+    _, cents_torn = ann_index.load_ivf_index(spark, idx)
+    queries = corpus.filter(F.col("vec_id") < 15)
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    torn = (
+        ann_index.search_ivfpq(
+            spark, idx, queries, k=5, nprobe=cents_torn.shape[0],
+            shortlist=corpus.count(),
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert torn.equals(want[torn.columns])
+
+    # next call repairs at entry (and converges the remaining splits)
+    for _ in range(8):
+        if ann_index.split_cells(spark, idx, target_occupancy=target).count() == 0:
+            break
+    assert not os.path.exists(f"{idx}/codes/_split_pending.json")
+    cells = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    codes = spark.read.parquet(f"{idx}/codes").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    assert codes.count() == cells.count() == corpus.count()
+    mism = (
+        codes.select("vec_id", F.col("cell").alias("code_cell"))
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .filter(F.col("code_cell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+    _, cents = ann_index.load_ivf_index(spark, idx)
+    got = (
+        ann_index.search_ivfpq(
+            spark, idx, queries, k=5, nprobe=cents.shape[0],
+            shortlist=corpus.count(),
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_ivfpq_append_crash_retry_is_exactly_once(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Advice r10 + verdict r10 item 2: kill append_to_ivfpq_index
+    between the cells-tier and codes-tier writes, then RETRY the batch —
+    the write-ahead txn must roll the torn attempt back (recorded ids
+    deleted from both tiers) and the retried append must land
+    bit-identical to a clean run: exact row counts (no duplicated
+    neighbor rows to evict genuine top-k candidates) and search equal to
+    brute force. A further replay of the committed batch_id is a no-op."""
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq_crash") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+    ann_index.save_ivfpq_index(base, idx, k=8, m=8, pq_k=16)
+
+    real_encode = ann_index.encode_pq
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash between tier writes")
+
+    monkeypatch.setattr(ann_index, "encode_pq", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.append_to_ivfpq_index(arriving, idx, batch_id=3)
+    monkeypatch.setattr(ann_index, "encode_pq", real_encode)
+    assert calls["n"] == 1
+
+    # torn: cells got the batch, codes did not, txn marker pending
+    cells_torn = spark.read.parquet(f"{idx}/cells").count()
+    codes_torn = spark.read.parquet(f"{idx}/codes").count()
+    assert cells_torn == corpus.count() and codes_torn == base.count()
+    import os
+
+    assert os.path.exists(f"{idx}/append_txn")
+
+    # retry: rollback + clean re-append, exactly once
+    ann_index.append_to_ivfpq_index(arriving, idx, batch_id=3)
+    assert not os.path.exists(f"{idx}/append_txn")
+    cells_n = spark.read.parquet(f"{idx}/cells").count()
+    codes_n = spark.read.parquet(f"{idx}/codes").count()
+    assert cells_n == codes_n == corpus.count()
+    # no duplicated ids in either tier
+    assert (
+        spark.read.parquet(f"{idx}/cells").select("vec_id").distinct().count()
+        == corpus.count()
+    )
+    assert (
+        spark.read.parquet(f"{idx}/codes").select("vec_id").distinct().count()
+        == corpus.count()
+    )
+
+    # replay of the committed batch: a no-op, counts unchanged
+    ann_index.append_to_ivfpq_index(arriving, idx, batch_id=3)
+    assert spark.read.parquet(f"{idx}/cells").count() == corpus.count()
+    assert spark.read.parquet(f"{idx}/codes").count() == corpus.count()
+
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        ann_index.search_ivfpq(
+            spark, idx, queries, k=5, nprobe=8, shortlist=corpus.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_ivfpq_drift_monitor_trips_on_planted_shift(
+    spark, corpus, tmp_path_factory
+):
+    """Verdict r10 item 5: the frozen-codebook append path records each
+    keyed batch's mean PQ quantization error (riding the codes write);
+    needs_refit compares the pooled recent mean against the build-time
+    baseline. An IN-DISTRIBUTION append (held-out rows of the same
+    corpus) must NOT trip; a PLANTED SHIFT (uniform-random vectors the
+    clustered codebooks never saw) must trip on the same threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        needs_refit,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("drift") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    held_out = emb.filter(F.col("vec_id") % 5 == 0)
+    save_ivfpq_index(base, idx, k=8, m=8, pq_k=16)
+
+    # before any keyed append: no verdict, never trips
+    fresh = needs_refit(spark, idx, threshold=1.5)
+    assert fresh["ratio"] is None and fresh["needs_refit"] is False
+    assert fresh["baseline_qerr"] > 0
+
+    append_to_ivfpq_index(held_out, idx, batch_id=0)
+    in_dist = needs_refit(spark, idx, threshold=1.5)
+    assert in_dist["n_batches"] == 1
+    assert in_dist["ratio"] is not None and in_dist["ratio"] < 1.5
+    assert in_dist["needs_refit"] is False
+
+    # basis vectors: unit mass on a single dim — a shape the clustered
+    # corpus's subcodebooks never fit (measured ratio ~1.94 vs the
+    # held-out batch's ~1.18; threshold 1.5 separates with margin)
+    basis = np.eye(64)[np.arange(120) % 64]
+    shifted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [7_000_000 + i for i in range(120)],
+                "embedding": [v.astype("float32").tolist() for v in basis],
+            }
+        )
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    append_to_ivfpq_index(shifted, idx, batch_id=1)
+    # the newest batch alone is the production read: the shift trips
+    drifted = needs_refit(spark, idx, threshold=1.5, recent_batches=1)
+    assert drifted["n_batches"] == 1
+    assert drifted["ratio"] > 1.5 and drifted["needs_refit"] is True
+    # pooled over both batches still reflects the shift direction
+    pooled = needs_refit(spark, idx, threshold=1.0)
+    assert pooled["n_batches"] == 2
+    assert pooled["recent_qerr"] > in_dist["recent_qerr"]
 
 
 def test_ivfpq_append_exactness_pin(spark, corpus, tmp_path_factory):

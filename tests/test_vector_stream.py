@@ -89,6 +89,92 @@ def test_stream_appends_fold_and_probe_equal_brute_force(
     assert _ids(refolded) == _ids(corpus)
 
 
+def test_ivfpq_stream_ingest_with_split_maintenance(spark, corpus, tmp_path):
+    """E2E for the IVFADC stream mode (verdict r10 item 3): build the
+    two-tier index on 70% of the corpus, stream the remaining 30% in
+    three arrival files with ``ivfpq=True`` and split maintenance on
+    the fold cadence — every epoch must land in BOTH tiers exactly
+    once, the split must keep codes co-partitioned with their vectors,
+    and a full probe (nprobe == k', shortlist == |corpus|) must equal
+    brute-force cosine top-k over the whole corpus."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    base = corpus.filter(F.col("vec_id") % 10 < 7)
+    arriving = corpus.filter(F.col("vec_id") % 10 >= 7)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    k_before = spark.read.parquet(f"{idx}/centroids").count()
+
+    for part in range(3):
+        arriving.filter(F.col("vec_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    target = max(2, corpus.count() // 8)
+    q = start_vector_ingest_stream(
+        spark,
+        landing,
+        idx,
+        str(tmp_path / "ckpt"),
+        fold_every=2,
+        split_occupancy=target,
+        ivfpq=True,
+    )
+    q.awaitTermination(300)
+
+    cells = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    codes = spark.read.parquet(f"{idx}/codes").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    assert _ids(cells) == _ids(corpus)
+    assert cells.count() == codes.count() == corpus.count()
+    # tiers agree per id — the split relocated codes with their vectors
+    mism = (
+        codes.select("vec_id", F.col("cell").alias("code_cell"))
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .filter(F.col("code_cell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+    # no append tier in this mode; no leftover txn/manifest
+    assert not glob.glob(f"{idx}/appends/batch=*")
+    assert not os.path.exists(f"{idx}/append_txn")
+    assert not os.path.exists(f"{idx}/codes/_split_pending.json")
+    # split maintenance actually grew the codebook and met the target
+    _, cents = load_ivf_index(spark, idx)
+    assert cents.shape[0] > k_before
+    occ = cells.groupBy("cell").count()
+    assert occ.filter(F.col("count") > target).count() == 0
+
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=cents.shape[0],
+            shortlist=corpus.count(),
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
 def test_append_epochs_are_idempotent(spark, corpus, tmp_path):
     """Re-delivering the same epoch (a foreachBatch replay) must leave
     exactly one copy of each vector in the live index."""
