@@ -454,7 +454,13 @@ def delete_from_ivf_index(
     3 directories — never the standing index. Cells erased to empty are
     removed outright (dynamic overwrite cannot replace a partition with
     zero rows). Mirrors `dedup.propagate_deletes`' contract for the
-    cluster state: deletion costs a state sliver, not a rebuild."""
+    cluster state: deletion costs a state sliver, not a rebuild.
+
+    On an IVFADC index the PQ codes tier is purged too (same sliver
+    shape): a code row is DERIVED from the erased vector — leaving it
+    would both violate the right-to-be-forgotten (the 8-byte code still
+    encodes the vector, coarsely) and waste ADC shortlist slots on
+    candidates the re-rank can no longer resolve."""
     # distinct: a duplicate id in the erase list would fan out the audit
     # left join below, inflating n_before/n_removed (the survivor
     # anti-join is idempotent either way)
@@ -500,13 +506,17 @@ def delete_from_ivf_index(
     # dynamic overwrite leaves a fully-erased cell's old files in place
     # (no rows -> no partition to replace): drop those directories.
     empty = [r.cell for r in report.filter(F.col("n_after") == 0).collect()]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     if empty:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
         for c in empty:
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/cells/cell={int(c)}")
             fs = p.getFileSystem(conf)
             fs.delete(p, True)
+    # IVFADC: the erased vectors' derived PQ codes go with them
+    codes_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    if codes_jp.getFileSystem(conf).exists(codes_jp):
+        _delete_ids_from_tier(spark, f"{path}/codes", dels, id_col=id_col)
     return report
 
 

@@ -328,6 +328,19 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
     batches = _list_batches(spark, f"{index_dir}/appends")
     if not batches:
         return {"folded_batches": 0, "affected_cells": 0}
+    # an IVFADC index has no flat append tier: folding one INTO it would
+    # land rows in cells/ that the codes tier never received — silently
+    # invisible to every ADC shortlist. Refuse while there is something
+    # to fold (the empty no-op above keeps delete_from_live_index's
+    # fold-first composition working on two-tier indexes).
+    _, codes_jp, codes_fs = _fs(spark, f"{index_dir}/codes")
+    if codes_fs.exists(codes_jp) and list(codes_fs.listStatus(codes_jp)):
+        raise ValueError(
+            f"{index_dir} carries a PQ codes tier: the flat append tier "
+            "does not feed it — ingest with append_to_ivfpq_index (or "
+            "start_vector_ingest_stream(ivfpq=True)) instead of "
+            "append_batch + fold_appends"
+        )
 
     cells = spark.read.parquet(f"{index_dir}/cells").withColumn(
         "cell", F.col("cell").cast("int")

@@ -71,7 +71,7 @@ def output_bytes(sc) -> int:
     return sum(s.get("outputBytes", 0) for s in _stages(sc))
 
 
-def _skewed_corpus(spark, n=200_000, hot_frac=0.35):
+def _skewed_corpus(spark, n=200_000, hot_frac=0.15):
     """Clustered synthetic corpus with two dominant modes: after a k=16
     build, two cells run hot (the drifted-arrival shape) while the rest
     sit near the mean — the setup where split maintenance should
@@ -90,7 +90,7 @@ def _skewed_corpus(spark, n=200_000, hot_frac=0.35):
     import pandas as pd
 
     pdf = pd.DataFrame(
-        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X.astype(np.float32))}
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [v.tolist() for v in X.astype(np.float32)]}
     )
     return spark.createDataFrame(pdf).select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
@@ -138,7 +138,8 @@ def claim1(spark) -> list[tuple]:
 
     probe("BEFORE split")
 
-    target = 8_000
+    # split only what actually ran hot: 1.5x the median occupancy
+    target = int(1.5 * occ.median())
     t0, o0 = time.time(), output_bytes(sc)
     n_split = 0
     for _ in range(8):
@@ -206,7 +207,7 @@ def claim2(spark) -> list[tuple]:
         pdf = pd.DataFrame(
             {
                 "vec_id": np.arange(base_id, base_id + len(X), dtype=np.int64),
-                "embedding": list(X.astype(np.float32)),
+                "embedding": [v.tolist() for v in X.astype(np.float32)],
             }
         )
         return spark.createDataFrame(pdf).select(

@@ -1252,6 +1252,51 @@ def test_ivfpq_append_crash_retry_is_exactly_once(
     assert got.equals(want[got.columns])
 
 
+def test_ivfpq_delete_purges_codes_tier(spark, corpus, tmp_path_factory):
+    """RTBF on the served IVFADC index: delete_from_ivf_index must purge
+    the erased ids' DERIVED PQ codes along with their vectors (a code
+    row still encodes the vector, coarsely), and the full probe over
+    the survivors must equal brute force over the surviving corpus."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq_del") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=8, m=8, pq_k=16)
+    victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_victims = victims.count()
+    report = delete_from_ivf_index(spark, idx, victims)
+    assert report.agg(F.sum("n_removed")).collect()[0][0] == n_victims
+
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+    cells = spark.read.parquet(f"{idx}/cells")
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert cells.count() == codes.count() == survivors.count()
+    assert (
+        codes.join(F.broadcast(victims), "vec_id", "semi").count() == 0
+    )
+    queries = survivors.filter(F.col("vec_id") < 20)
+    got = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=8, shortlist=survivors.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(survivors, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
 def test_ivfpq_drift_monitor_trips_on_planted_shift(
     spark, corpus, tmp_path_factory
 ):

@@ -175,6 +175,29 @@ def test_ivfpq_stream_ingest_with_split_maintenance(spark, corpus, tmp_path):
     assert got.equals(want[got.columns])
 
 
+def test_fold_refuses_flat_appends_on_ivfpq_index(spark, corpus, tmp_path):
+    """Folding the FLAT append tier into an IVFADC index would land
+    rows in cells/ that the codes tier never received — invisible to
+    every ADC shortlist. fold_appends must refuse while there is
+    something to fold, and stay a no-op (so delete_from_live_index's
+    fold-first composition keeps working) when the tier is empty."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivfpq_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        append_batch,
+        fold_appends,
+    )
+
+    idx = str(tmp_path / "index")
+    base = corpus.filter(F.col("vec_id") % 10 < 8)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    assert fold_appends(spark, idx) == {"folded_batches": 0, "affected_cells": 0}
+    append_batch(spark, corpus.filter(F.col("vec_id") % 10 >= 8), 0, idx)
+    with pytest.raises(ValueError, match="PQ codes tier"):
+        fold_appends(spark, idx)
+
+
 def test_append_epochs_are_idempotent(spark, corpus, tmp_path):
     """Re-delivering the same epoch (a foreachBatch replay) must leave
     exactly one copy of each vector in the live index."""
