@@ -461,10 +461,29 @@ def delete_from_ivf_index(
     would both violate the right-to-be-forgotten (the 8-byte code still
     encodes the vector, coarsely) and waste ADC shortlist slots on
     candidates the re-rank can no longer resolve."""
+    from .compaction import recover_pending_under
+
+    recover_pending_under(spark, f"{path}/cells")
+    recover_pending_under(spark, f"{path}/codes")
     # distinct: a duplicate id in the erase list would fan out the audit
     # left join below, inflating n_before/n_removed (the survivor
     # anti-join is idempotent either way)
     dels = deleted_ids.select(id_col).distinct()
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    codes_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    has_codes = codes_jp.getFileSystem(conf).exists(codes_jp)
+
+    def purge_codes() -> None:
+        # IVFADC: the erased vectors' derived PQ codes go with them —
+        # ALSO on the no-affected-cells path (review r11): a crash after
+        # the cells rewrite but before this purge leaves the ids absent
+        # from cells/, and a retried delete must still reach the codes
+        if has_codes:
+            _delete_ids_from_tier(
+                spark, f"{path}/codes", dels, id_col=id_col
+            )
+
     cells = spark.read.parquet(f"{path}/cells").withColumn(
         "cell", F.col("cell").cast("int")
     )
@@ -476,6 +495,7 @@ def delete_from_ivf_index(
         .collect()
     )
     if not affected:
+        purge_codes()
         return spark.createDataFrame(
             [], "cell int, n_before long, n_removed long, n_after long"
         )
@@ -493,30 +513,13 @@ def delete_from_ivf_index(
         .select("cell", "n_before", "n_removed", "n_after")
         .localCheckpoint(eager=True)  # materialize BEFORE the rewrite
     )
-    survivors = sliver.join(F.broadcast(dels), id_col, "anti")
-    # stage the survivors: the rewrite overwrites the directories this
-    # plan reads (same staged-overwrite discipline as upsert_parquet)
-    staged = survivors.localCheckpoint(eager=True)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
+    # one implementation of the sliver-delete shape (review r11): the
+    # rewrite delegates to the shared helper with the affected list it
+    # already paid for
+    _delete_ids_from_tier(
+        spark, f"{path}/cells", dels, id_col=id_col, affected=affected
     )
-    # dynamic overwrite leaves a fully-erased cell's old files in place
-    # (no rows -> no partition to replace): drop those directories.
-    empty = [r.cell for r in report.filter(F.col("n_after") == 0).collect()]
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    if empty:
-        for c in empty:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/cells/cell={int(c)}")
-            fs = p.getFileSystem(conf)
-            fs.delete(p, True)
-    # IVFADC: the erased vectors' derived PQ codes go with them
-    codes_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
-    if codes_jp.getFileSystem(conf).exists(codes_jp):
-        _delete_ids_from_tier(spark, f"{path}/codes", dels, id_col=id_col)
+    purge_codes()
     return report
 
 
@@ -646,10 +649,17 @@ def split_cells(
 
     import pandas as pd
 
-    from .compaction import _read_fully, _write_atomic
+    from .compaction import _read_fully, _write_atomic, recover_pending_under
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    # a compaction that crashed mid-commit leaves a leaf with BOTH the
+    # compacted files and the originals (every row duplicated) plus the
+    # manifest that can repair it; rewriting such a leaf would bake the
+    # duplicates in and wipe the manifest — finish the recovery first
+    # (one globStatus per root; review r11)
+    recover_pending_under(spark, f"{path}/cells")
+    recover_pending_under(spark, f"{path}/codes")
 
     def _exists_nonempty(sub: str) -> bool:
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
@@ -1215,25 +1225,31 @@ def save_ivfpq_index(
 
 
 def _delete_ids_from_tier(
-    spark, tier_path: str, ids: DataFrame, id_col: str = "vec_id"
+    spark,
+    tier_path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    affected: list[int] | None = None,
 ) -> None:
     """Erase the given ids from one cell-partitioned tier by rewriting
     ONLY the cell directories that hold them (broadcast semi-join to
     find affected cells, anti-join survivors, dynamic partition
-    overwrite, drained dirs dropped) — the delete_from_ivf_index shape
-    without its audit report, shared by the IVFADC append txn rollback
+    overwrite, drained dirs dropped) — THE sliver-delete shape, shared
+    by delete_from_ivf_index (which passes the ``affected`` list its
+    audit report already computed) and the IVFADC append txn rollback
     for both the cells and codes tiers."""
     dels = ids.select(id_col).distinct()
     tier = spark.read.parquet(tier_path).withColumn(
         "cell", F.col("cell").cast("int")
     )
-    affected = sorted(
-        r.cell
-        for r in tier.join(F.broadcast(dels), id_col, "semi")
-        .select("cell")
-        .distinct()
-        .collect()
-    )
+    if affected is None:
+        affected = sorted(
+            r.cell
+            for r in tier.join(F.broadcast(dels), id_col, "semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        )
     if not affected:
         return
     sliver = tier.filter(F.col("cell").isin([int(c) for c in affected]))
@@ -1298,13 +1314,19 @@ def _resolve_ivfpq_txn(spark, path: str, id_col: str = "vec_id") -> None:
     tiers (the write-ahead undo record — rows partially appended by the
     crashed attempt) and drop the marker. Idempotent: a crash inside
     the rollback re-runs it (the marker is deleted last)."""
-    pending = _ivfpq_txn_meta(spark, path)
-    if pending is None:
-        return
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     txn_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/append_txn")
     fs = txn_jp.getFileSystem(conf)
+    pending = _ivfpq_txn_meta(spark, path)
+    if pending is None:
+        # an ids-only dir (crash between the ids write and the meta
+        # write) is provably pre-append — nothing hit the tiers; sweep
+        # it so split_cells' any-file gate cannot wedge on it (review
+        # r11)
+        if fs.exists(txn_jp):
+            fs.delete(txn_jp, True)
+        return
     if pending >= 0 and _ivfpq_commit_exists(spark, path, pending):
         fs.delete(txn_jp, True)
         return
@@ -1461,6 +1483,78 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     return books
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+) -> dict:
+    """OPTIMIZE pass over a persisted IVF/IVFADC index: bin-pack every
+    cell directory of the cells tier — and the codes tier when present,
+    plus any unfolded flat append epochs and quarantine batches —
+    through ``compaction.compact_parquet_dir`` (read -> coalesce ->
+    rename-commit, crash-safe via its write-ahead manifest). Per-batch
+    appends write one small file set per landing cell per batch — the
+    standard streaming small-files problem; at a day of per-minute
+    epochs every probe pays a task + footer read per file. Compaction
+    preserves row identity, so probes are bit-identical (pytest-pinned).
+    Run between batches (the operator is not snapshot-isolated against
+    concurrent readers of the same leaf) — the fold/maintenance cadence
+    that owns split_cells is the natural owner. Refuses while an IVFADC
+    append txn or a split manifest is pending: both mark in-flight
+    multi-step writes whose repair reads the exact files on disk."""
+    from .compaction import compact_parquet_dir
+
+    if _ivfpq_txn_meta(spark, path) is not None:
+        raise ValueError(
+            f"{path} has a pending IVFADC append txn: resolve it "
+            "(retry the batch via append_to_ivfpq_index) before "
+            "compacting"
+        )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    split_jp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/codes/{_SPLIT_MANIFEST}"
+    )
+    if split_jp.getFileSystem(conf).exists(split_jp):
+        raise ValueError(
+            f"{path} has a pending split manifest: run split_cells to "
+            "repair the codes tier before compacting"
+        )
+
+    def leaves() -> list[str]:
+        out: list[str] = []
+        for sub, pat in (
+            ("cells", "cell="),
+            ("codes", "cell="),
+            ("appends", "batch="),
+            ("quarantine", "batch="),
+        ):
+            root = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+            fs = root.getFileSystem(conf)
+            if not fs.exists(root):
+                continue
+            dirs = [
+                st.getPath().toString()
+                for st in fs.listStatus(root)
+                if st.isDirectory()
+                and st.getPath().getName().startswith(pat)
+            ]
+            out += dirs or ([f"{path}/{sub}"] if sub == "quarantine" else [])
+        return out
+
+    out = {"dirs": 0, "compacted": 0, "rewritten": 0}
+    for leaf in leaves():
+        stats = compact_parquet_dir(
+            spark, leaf, target_bytes=target_bytes,
+            min_file_bytes=min_file_bytes,
+        )
+        out["dirs"] += 1
+        out["compacted"] += int(stats["compacted"])
+        out["rewritten"] += stats["rewritten"]
+    return out
+
+
 def needs_refit(
     spark,
     path: str,
@@ -1488,14 +1582,22 @@ def needs_refit(
     Returns {"baseline_qerr", "recent_qerr", "ratio", "needs_refit",
     "n_batches"} — ratio/recent are None (and needs_refit False) before
     the first keyed append."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    base_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/baseline")
+    if not base_jp.getFileSystem(conf).exists(base_jp):
+        raise ValueError(
+            f"{path} has no drift baseline (drift/baseline): the index "
+            "predates the drift monitor — rebuild with save_ivfpq_index "
+            "to record the build-time quantization-error distribution"
+        )
     base = (
         spark.read.schema("mean_qerr double, n long")
         .parquet(f"{path}/drift/baseline")
         .collect()[0]
     )
-    jvm = spark.sparkContext._jvm
     jp = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/batches")
-    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs = jp.getFileSystem(conf)
     out = {
         "baseline_qerr": float(base.mean_qerr),
         "recent_qerr": None,

@@ -108,6 +108,37 @@ def _read_fully(spark: SparkSession, fs, jpath) -> bytes:
     return bytes(bos.toByteArray())
 
 
+def recover_pending_under(spark: SparkSession, root: str) -> int:
+    """Finish any interrupted ``compact_parquet_dir`` run one level under
+    ``root`` (the ``cells/cell=N`` / ``appends/batch=K`` leaf shape):
+    ONE globStatus for the write-ahead manifest across the root (never a
+    per-leaf listing — the r10 FS-RPC lesson), replaying each hit's
+    moves + deletes through ``_recover`` (idempotent). A leaf left
+    mid-commit holds BOTH the compacted files and the originals — every
+    row duplicated; a maintenance rewrite (cell split, fold, delete)
+    that reads it before recovery would bake the duplicates in
+    permanently AND wipe the manifest that could have repaired them, so
+    the rewriters call this before touching an index tier. Returns the
+    number of manifests finished."""
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return 0
+    # the ROOT portion is a literal path, not a pattern (glob-metachar
+    # bypass closed the same way as dedup_stream's modulus gate)
+    esc = "".join("\\" + c if c in "*?[]{}\\" else c for c in root)
+    hits = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{esc}/*/{_MANIFEST}")
+    )
+    n = 0
+    for st in hits or []:
+        jdir = st.getPath().getParent()
+        _recover(spark, jvm, fs, jdir)
+        n += 1
+    return n
+
+
 def _recover(spark: SparkSession, jvm, fs, jdir) -> tuple[int, int]:
     """Finish a committed-but-interrupted run; sweep uncommitted staging.
     Returns (resumed_deletes, swept_tmp_dirs)."""

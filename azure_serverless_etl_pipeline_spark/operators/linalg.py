@@ -293,7 +293,11 @@ def spectrum_power_iteration(
         w = B @ v  # <= dim * scale^2: int64-exact
         m = int(np.abs(w).max())
         if m == 0:
-            break
+            # degenerate (zero matvec): define rescale(., 0) == 0, the
+            # same total rule the SQL twin's CASE spells out — the
+            # remaining iterations and the final readoff stay on zeros
+            v = np.zeros(dim, dtype=np.int64)
+            continue
         v = ((2 * w.astype(object) * scale + m) // (2 * m)).astype(
             np.int64
         )

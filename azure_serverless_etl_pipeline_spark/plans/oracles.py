@@ -2675,8 +2675,12 @@ def _power_iteration_sql(
     planning finishes."""
 
     def floordiv(num: str, den: str) -> str:
+        # the leading m = 0 arm makes the rescale TOTAL (rescale(., 0)
+        # == 0, matching the Spark side's degenerate guard) and is
+        # checked first so the modulo never divides by zero
         return (
-            f"CASE WHEN ({num}) >= 0 OR ({num}) % ({den}) = 0 "
+            f"CASE WHEN m = 0 THEN 0 "
+            f"WHEN ({num}) >= 0 OR ({num}) % ({den}) = 0 "
             f"THEN ({num}) // ({den}) "
             f"ELSE ({num}) // ({den}) - 1 END"
         )

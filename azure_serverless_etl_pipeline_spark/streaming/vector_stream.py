@@ -120,6 +120,7 @@ def start_vector_ingest_stream(
     fold_every: int | None = None,
     split_occupancy: int | None = None,
     ivfpq: bool = False,
+    compact_every: int | None = None,
 ):
     """Tail a landing directory of embedding parquet files; every
     micro-batch quantizes against the standing codebook and lands in
@@ -154,7 +155,14 @@ def start_vector_ingest_stream(
     subcodebooks are frozen for the index's lifetime; the coarse
     centroids refresh after a split exactly as in flat mode. Codebook
     drift under the frozen quantizers is measured per batch
-    (``ann_index.needs_refit``) rather than repaired here."""
+    (``ann_index.needs_refit``) rather than repaired here.
+
+    ``compact_every=N`` runs ``ann_index.compact_ivf_index`` after
+    every Nth batch (after the same epoch's fold/split): per-batch
+    appends leave one small file set per landing cell per batch — the
+    streaming small-files problem — and the between-batches window is
+    the one moment without a concurrent writer, the cadence ownership
+    compaction's non-snapshot-isolated rewrite requires."""
     import numpy as np
 
     if split_occupancy is not None and not fold_every:
@@ -232,6 +240,10 @@ def start_vector_ingest_stream(
                 fold_appends(spark, index_dir)
             if split_occupancy is not None:
                 _run_splits()
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            from ..operators.ann_index import compact_ivf_index
+
+            compact_ivf_index(spark, index_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -316,6 +328,14 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
     rewrite already contains them, and ``load_live_index``'s id-dedup
     keeps reads exactly-once until the next fold's step 1/5 cleans up.
     """
+    from ..operators.compaction import recover_pending_under
+
+    # finish any compaction that crashed mid-commit in a leaf this fold
+    # is about to read/rewrite — a half-committed leaf holds duplicates
+    # the fold would otherwise bake in (review r11)
+    recover_pending_under(spark, f"{index_dir}/cells")
+    recover_pending_under(spark, f"{index_dir}/appends")
+
     jvm, approot, fs = _fs(spark, f"{index_dir}/appends")
     manifest_path = jvm.org.apache.hadoop.fs.Path(approot, _FOLD_MANIFEST)
     if fs.exists(manifest_path):

@@ -1252,6 +1252,63 @@ def test_ivfpq_append_crash_retry_is_exactly_once(
     assert got.equals(want[got.columns])
 
 
+def test_compact_ivf_index_preserves_probes(spark, corpus, tmp_path_factory):
+    """OPTIMIZE for the two-tier index: several small keyed appends
+    leave one file set per landing cell per batch; compact_ivf_index
+    must bin-pack both tiers' cell dirs, shrink the file count, and
+    leave the full probe bit-identical. Pending append txn refuses."""
+    import glob as _g
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq_opt") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 < 7)
+    ann_index.save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    for b in range(3):
+        ann_index.append_to_ivfpq_index(
+            emb.filter(F.col("vec_id") % 10 == 7 + b), idx, batch_id=b
+        )
+    files_before = len(_g.glob(f"{idx}/cells/cell=*/*.parquet")) + len(
+        _g.glob(f"{idx}/codes/cell=*/*.parquet")
+    )
+    queries = corpus.filter(F.col("vec_id") < 15)
+
+    def probe():
+        return (
+            ann_index.search_ivfpq(
+                spark, idx, queries, k=5, nprobe=4, shortlist=corpus.count()
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+
+    before = probe()
+    stats = ann_index.compact_ivf_index(spark, idx, target_bytes=64 << 20)
+    assert stats["compacted"] > 0
+    files_after = len(_g.glob(f"{idx}/cells/cell=*/*.parquet")) + len(
+        _g.glob(f"{idx}/codes/cell=*/*.parquet")
+    )
+    assert files_after < files_before
+    after = probe()
+    assert after.equals(before)
+    want = (
+        cosine_topk(emb, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert after.equals(want[after.columns])
+
+    spark.createDataFrame([(9,)], "batch long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/append_txn/meta")
+    with pytest.raises(ValueError, match="pending IVFADC append txn"):
+        ann_index.compact_ivf_index(spark, idx)
+
+
 def test_ivfpq_delete_purges_codes_tier(spark, corpus, tmp_path_factory):
     """RTBF on the served IVFADC index: delete_from_ivf_index must purge
     the erased ids' DERIVED PQ codes along with their vectors (a code
@@ -1295,6 +1352,142 @@ def test_ivfpq_delete_purges_codes_tier(spark, corpus, tmp_path_factory):
         .sort_values(["query_id", "rank"], ignore_index=True)
     )
     assert got.equals(want[got.columns])
+
+
+def test_ivfpq_delete_retry_still_purges_codes(spark, corpus, tmp_path_factory):
+    """Review r11 regression: a delete that crashed AFTER the cells
+    rewrite but BEFORE the codes purge leaves the victims absent from
+    cells/ — the retried delete then finds no affected cells and the
+    old early return skipped the purge forever. The retry must still
+    erase the victims' code rows."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _delete_ids_from_tier,
+        delete_from_ivf_index,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("ivfpq_del_retry") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    victims = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    n_victims = victims.count()
+    # simulate the torn state: cells rewritten, codes purge never ran
+    _delete_ids_from_tier(spark, f"{idx}/cells", victims)
+    assert (
+        spark.read.parquet(f"{idx}/codes")
+        .join(F.broadcast(victims), "vec_id", "semi")
+        .count()
+        == n_victims
+    )
+    # the retry: no affected cells remain, but the purge must still run
+    report = delete_from_ivf_index(spark, idx, victims)
+    assert report.count() == 0
+    assert (
+        spark.read.parquet(f"{idx}/codes")
+        .join(F.broadcast(victims), "vec_id", "semi")
+        .count()
+        == 0
+    )
+
+
+def test_split_recovers_torn_compaction_before_rewriting(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Review r11 regression: a compaction that crashed between its
+    manifest commit and the manifest's deletes leaves a leaf holding
+    BOTH the compacted files and the originals — every row duplicated,
+    with the manifest as the only repair record. split_cells must
+    finish that recovery BEFORE rewriting, or the 2-means would bake
+    the duplicates in and the dynamic overwrite would wipe the
+    manifest."""
+    from azure_serverless_etl_pipeline_spark.operators import compaction
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        compact_ivf_index,
+        load_ivf_index,
+        probe_ivf,
+        save_ivf_index,
+        split_cells,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("torncompact") / "index")
+    # 2 fat cells, several small files per cell (so compaction has work)
+    save_ivf_index(corpus.repartition(8), idx, k=2)
+
+    real_apply = compaction._apply_manifest
+    calls = {"n": 0}
+
+    def boom(jvm, fs, jdir, manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # crash MID-commit: staged compacted files moved in, the
+            # original files' deletes never run — both copies visible
+            for src, dest in manifest["moves"]:
+                sp = compaction._jp(jvm, src)
+                dp = compaction._jp(jvm, dest)
+                if not fs.exists(dp) and fs.exists(sp):
+                    fs.rename(sp, dp)
+            raise RuntimeError("injected crash mid-compaction commit")
+        return real_apply(jvm, fs, jdir, manifest)
+
+    monkeypatch.setattr(compaction, "_apply_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_ivf_index(spark, idx, target_bytes=1 << 30)
+    monkeypatch.setattr(compaction, "_apply_manifest", real_apply)
+
+    # torn: at least one leaf now serves duplicated rows
+    assert spark.read.parquet(f"{idx}/cells").count() > corpus.count()
+
+    target = int(corpus.count() / 8)
+    for _ in range(8):
+        if split_cells(spark, idx, target_occupancy=target).count() == 0:
+            break
+    after, cents = load_ivf_index(spark, idx)
+    assert after.count() == corpus.count()  # duplicates repaired, not baked
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = (
+        probe_ivf(after, queries, cents, k=5, nprobe=cents.shape[0])
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(corpus, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_resolve_txn_sweeps_ids_only_dir(spark, corpus, tmp_path_factory):
+    """Review r11 regression: a crash between the txn ids write and the
+    meta write leaves an ids-only append_txn dir — provably pre-append
+    (meta precedes both tier writes), but split_cells' any-file gate
+    would refuse forever. The next append must sweep it and proceed."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        save_ivfpq_index,
+        split_cells,
+    )
+
+    idx = str(tmp_path_factory.mktemp("idsonly") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    # simulate the ids-only crash window
+    base.select("vec_id").limit(3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/append_txn/ids")
+    with pytest.raises(ValueError, match="pending IVFADC append txn"):
+        split_cells(spark, idx, target_occupancy=10_000)
+
+    append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 0), idx, batch_id=0)
+    assert not os.path.exists(f"{idx}/append_txn")
+    assert spark.read.parquet(f"{idx}/cells").count() == emb.count()
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
 
 
 def test_ivfpq_drift_monitor_trips_on_planted_shift(

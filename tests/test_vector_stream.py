@@ -129,6 +129,7 @@ def test_ivfpq_stream_ingest_with_split_maintenance(spark, corpus, tmp_path):
         fold_every=2,
         split_occupancy=target,
         ivfpq=True,
+        compact_every=2,
     )
     q.awaitTermination(300)
 
