@@ -543,16 +543,29 @@ def _sync_codes_to_cells(
     cl = [int(c) for c in cells_list]
     if not cl:
         return
+    # DEDUPED on both sides (review r11): a dynamic partition overwrite
+    # torn mid-job-commit can leave an id in both its old and new
+    # directory; undeduped, the join would fan out (a wedging count
+    # mismatch) or write duplicate code rows into the child dir —
+    # permanent double ADC candidates. Codes duplicates are identical
+    # rows (deterministic encode), so any-winner is exact; a cells-side
+    # duplicate takes the MAX cell (the split's destination child), the
+    # deterministic choice that matches a completed split.
+    w = W.partitionBy(id_col).orderBy(F.desc("cell"))
     cells = (
         spark.read.parquet(f"{path}/cells")
         .withColumn("cell", F.col("cell").cast("int"))
         .filter(F.col("cell").isin(cl))
         .select(id_col, "cell")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     codes = (
         spark.read.parquet(f"{path}/codes")
         .withColumn("cell", F.col("cell").cast("int"))
         .filter(F.col("cell").isin(cl))
+        .dropDuplicates([id_col])
     )
     relabeled = codes.drop("cell").join(cells, id_col).localCheckpoint(
         eager=True
@@ -1179,9 +1192,25 @@ def save_ivfpq_index(
     keep_cols) — no corpus-sized join to reunite code with cell. One
     k-means fit + one bounded-sample PQ train + two single-pass writes;
     everything downstream (append/delete/probe) reuses the existing
-    cell-tier operators untouched."""
-    save_ivf_index(corpus, path, k=k, vec_col=vec_col, id_col=id_col)
+    cell-tier operators untouched.
+
+    Rebuilding IN PLACE (the documented needs_refit remedy) RESETS the
+    append bookkeeping (review r11): stale ``append_commits`` would
+    silently no-op future batches that reuse old keys, a stale pending
+    ``append_txn`` would roll ids OUT of the freshly built tiers even
+    though the refit corpus legitimately contains them, and old
+    ``drift/batches`` records would pool against the new baseline and
+    keep needs_refit tripped forever (a refit loop). All three are
+    derived from the PREVIOUS index generation and die with it."""
     spark = corpus.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for stale in ("append_txn", "append_commits", "drift"):
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{stale}")
+        fs = jp.getFileSystem(conf)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    save_ivf_index(corpus, path, k=k, vec_col=vec_col, id_col=id_col)
     books = train_pq_codebooks(corpus, m=m, k=pq_k, vec_col=vec_col)
     indexed = spark.read.parquet(f"{path}/cells").withColumn(
         "cell", F.col("cell").cast("int")
@@ -1273,17 +1302,43 @@ def _delete_ids_from_tier(
                 fs.delete(p, True)
 
 
+def _batch_dirs(spark, root: str) -> list[tuple[int, str]]:
+    """(batch id, path) for every ``batch=K`` subdir of root, sorted
+    numerically — one FS listing, no Spark read (the dedup_stream
+    lister's shape, local to avoid an operators->streaming import)."""
+    jvm = spark.sparkContext._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return []
+    out = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _parquet_data_exists(spark, path: str) -> bool:
+    """True iff ``path`` holds a committed parquet DATA file (never bare
+    directory existence — the meta-gate crash discipline)."""
+    jvm = spark.sparkContext._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(jp) and any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(jp)
+    )
+
+
 def _ivfpq_txn_meta(spark, path: str) -> int | None:
     """The open append txn's batch key (-1 for an unkeyed batch), or
     None when no txn is pending (data-file check, the meta-gate
     discipline)."""
-    jvm = spark.sparkContext._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(f"{path}/append_txn/meta")
-    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(jp) or not any(
-        st.getPath().getName().endswith(".parquet")
-        for st in fs.listStatus(jp)
-    ):
+    if not _parquet_data_exists(spark, f"{path}/append_txn/meta"):
         return None
     return int(
         spark.read.schema("batch long")
@@ -1294,26 +1349,25 @@ def _ivfpq_txn_meta(spark, path: str) -> int | None:
 
 
 def _ivfpq_commit_exists(spark, path: str, batch_id: int) -> bool:
-    jvm = spark.sparkContext._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/append_commits/batch={int(batch_id)}"
-    )
-    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs.exists(jp) and any(
-        st.getPath().getName().endswith(".parquet")
-        for st in fs.listStatus(jp)
+    return _parquet_data_exists(
+        spark, f"{path}/append_commits/batch={int(batch_id)}"
     )
 
 
 def _resolve_ivfpq_txn(spark, path: str, id_col: str = "vec_id") -> None:
     """Roll a pending IVFADC append txn forward or back so the index is
-    CONSISTENT before anything else writes: a txn whose batch key has a
-    commit record actually finished (the crash fell between the commit
-    write and the marker delete) — just drop the marker; an uncommitted
-    txn is torn mid-append, so delete its recorded ids' rows from BOTH
-    tiers (the write-ahead undo record — rows partially appended by the
-    crashed attempt) and drop the marker. Idempotent: a crash inside
-    the rollback re-runs it (the marker is deleted last)."""
+    CONSISTENT before anything else writes: a txn that actually
+    finished — keyed batch with its external commit record, or unkeyed
+    batch with the txn-scoped ``append_txn/committed`` flag (review
+    r11: without it, a crash between the unkeyed batch's last tier
+    write and the marker delete would roll a COMPLETED batch back —
+    silent at-most-once loss) — just drops the marker; an uncommitted
+    txn is torn mid-append, so its recorded ids' rows are deleted from
+    BOTH tiers (the write-ahead undo record) along with its drift
+    record (review r11: a rolled-back batch's quantization stats would
+    otherwise poison needs_refit forever) and the marker. Idempotent:
+    a crash inside the rollback re-runs it (the marker is deleted
+    last)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     txn_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/append_txn")
@@ -1327,7 +1381,12 @@ def _resolve_ivfpq_txn(spark, path: str, id_col: str = "vec_id") -> None:
         if fs.exists(txn_jp):
             fs.delete(txn_jp, True)
         return
-    if pending >= 0 and _ivfpq_commit_exists(spark, path, pending):
+    committed = (
+        _ivfpq_commit_exists(spark, path, pending)
+        if pending >= 0
+        else _parquet_data_exists(spark, f"{path}/append_txn/committed")
+    )
+    if committed:
         fs.delete(txn_jp, True)
         return
     ids = spark.read.schema(f"{id_col} long").parquet(
@@ -1335,6 +1394,12 @@ def _resolve_ivfpq_txn(spark, path: str, id_col: str = "vec_id") -> None:
     )
     _delete_ids_from_tier(spark, f"{path}/cells", ids, id_col=id_col)
     _delete_ids_from_tier(spark, f"{path}/codes", ids, id_col=id_col)
+    if pending >= 0:
+        drift_jp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/drift/batches/batch={int(pending)}"
+        )
+        if fs.exists(drift_jp):
+            fs.delete(drift_jp, True)
     fs.delete(txn_jp, True)
 
 
@@ -1460,6 +1525,13 @@ def append_to_ivfpq_index(
         ).write.mode("overwrite").parquet(
             f"{path}/append_commits/batch={int(batch_id)}"
         )
+    else:
+        # txn-scoped commit flag for the UNKEYED batch (review r11): a
+        # crash between here and the marker delete must roll FORWARD —
+        # without the flag the resolver would erase a completed batch
+        spark.createDataFrame([(1,)], "committed int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/append_txn/committed")
     jvm = spark.sparkContext._jvm
     txn_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/append_txn")
     fs = txn_jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -1488,6 +1560,8 @@ def compact_ivf_index(
     path: str,
     target_bytes: int = 128 << 20,
     min_file_bytes: int | None = None,
+    keep_drift_batches: int = 256,
+    keep_commit_records: int = 4096,
 ) -> dict:
     """OPTIMIZE pass over a persisted IVF/IVFADC index: bin-pack every
     cell directory of the cells tier — and the codes tier when present,
@@ -1543,7 +1617,7 @@ def compact_ivf_index(
             out += dirs or ([f"{path}/{sub}"] if sub == "quarantine" else [])
         return out
 
-    out = {"dirs": 0, "compacted": 0, "rewritten": 0}
+    out = {"dirs": 0, "compacted": 0, "rewritten": 0, "pruned": 0}
     for leaf in leaves():
         stats = compact_parquet_dir(
             spark, leaf, target_bytes=target_bytes,
@@ -1552,6 +1626,23 @@ def compact_ivf_index(
         out["dirs"] += 1
         out["compacted"] += int(stats["compacted"])
         out["rewritten"] += stats["rewritten"]
+    # bookkeeping retention (review r11): a long-lived stream leaves one
+    # tiny dir PER EPOCH under drift/batches and append_commits — the
+    # small-files problem in directory form. Drift keeps the newest
+    # ``keep_drift_batches`` (needs_refit reads recency anyway); commit
+    # records older than the newest ``keep_commit_records`` are dead —
+    # a resumed checkpoint can only replay epochs near its max, and a
+    # NEW stream pins its key base ABOVE the max committed key, so
+    # nothing ever consults the pruned tail.
+    for sub, keep in (
+        ("drift/batches", keep_drift_batches),
+        ("append_commits", keep_commit_records),
+    ):
+        dirs = _batch_dirs(spark, f"{path}/{sub}")
+        for _b, leaf in dirs[:-int(keep)] if keep else []:
+            p = jvm.org.apache.hadoop.fs.Path(leaf)
+            p.getFileSystem(conf).delete(p, True)
+            out["pruned"] += 1
     return out
 
 
@@ -1596,8 +1687,6 @@ def needs_refit(
         .parquet(f"{path}/drift/baseline")
         .collect()[0]
     )
-    jp = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/batches")
-    fs = jp.getFileSystem(conf)
     out = {
         "baseline_qerr": float(base.mean_qerr),
         "recent_qerr": None,
@@ -1605,20 +1694,20 @@ def needs_refit(
         "needs_refit": False,
         "n_batches": 0,
     }
-    if not fs.exists(jp):
+    # recency from the directory NAMES (one FS listing), reading only
+    # the selected batch dirs — a long-lived stream leaves one dir per
+    # epoch and a full read-collect-sort would grow with its lifetime
+    # (review r11); compact_ivf_index bounds the dir count itself
+    dirs = _batch_dirs(spark, f"{path}/drift/batches")
+    if not dirs:
         return out
-    # the discovered batch partition column orders recency
-    rows = (
+    if recent_batches is not None:
+        dirs = dirs[-int(recent_batches):]
+    recs = (
         spark.read.schema("mean_qerr double, n long")
-        .parquet(f"{path}/drift/batches")
-        .withColumn("batch", F.col("batch").cast("long"))
+        .parquet(*[p for _, p in dirs])
         .collect()
     )
-    if not rows:
-        return out
-    recs = sorted(rows, key=lambda r: -int(r.batch))
-    if recent_batches is not None:
-        recs = recs[: int(recent_batches)]
     tot_n = sum(int(r.n) for r in recs)
     pooled = sum(float(r.mean_qerr) * int(r.n) for r in recs) / tot_n
     ratio = pooled / max(float(base.mean_qerr), 1e-300)

@@ -62,6 +62,36 @@ def _fs(spark: SparkSession, path: str):
     return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+_EPOCH_BASE = "__ivfpq_epoch_base__.json"
+
+
+def _epoch_base(spark: SparkSession, index_dir: str, checkpoint_dir: str) -> int:
+    """The IVFADC stream's batch-key base, pinned INSIDE the checkpoint
+    dir (so discarding the checkpoint discards the pin with it — the
+    two lifecycles that must stay glued). First start over an index:
+    base = 1 + the max committed batch key already in the index (0 on a
+    fresh index), written atomically before the stream runs; resumes of
+    the same checkpoint read the pin back, so a replayed epoch maps to
+    the SAME key and the commit-record no-op stays exact. Spark's
+    checkpoint machinery only reads its own known subpaths (metadata/
+    offsets/commits/sources/state), so the extra file is inert."""
+    from .dedup_stream import _list_batches
+
+    jvm, jdir, fs = _fs(spark, checkpoint_dir)
+    pin = jvm.org.apache.hadoop.fs.Path(jdir, _EPOCH_BASE)
+    if fs.exists(pin):
+        return int(json.loads(_read_fully(spark, fs, pin).decode("utf-8"))["base"])
+    committed = _list_batches(spark, f"{index_dir}/append_commits")
+    base = 1 + max((b for b, _ in committed), default=-1)
+    if not fs.exists(jdir):
+        fs.mkdirs(jdir)
+    _write_atomic(
+        jvm, fs, jdir, _EPOCH_BASE,
+        json.dumps({"base": int(base)}).encode("utf-8"),
+    )
+    return int(base)
+
+
 def append_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -191,6 +221,14 @@ def start_vector_ingest_stream(
         from ..operators.ann_index import load_pq_codebooks
 
         cache["books"] = load_pq_codebooks(spark, index_dir)
+        # foreachBatch epoch ids are unique PER CHECKPOINT, not per
+        # index: a retired stream's append_commits/batch=0..N would make
+        # a NEW stream's epochs 0..N silently no-op as "already
+        # committed" (review r11). Pin a batch-key base inside THIS
+        # checkpoint (so it dies with it): first stream start reads the
+        # index's max committed key and starts above it; resumes of the
+        # same checkpoint reuse the pin, keeping replay no-ops exact.
+        cache["base"] = _epoch_base(spark, index_dir, checkpoint_dir)
 
     def _run_splits() -> None:
         import logging
@@ -228,7 +266,7 @@ def start_vector_ingest_stream(
             append_to_ivfpq_index(
                 batch_df,
                 index_dir,
-                batch_id=int(epoch_id),
+                batch_id=cache["base"] + int(epoch_id),
                 centroids=cache["centroids"],
                 books=cache["books"],
             )

@@ -131,6 +131,30 @@ def main() -> None:
                 f"x146 IVFADC (k=8, m=8, nprobe={np_}, shortlist={sl})",
                 ivfpq(np_, sl),
             )
+
+        # x149: the SAME index after cell-split maintenance — rows AND
+        # code rows relocated into child cells (no re-encode). nprobe
+        # sweeps as a fraction of the GROWN codebook so coverage stays
+        # comparable; the full-probe point is the x149 exactness pin.
+        from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+            split_cells,
+        )
+
+        target = max(2, n // 16)
+        for _ in range(8):
+            if split_cells(spark, idx, target_occupancy=target).count() == 0:
+                break
+        k_after = spark.read.parquet(f"{idx}/centroids").count()
+        for np_, sl in (
+            (max(1, k_after // 4), 50),
+            (max(1, k_after // 2), 100),
+            (k_after, n),
+        ):
+            bench(
+                f"x149 IVFADC post-split (k'={k_after}, nprobe={np_}, "
+                f"shortlist={sl})",
+                ivfpq(np_, sl),
+            )
         emb.unpersist()
 
     out = "\n".join(

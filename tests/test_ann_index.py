@@ -1490,6 +1490,184 @@ def test_resolve_txn_sweeps_ids_only_dir(spark, corpus, tmp_path_factory):
     assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
 
 
+def test_ivfpq_refit_resets_append_bookkeeping(
+    spark, corpus, tmp_path_factory
+):
+    """Review r11 (2nd pass): rebuilding an index IN PLACE (the
+    documented needs_refit remedy) must reset append_commits (stale
+    records would silently no-op future batches reusing old keys),
+    drift/batches (old records would pool against the new baseline and
+    keep the monitor tripped — a refit loop), and a pending append_txn
+    (its rollback would erase ids the refit corpus legitimately
+    contains)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        needs_refit,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("refit") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    held = emb.filter(F.col("vec_id") % 5 == 0)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    append_to_ivfpq_index(held, idx, batch_id=0)
+    assert needs_refit(spark, idx)["n_batches"] == 1
+
+    # plant a stale pending txn naming ids the refit corpus contains
+    base.select("vec_id").limit(5).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/append_txn/ids")
+    spark.createDataFrame([(0,)], "batch long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/append_txn/meta")
+
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)  # the refit
+    import os
+
+    assert not os.path.exists(f"{idx}/append_txn")
+    fresh = needs_refit(spark, idx)
+    assert fresh["n_batches"] == 0 and fresh["ratio"] is None
+    # an old batch key must NOT no-op against the new generation —
+    # and its resolution must not erase the refit's own rows
+    extra = spark.createDataFrame(
+        [(8_000_000 + i, [float(i % 3)] * 64) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivfpq_index(extra, idx, batch_id=0)
+    assert (
+        spark.read.parquet(f"{idx}/cells").count() == emb.count() + 10
+    )
+    assert (
+        spark.read.parquet(f"{idx}/codes").count() == emb.count() + 10
+    )
+
+
+def test_ivfpq_unkeyed_append_crash_after_completion_rolls_forward(
+    spark, corpus, tmp_path_factory
+):
+    """Review r11 (2nd pass): an UNKEYED append that crashed between
+    its last tier write and the marker delete must roll FORWARD (the
+    txn-scoped committed flag proves completion) — the old resolver
+    erased the completed batch. An uncommitted txn still rolls back."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _resolve_ivfpq_txn,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("unkeyed") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    some = emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    n = emb.count()
+
+    def plant_txn(committed: bool) -> None:
+        some.coalesce(1).write.mode("overwrite").parquet(
+            f"{idx}/append_txn/ids"
+        )
+        spark.createDataFrame([(-1,)], "batch long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{idx}/append_txn/meta")
+        if committed:
+            spark.createDataFrame([(1,)], "committed int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                f"{idx}/append_txn/committed"
+            )
+
+    # completed (flag present): forward — rows survive
+    plant_txn(committed=True)
+    _resolve_ivfpq_txn(spark, idx)
+    import os
+
+    assert not os.path.exists(f"{idx}/append_txn")
+    assert spark.read.parquet(f"{idx}/cells").count() == n
+    assert spark.read.parquet(f"{idx}/codes").count() == n
+
+    # torn (no flag): rollback — the recorded ids' rows go
+    plant_txn(committed=False)
+    _resolve_ivfpq_txn(spark, idx)
+    n_some = some.count()
+    assert spark.read.parquet(f"{idx}/cells").count() == n - n_some
+    assert spark.read.parquet(f"{idx}/codes").count() == n - n_some
+
+
+def test_ivfpq_rollback_removes_drift_record(spark, corpus, tmp_path_factory):
+    """Review r11 (2nd pass): rolling a keyed txn back must also drop
+    its drift/batches record — a rolled-back off-distribution batch
+    would otherwise keep needs_refit tripped for vectors the index does
+    not contain."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _resolve_ivfpq_txn,
+        needs_refit,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("driftroll") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    # plant the torn keyed txn + its already-written drift record
+    emb.select("vec_id").limit(3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/append_txn/ids")
+    spark.createDataFrame([(7,)], "batch long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/append_txn/meta")
+    spark.createDataFrame(
+        [(99.9, 1000)], "mean_qerr double, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{idx}/drift/batches/batch=7"
+    )
+    _resolve_ivfpq_txn(spark, idx)
+    r = needs_refit(spark, idx, threshold=1.5)
+    assert r["n_batches"] == 0 and r["needs_refit"] is False
+
+
+def test_ivfpq_stream_restart_with_fresh_checkpoint_keeps_ingesting(
+    spark, corpus, tmp_path
+):
+    """Review r11 (2nd pass): foreachBatch epoch ids are unique per
+    CHECKPOINT — a retired stream's commit records would make a new
+    stream's epochs 0..N silently no-op. The batch-key base pinned
+    inside each checkpoint must keep a second stream (fresh checkpoint,
+    same index) ingesting."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivfpq_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path / "index")
+    emb = corpus.select("vec_id", "embedding", F.lit(0).alias("label"))
+    base = emb.filter(F.col("vec_id") % 10 < 6)
+    save_ivfpq_index(base.select("vec_id", "embedding"), idx, k=4, m=8, pq_k=16)
+
+    land1 = str(tmp_path / "land1")
+    emb.filter((F.col("vec_id") % 10 >= 6) & (F.col("vec_id") % 10 < 8)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(land1)
+    q = start_vector_ingest_stream(
+        spark, land1, idx, str(tmp_path / "ckpt1"), ivfpq=True
+    )
+    q.awaitTermination(300)
+    n_after1 = spark.read.parquet(f"{idx}/cells").count()
+    assert n_after1 > base.count()
+
+    # second stream: NEW checkpoint, NEW landing dir, same index —
+    # its epoch 0 must not collide with the first stream's epoch 0
+    land2 = str(tmp_path / "land2")
+    emb.filter(F.col("vec_id") % 10 >= 8).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(land2)
+    q2 = start_vector_ingest_stream(
+        spark, land2, idx, str(tmp_path / "ckpt2"), ivfpq=True
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{idx}/cells").count() == emb.count()
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
+
+
 def test_ivfpq_drift_monitor_trips_on_planted_shift(
     spark, corpus, tmp_path_factory
 ):
