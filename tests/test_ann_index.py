@@ -1309,6 +1309,56 @@ def test_compact_ivf_index_preserves_probes(spark, corpus, tmp_path_factory):
         ann_index.compact_ivf_index(spark, idx)
 
 
+def test_compact_ivf_index_prunes_bookkeeping(spark, corpus, tmp_path_factory):
+    """Retention for the per-epoch bookkeeping dirs (review r11): a
+    long-lived stream leaves one drift record and one commit record per
+    epoch; compact_ivf_index keeps the newest keep_drift_batches /
+    keep_commit_records and deletes the tail. needs_refit keeps working
+    over the retained records; a retained commit record still no-ops
+    its batch's replay."""
+    import glob as _g
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        compact_ivf_index,
+        needs_refit,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("retention") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    arriving = emb.filter(F.col("vec_id") % 4 == 0)
+    slices = [
+        arriving.filter(F.col("vec_id") % 12 == 0),
+        arriving.filter(F.col("vec_id") % 12 == 4),
+        arriving.filter(F.col("vec_id") % 12 == 8),
+    ]
+    for b, sl in enumerate(slices):
+        append_to_ivfpq_index(sl, idx, batch_id=b)
+    assert len(_g.glob(f"{idx}/drift/batches/batch=*")) == 3
+    assert len(_g.glob(f"{idx}/append_commits/batch=*")) == 3
+
+    stats = compact_ivf_index(
+        spark, idx, keep_drift_batches=1, keep_commit_records=2
+    )
+    assert stats["pruned"] == 3  # 2 drift dirs + 1 commit dir
+    assert sorted(_g.glob(f"{idx}/drift/batches/batch=*")) == [
+        f"{idx}/drift/batches/batch=2"
+    ]
+    assert sorted(_g.glob(f"{idx}/append_commits/batch=*")) == [
+        f"{idx}/append_commits/batch=1",
+        f"{idx}/append_commits/batch=2",
+    ]
+    r = needs_refit(spark, idx)
+    assert r["n_batches"] == 1 and r["ratio"] is not None
+    # a RETAINED commit record still no-ops its replay
+    n = spark.read.parquet(f"{idx}/cells").count()
+    append_to_ivfpq_index(slices[2], idx, batch_id=2)
+    assert spark.read.parquet(f"{idx}/cells").count() == n
+
+
 def test_ivfpq_delete_purges_codes_tier(spark, corpus, tmp_path_factory):
     """RTBF on the served IVFADC index: delete_from_ivf_index must purge
     the erased ids' DERIVED PQ codes along with their vectors (a code
