@@ -460,11 +460,23 @@ def delete_from_ivf_index(
     shape): a code row is DERIVED from the erased vector — leaving it
     would both violate the right-to-be-forgotten (the 8-byte code still
     encodes the vector, coarsely) and waste ADC shortlist slots on
-    candidates the re-rank can no longer resolve."""
+    candidates the re-rank can no longer resolve.
+
+    A PENDING APPEND TXN is resolved at entry (advice r11): erasing an
+    UNCOMMITTED batch's ids would be silently undone — the batch's
+    retry rolls its torn attempt back by id (a no-op for rows this
+    delete already removed) and then re-appends them — while the audit
+    report would have counted rows that were never durably in the
+    index. Resolving first (roll forward if committed, back otherwise)
+    makes the report honest: a rolled-back batch's ids are simply not
+    found, and their later re-append is an ordinary new arrival that
+    happened after this deletion."""
     from .compaction import recover_pending_under
 
+    _resolve_refit(spark, path)
     recover_pending_under(spark, f"{path}/cells")
     recover_pending_under(spark, f"{path}/codes")
+    _resolve_ivfpq_txn(spark, path, id_col=id_col)
     # distinct: a duplicate id in the erase list would fan out the audit
     # left join below, inflating n_before/n_removed (the survivor
     # anti-join is idempotent either way)
@@ -527,22 +539,82 @@ _SPLIT_MANIFEST = "_split_pending.json"
 
 
 def _sync_codes_to_cells(
-    spark, path: str, cells_list: list[int], id_col: str = "vec_id"
+    spark, path: str, cells_list: list[int], id_col: str = "vec_id",
+    repair_cells: bool = False, vec_col: str = "embedding",
 ) -> None:
-    """Re-point the PQ codes tier's cell labels at the cells tier's
-    CURRENT assignment for the listed cells: codes rows found under the
-    listed directories are re-labeled by an id join against the (pruned)
-    cells tier and dynamic-partition-overwritten back. Codes bytes are
-    NEVER recomputed — they encode raw vectors (not residuals), so a
-    coarse-cell move leaves them valid; relocation is a re-partition,
-    not a re-encode. Idempotent (a second run rewrites identical
-    content), bounded by the listed cells, and TOTAL for a split's
-    parent∪children set (every parent code row's vector lands in a
-    listed cell) — totality is asserted, because an id silently dropped
-    by the join would vanish from the ADC tier with no error."""
+    """Re-point the PQ codes tier at the cells tier's CURRENT
+    assignment for the listed cells, then dynamic-partition-overwrite
+    it back. Two modes, switched on the index's ``pq_meta`` flag:
+
+    - RAW codes (default build): codes bytes are NEVER recomputed —
+      they encode raw vectors, so a coarse-cell move leaves them valid;
+      relocation is a pure re-partition (an id join against the pruned
+      cells tier re-labels the cell column).
+    - RESIDUAL codes: a code is valid only against ITS cell's centroid,
+      and a split recomputes BOTH children's centroids (member means) —
+      so the listed cells' codes are RE-ENCODED from their full vectors
+      (one Arrow pass over the pruned cells tier against the broadcast
+      books + post-split centroids). Still bounded by the listed (hot)
+      cells — never the corpus; the cost delta vs raw relocation is the
+      encode GEMM, measured in SCALE.md round 12.
+
+    Idempotent (a second run rewrites identical content), bounded by
+    the listed cells, and TOTAL for a split's parent∪children set
+    (every parent code row's vector lands in a listed cell) — totality
+    is asserted, because an id silently dropped would vanish from the
+    ADC tier with no error.
+
+    ``repair_cells=True`` (the split-manifest REPAIR path — advice r11)
+    first dedupes the CELLS tier itself over the listed dirs: the torn
+    state being repaired is a dynamic-partition overwrite that crashed
+    mid-job-commit, which can leave an id in both its old and new cells
+    directory. The codes relabel below already picks one winner, but
+    the duplicate cells ROW would stay behind — and a duplicated id in
+    the re-rank tier occupies two top-k slots in ``search_ivfpq``
+    (equal sim, equal id — row_number ranks both), evicting a genuine
+    candidate and breaking the full-probe exactness pin until some
+    later rewrite of that cell. The dedup keeps the MAX-cell row (the
+    completed split's destination child — the same winner rule as the
+    codes relabel) and rewrites only the listed dirs, only when a
+    duplicate actually exists. The clean-split path skips this
+    (repair_cells=False): its cells rewrite just committed."""
     cl = [int(c) for c in cells_list]
     if not cl:
         return
+    if repair_cells:
+        full = (
+            spark.read.parquet(f"{path}/cells")
+            .withColumn("cell", F.col("cell").cast("int"))
+            .filter(F.col("cell").isin(cl))
+        )
+        wd = W.partitionBy(id_col).orderBy(F.desc("cell"))
+        deduped = (
+            full.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        if deduped.count() < full.count():
+            (
+                deduped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell")
+                .parquet(f"{path}/cells")
+            )
+            kept = {
+                int(r.cell)
+                for r in deduped.select("cell").distinct().collect()
+            }
+            jvm_ = spark.sparkContext._jvm
+            conf_ = spark.sparkContext._jsc.hadoopConfiguration()
+            for c in cl:
+                if c not in kept:
+                    p = jvm_.org.apache.hadoop.fs.Path(
+                        f"{path}/cells/cell={c}"
+                    )
+                    fs_ = p.getFileSystem(conf_)
+                    if fs_.exists(p):
+                        fs_.delete(p, True)
     # DEDUPED on both sides (review r11): a dynamic partition overwrite
     # torn mid-job-commit can leave an id in both its old and new
     # directory; undeduped, the join would fan out (a wedging count
@@ -552,11 +624,10 @@ def _sync_codes_to_cells(
     # duplicate takes the MAX cell (the split's destination child), the
     # deterministic choice that matches a completed split.
     w = W.partitionBy(id_col).orderBy(F.desc("cell"))
-    cells = (
+    cells_full = (
         spark.read.parquet(f"{path}/cells")
         .withColumn("cell", F.col("cell").cast("int"))
         .filter(F.col("cell").isin(cl))
-        .select(id_col, "cell")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
@@ -567,9 +638,19 @@ def _sync_codes_to_cells(
         .filter(F.col("cell").isin(cl))
         .dropDuplicates([id_col])
     )
-    relabeled = codes.drop("cell").join(cells, id_col).localCheckpoint(
-        eager=True
-    )
+    if _pq_residual(spark, path):
+        books = load_pq_codebooks(spark, path)
+        cnorm = _normalized_centroids(_load_centroid_matrix(spark, path))
+        relabeled = encode_pq(
+            cells_full, books, vec_col=vec_col, id_col=id_col,
+            keep_cols=("cell",), residual_centroids=cnorm,
+        ).localCheckpoint(eager=True)
+    else:
+        relabeled = (
+            codes.drop("cell")
+            .join(cells_full.select(id_col, "cell"), id_col)
+            .localCheckpoint(eager=True)
+        )
     n_in, n_out = codes.count(), relabeled.count()
     if n_in != n_out:
         raise ValueError(
@@ -635,11 +716,16 @@ def split_cells(
     reverse order would leave resident rows in directories no centroid
     row reaches — silently unprobeable even at nprobe == k.
 
-    PQ CODES TIER (an IVFADC index — verdict r10 item 1): codes encode
-    RAW vectors against subcodebooks that never change on a split, so
-    the split only RELOCATES the affected cells' code rows into the
-    child directories (``_sync_codes_to_cells`` — a pruned re-partition,
-    never a re-encode, never a full rebuild). Crash safety is
+    PQ CODES TIER (an IVFADC index — verdict r10 item 1): with RAW
+    codes (the default build) the subcodebooks never change on a split,
+    so the split only RELOCATES the affected cells' code rows into the
+    child directories (``_sync_codes_to_cells`` — a pruned
+    re-partition, never a re-encode, never a full rebuild); a RESIDUAL
+    index (save_ivfpq_index residual=True) re-encodes the affected
+    cells' codes against their new centroids instead — still bounded by
+    the hot cells, the documented operational trade of residual
+    encoding (RECALL.md round 12 measures when residual is worth it).
+    Crash safety is
     write-ahead: ``codes/_split_pending.json`` records the affected
     cell set BEFORE the cells rewrite and is removed after the codes
     relocation; a pending manifest found on entry is repaired first
@@ -666,6 +752,10 @@ def split_cells(
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    # a torn codes-only refit is finished first (roll forward/back):
+    # the split's codes relocation below must act on ONE generation of
+    # the codes tier, not a half-swapped mix
+    _resolve_refit(spark, path)
     # a compaction that crashed mid-commit leaves a leaf with BOTH the
     # compacted files and the originals (every row duplicated) plus the
     # manifest that can repair it; rewriting such a leaf would bake the
@@ -700,7 +790,8 @@ def split_cells(
                 _read_fully(spark, mfs, manifest_jp).decode("utf-8")
             )
             _sync_codes_to_cells(
-                spark, path, pending["affected_cells"], id_col=id_col
+                spark, path, pending["affected_cells"], id_col=id_col,
+                repair_cells=True, vec_col=vec_col,
             )
             mfs.delete(manifest_jp, False)
 
@@ -868,7 +959,9 @@ def split_cells(
         .parquet(f"{path}/cells")
     )
     if has_codes:
-        _sync_codes_to_cells(spark, path, affected_final, id_col=id_col)
+        _sync_codes_to_cells(
+            spark, path, affected_final, id_col=id_col, vec_col=vec_col
+        )
         mfs.delete(manifest_jp, False)
     return report
 
@@ -918,11 +1011,18 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     sample_cap: int = 100_000,
     iters: int = 20,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Fit per-subspace codebooks with seeded Lloyd iterations in numpy on
     a bounded corpus sample (the faiss practice: codebooks train on a
     ~100k sample regardless of corpus size — training cost must not grow
     with the corpus). Returns (m, k, d/m) centroids.
+
+    ``normalize=False`` trains on the inputs AS GIVEN — the residual-
+    encoding path (save_ivfpq_index residual=True): residuals r =
+    x_norm - c_norm[cell] live in the normalized space already, and
+    renormalizing them would destroy the <q, x> = <q, c> + <q, r>
+    decomposition the residual ADC score depends on.
     """
     # Single-pass bounded sample: limit(sample_cap) scans only as many
     # partitions as needed (LocalLimit short-circuit) — no separate
@@ -948,7 +1048,8 @@ def train_pq_codebooks(
             f"PQ codebook training needs >= k={k} vectors per subspace; "
             f"corpus sample has only {len(x)} rows. Lower k or grow the corpus."
         )
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -979,6 +1080,7 @@ def encode_pq(
     id_col: str = "vec_id",
     keep_cols: tuple[str, ...] = (),
     with_error: bool = False,
+    residual_centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes array<int>[, keep_cols][, qerr]) — nearest-centroid
     code per subspace, computed in one Arrow-batched pass (mapInPandas,
@@ -994,11 +1096,36 @@ def encode_pq(
     (one extra take_along_axis per subspace, no second pass). This is
     the drift signal the frozen-codebook append path monitors: a batch
     whose mean qerr grows past the build-time distribution is arriving
-    off-codebook and degrading ADC shortlist quality (needs_refit)."""
+    off-codebook and degrading ADC shortlist quality (needs_refit).
+
+    ``residual_centroids`` (the ROW-NORMALIZED coarse centroid matrix,
+    row position == cell id) switches to RESIDUAL encoding — the
+    IVF+PQ composition faiss defaults to: the quantized payload is
+    r = x_norm - c_norm[cell] instead of x_norm, so the subcodebooks
+    spend their 2^bits resolution on the (much smaller) within-cell
+    spread rather than re-describing the cell's position. Requires the
+    row's coarse ``cell`` in the input (enforced); ``qerr`` measures
+    the residual's quantization error (the drift monitor's signal stays
+    aligned with what the codes actually encode). The residual is NOT
+    renormalized — the ADC score needs <q, x> = <q, c_cell> + <q, r>
+    to decompose exactly."""
     import pandas as pd
 
     spark = corpus.sparkSession
+    if residual_centroids is not None and "cell" not in corpus.columns:
+        raise ValueError(
+            "residual encoding needs the coarse 'cell' column in the "
+            "input: the residual is taken against the row's own cell "
+            "centroid"
+        )
     bc = spark.sparkContext.broadcast(codebooks)
+    bc_cn = (
+        spark.sparkContext.broadcast(
+            np.ascontiguousarray(residual_centroids, dtype=np.float64)
+        )
+        if residual_centroids is not None
+        else None
+    )
     m, k, sub = codebooks.shape
     keep_fields = [f for f in corpus.schema.fields if f.name in keep_cols]
     out_schema = (
@@ -1006,6 +1133,9 @@ def encode_pq(
         + "".join(f", {f.name} {f.dataType.simpleString()}" for f in keep_fields)
         + (", qerr double" if with_error else "")
     )
+    in_cols = [id_col, vec_col, *keep_cols]
+    if residual_centroids is not None and "cell" not in in_cols:
+        in_cols.append("cell")
 
     def enc(batches):
         books = bc.value
@@ -1013,6 +1143,8 @@ def encode_pq(
         for pdf in batches:
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if bc_cn is not None:
+                x = x - bc_cn.value[pdf["cell"].to_numpy().astype(np.int64)]
             codes = np.empty((len(x), m), dtype=np.int32)
             qerr = np.zeros(len(x)) if with_error else None
             for j in range(m):
@@ -1039,9 +1171,7 @@ def encode_pq(
                 out["qerr"] = qerr
             yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(
-        enc, schema=out_schema
-    )
+    return corpus.select(*in_cols).mapInPandas(enc, schema=out_schema)
 
 
 def search_pq(
@@ -1169,6 +1299,64 @@ def search_pq(
 # ---------------------------------------------------------------------------
 
 
+def _normalized_centroids(centroids: np.ndarray) -> np.ndarray:
+    """The coarse centroids projected onto the unit sphere (row-wise L2
+    normalization) — the residual-encoding reference frame: vectors are
+    PQ-encoded after normalization, so the residual must be taken
+    against a centroid living in the same normalized space."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def _pq_residual(spark, path: str) -> bool:
+    """Whether the IVFADC index at ``path`` carries RESIDUAL codes
+    (``pq_meta`` written by save_ivfpq_index); absent meta — an index
+    built before the residual option — means raw codes."""
+    if not _parquet_data_exists(spark, f"{path}/pq_meta"):
+        return False
+    return bool(
+        spark.read.schema("residual boolean")
+        .parquet(f"{path}/pq_meta")
+        .collect()[0]
+        .residual
+    )
+
+
+def _residual_frame(
+    indexed: DataFrame,
+    cnorm: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, __res array<double>) — the residual r = x_norm -
+    c_norm[cell] per row, one Arrow map pass (the PQ-training input for
+    a residual index; encode_pq computes the same quantity inline)."""
+    import pandas as pd
+
+    spark = indexed.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(cnorm, dtype=np.float64)
+    )
+
+    def res(batches):
+        cn = bc.value
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            r = x - cn[pdf["cell"].to_numpy().astype(np.int64)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "__res": list(r),
+                }
+            )
+
+    return indexed.select(id_col, "cell", vec_col).mapInPandas(
+        res, schema=f"{id_col} long, cell int, __res array<double>"
+    )
+
+
 def save_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -1177,6 +1365,7 @@ def save_ivfpq_index(
     pq_k: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> None:
     """Build + persist the full IVFADC artifact set under ``path``:
 
@@ -1194,6 +1383,28 @@ def save_ivfpq_index(
     everything downstream (append/delete/probe) reuses the existing
     cell-tier operators untouched.
 
+    ``residual=True`` (verdict r11 item 4) PQ-encodes the RESIDUAL
+    r = x_norm - c_norm[cell] instead of the raw normalized vector —
+    the faiss-default IVF+PQ composition: at the same 8-byte budget the
+    subcodebooks describe only the within-cell spread, not the cell's
+    position on the sphere. WHEN that helps is a property of the
+    CORPUS, measured not assumed (RECALL.md round 12): with TIGHT
+    coarse cells (<x,c> -> 1 — clustered corpora, large k) the residual
+    carries far less energy and the mean quantization error drops ~8x
+    (pytest-pinned) — the mechanism behind residual's recall win on
+    structured data; with LOOSE cells (isotropic corpora like this
+    repo's gaussian testdata) E||r||^2 = 2 - 2<x,c> EXCEEDS
+    ||x_norm||^2 = 1 and residual HURTS — hence the default stays raw.
+    The build-time decision rule is free: both modes record their mean
+    qerr as the drift baseline; build a sample both ways, keep the
+    lower. The remaining trade is OPERATIONAL and deliberate: residual
+    codes are valid only against their cell's centroid, so a cell
+    split must RE-ENCODE the affected cells' codes (still bounded by
+    the hot cells — never the corpus) where raw codes merely relocate;
+    ``_sync_codes_to_cells`` switches mode on the ``pq_meta`` flag this
+    build records. Exactness pins are unaffected either way (the
+    re-rank uses full vectors).
+
     Rebuilding IN PLACE (the documented needs_refit remedy) RESETS the
     append bookkeeping (review r11): stale ``append_commits`` would
     silently no-op future batches that reuse old keys, a stale pending
@@ -1205,16 +1416,35 @@ def save_ivfpq_index(
     spark = corpus.sparkSession
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for stale in ("append_txn", "append_commits", "drift"):
+    for stale in (
+        "append_txn",
+        "append_commits",
+        "drift",
+        # a torn codes-only refit's staging + commit marker die with the
+        # generation too: the rebuild publishes fresh codes/books/baseline
+        # directly, and a leftover commit manifest would make the next
+        # _resolve_refit 'roll forward' stale staged artifacts over them
+        "codes_refit",
+        "pq_codebooks_refit",
+        _REFIT_COMMIT,
+    ):
         jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{stale}")
         fs = jp.getFileSystem(conf)
         if fs.exists(jp):
             fs.delete(jp, True)
     save_ivf_index(corpus, path, k=k, vec_col=vec_col, id_col=id_col)
-    books = train_pq_codebooks(corpus, m=m, k=pq_k, vec_col=vec_col)
     indexed = spark.read.parquet(f"{path}/cells").withColumn(
         "cell", F.col("cell").cast("int")
     )
+    cnorm = None
+    if residual:
+        cnorm = _normalized_centroids(_load_centroid_matrix(spark, path))
+        books = train_pq_codebooks(
+            _residual_frame(indexed, cnorm, vec_col=vec_col, id_col=id_col),
+            m=m, k=pq_k, vec_col="__res", normalize=False,
+        )
+    else:
+        books = train_pq_codebooks(corpus, m=m, k=pq_k, vec_col=vec_col)
     from pyspark.sql import Observation
 
     # the build-time quantization-error distribution rides the codes
@@ -1225,6 +1455,7 @@ def save_ivfpq_index(
         encode_pq(
             indexed, books, vec_col=vec_col, id_col=id_col,
             keep_cols=("cell",), with_error=True,
+            residual_centroids=cnorm,
         )
         .observe(
             obs,
@@ -1251,6 +1482,9 @@ def save_ivfpq_index(
         ],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_meta")
 
 
 def _delete_ids_from_tier(
@@ -1451,6 +1685,7 @@ def append_to_ivfpq_index(
     union; the crash-injection tests pin that kill-between-tiers +
     retry lands bit-identical to a clean run."""
     spark = new_vectors.sparkSession
+    _resolve_refit(spark, path)
     if batch_id is not None and _ivfpq_commit_exists(spark, path, batch_id):
         # already committed: drop a marker the crash left behind (the
         # commit-then-delete window) and no-op
@@ -1461,6 +1696,13 @@ def append_to_ivfpq_index(
         centroids = _load_centroid_matrix(spark, path)
     if books is None:
         books = load_pq_codebooks(spark, path)
+    # residual indexes encode r = x_norm - c_norm[cell] (pq_meta flag);
+    # cnorm derives from the centroids already in hand — no extra read
+    cnorm = (
+        _normalized_centroids(centroids)
+        if _pq_residual(spark, path)
+        else None
+    )
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
     q_path, q_mode = _quarantine_target(path, batch_id)
 
@@ -1495,6 +1737,7 @@ def append_to_ivfpq_index(
             encode_pq(
                 staged, books, vec_col=vec_col, id_col=id_col,
                 keep_cols=("cell",), with_error=True,
+                residual_centroids=cnorm,
             )
             .observe(
                 obs,
@@ -1576,9 +1819,28 @@ def compact_ivf_index(
     concurrent readers of the same leaf) — the fold/maintenance cadence
     that owns split_cells is the natural owner. Refuses while an IVFADC
     append txn or a split manifest is pending: both mark in-flight
-    multi-step writes whose repair reads the exact files on disk."""
+    multi-step writes whose repair reads the exact files on disk.
+
+    Retention params must be >= 1 (validated at entry — advice r11):
+    'keep zero records' is never meaningful here (the newest drift
+    record feeds needs_refit; the newest commit records are what makes
+    checkpoint-resumed replays no-op), and the natural-reading trap of
+    0 silently meaning 'keep all' (falsy guard around ``dirs[:-0]``)
+    is exactly the bug this raise prevents."""
     from .compaction import compact_parquet_dir
 
+    for name, keep in (
+        ("keep_drift_batches", keep_drift_batches),
+        ("keep_commit_records", keep_commit_records),
+    ):
+        if int(keep) < 1:
+            raise ValueError(
+                f"{name} must be >= 1 (got {keep}): retention keeps the "
+                "newest records — the newest drift record feeds "
+                "needs_refit and the newest commit records keep "
+                "checkpoint replays no-op; there is no 'keep none' mode"
+            )
+    _resolve_refit(spark, path)
     if _ivfpq_txn_meta(spark, path) is not None:
         raise ValueError(
             f"{path} has a pending IVFADC append txn: resolve it "
@@ -1639,7 +1901,7 @@ def compact_ivf_index(
         ("append_commits", keep_commit_records),
     ):
         dirs = _batch_dirs(spark, f"{path}/{sub}")
-        for _b, leaf in dirs[:-int(keep)] if keep else []:
+        for _b, leaf in dirs[: -int(keep)]:
             p = jvm.org.apache.hadoop.fs.Path(leaf)
             p.getFileSystem(conf).delete(p, True)
             out["pruned"] += 1
@@ -1666,15 +1928,24 @@ def needs_refit(
     ``recent_batches=N`` restricts the pooled mean to the N most recent
     batch records (by batch id) — the sensible production setting, so
     one old in-distribution epoch cannot dilute a fresh shift; None
-    pools everything appended since the build. Driver cost: the tiny
-    baseline row + the per-batch stat rows (one per fold — bounded by
-    maintenance cadence, compacted with the index if ever needed).
+    pools every batch record still RETAINED. Retention caveat (advice
+    r11): ``compact_ivf_index`` prunes ``drift/batches`` to its newest
+    ``keep_drift_batches`` (default 256), so after any compaction
+    None-mode is 'everything since the build' only up to that horizon —
+    on a compacted index it silently becomes newest-256, a
+    recency-weighted signal (which is the production-preferred shape
+    anyway; pass an explicit ``recent_batches`` to pin the window).
+    Driver cost: the tiny baseline row + the per-batch stat rows (one
+    per fold — bounded by maintenance cadence and by that retention).
 
     Returns {"baseline_qerr", "recent_qerr", "ratio", "needs_refit",
     "n_batches"} — ratio/recent are None (and needs_refit False) before
     the first keyed append."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    # a torn refit swap would pair the NEW baseline with the OLD books'
+    # batch records (or vice versa) — finish it before reading either
+    _resolve_refit(spark, path)
     base_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/baseline")
     if not base_jp.getFileSystem(conf).exists(base_jp):
         raise ValueError(
@@ -1722,6 +1993,216 @@ def needs_refit(
     return out
 
 
+_REFIT_COMMIT = "_refit_commit.json"
+
+# (staging subdir, final subdir) pairs of the codes-only refit swap, in
+# commit order: codes first (the big artifact), then the books that
+# decode them, then the drift baseline measured against them
+_REFIT_PAIRS = (
+    ("codes_refit", "codes"),
+    ("pq_codebooks_refit", "pq_codebooks"),
+    ("drift/baseline_refit", "drift/baseline"),
+)
+
+
+def _resolve_refit(spark, path: str) -> None:
+    """Finish (or discard) a torn codes-only PQ refit so the index is
+    consistent before anything else runs — the txn-resolution shape of
+    ``_resolve_ivfpq_txn`` applied to ``refit_pq_codebooks``'s staged
+    swap. A COMMITTED refit (``_refit_commit.json`` present) rolls
+    FORWARD: each staged artifact still present replaces its final
+    counterpart (delete + rename — both idempotent: a pair whose
+    staging dir is gone was already swapped), the old books' per-batch
+    drift records are dropped (they were measured against the retired
+    codebooks and would poison needs_refit against the new baseline),
+    and the manifest is removed last. An UNCOMMITTED refit (staging
+    dirs but no manifest) rolls BACK: the staging dirs are deleted and
+    the index is untouched — the crashed attempt never published
+    anything. Reads during the forward-roll window degrade in recall
+    only (mismatched books/codes skew ADC scores, never re-rank
+    values); the full-probe exactness pin holds throughout because the
+    re-rank uses full vectors."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    manifest = jvm.org.apache.hadoop.fs.Path(f"{path}/{_REFIT_COMMIT}")
+    committed = fs.exists(manifest)
+    for staging, final in _REFIT_PAIRS:
+        sp = jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}")
+        if not fs.exists(sp):
+            continue
+        if committed:
+            fp = jvm.org.apache.hadoop.fs.Path(f"{path}/{final}")
+            if fs.exists(fp):
+                fs.delete(fp, True)
+            fs.rename(sp, fp)
+        else:
+            fs.delete(sp, True)
+    if committed:
+        batches = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/batches")
+        if fs.exists(batches):
+            fs.delete(batches, True)
+        fs.delete(manifest, False)
+
+
+def refit_pq_codebooks(
+    spark,
+    path: str,
+    m: int | None = None,
+    pq_k: int | None = None,
+    sample_cap: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Codes-only subcodebook refit — the bounded remedy for a tripped
+    ``needs_refit`` (verdict r11 item 1). The full in-place rebuild
+    (``save_ivfpq_index`` over the live corpus) re-runs the coarse
+    k-means, re-encodes the corpus AND rewrites BOTH tiers — linear in
+    corpus on the full-vector write side. But codebook drift is a
+    CODES-tier problem: the coarse partitioning stays serviceable (the
+    split cadence maintains it) while the PQ subcodebooks no longer fit
+    what the cells hold. This pass sample-fits NEW subcodebooks over
+    the live corpus (same bounded-sample discipline as the build),
+    re-encodes every vector, and rewrites ONLY the 8-byte ``codes/``
+    tier — ``cells/`` and ``centroids/`` untouched (full vectors stay
+    valid by construction) — cutting the rewrite bytes by the
+    full-vector/code ratio (~32x at defaults; SCALE.md round-12 A/B).
+
+    Correctness does not depend on WHICH codebooks the codes tier
+    carries: ADC scores only pick the shortlist, the re-rank uses full
+    vectors — so the full-probe pin (nprobe == k, shortlist == |corpus|
+    == brute force) holds before, during and after a refit, and the
+    refit's win is recall-at-budget, measured by the drift ratio
+    returning under threshold (pytest-pinned).
+
+    Crash safety is the staged-swap txn: every new artifact (codes,
+    books, drift baseline — the baseline rides the staged codes write
+    as an Observation, exactly like the build) lands in a ``*_refit``
+    staging dir; an atomic ``_refit_commit.json`` is the commit point;
+    the swap (delete final, rename staging — per-pair idempotent) runs
+    after it, dropping the old books' per-batch drift records with the
+    books themselves. ``_resolve_refit`` at every maintenance entry
+    rolls a torn attempt forward (committed) or back (uncommitted), so
+    the one torn window lasts at most until the next maintenance call
+    — and degrades recall only, never re-rank values.
+
+    Entry discipline: resolves a prior refit, then a pending append
+    txn; refuses a pending split manifest (its repair owns the codes
+    tier — run split_cells first) and a non-empty flat append tier
+    (fold-refusal's inverse: those rows never reached the codes tier).
+    Returns {"m", "pq_k", "n", "baseline_qerr_old", "baseline_qerr_new"}.
+    """
+    import json
+
+    from pyspark.sql import Observation
+
+    from .compaction import _write_atomic, recover_pending_under
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    _resolve_refit(spark, path)
+    _resolve_ivfpq_txn(spark, path, id_col=id_col)
+    recover_pending_under(spark, f"{path}/cells")
+    recover_pending_under(spark, f"{path}/codes")
+    split_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/{_SPLIT_MANIFEST}")
+    if split_jp.getFileSystem(conf).exists(split_jp):
+        raise ValueError(
+            f"{path} has a pending split manifest: run split_cells to "
+            "repair the codes tier before refitting its codebooks"
+        )
+    app_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/appends")
+    app_fs = app_jp.getFileSystem(conf)
+    if app_fs.exists(app_jp) and list(app_fs.listStatus(app_jp)):
+        raise ValueError(
+            f"{path} has a flat append tier: those rows never reached "
+            "the codes tier — this index should ingest via "
+            "append_to_ivfpq_index, not append_batch"
+        )
+
+    old_books = load_pq_codebooks(spark, path)
+    if m is None:
+        m = int(old_books.shape[0])
+    if pq_k is None:
+        pq_k = int(old_books.shape[1])
+    old_base = (
+        spark.read.schema("mean_qerr double, n long")
+        .parquet(f"{path}/drift/baseline")
+        .collect()[0]
+    )
+    indexed = spark.read.parquet(f"{path}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    cnorm = None
+    if _pq_residual(spark, path):
+        # residual index: the refit trains on (and re-encodes) the
+        # residuals against the CURRENT coarse centroids — the same
+        # quantity the codes tier stores
+        cnorm = _normalized_centroids(_load_centroid_matrix(spark, path))
+        books = train_pq_codebooks(
+            _residual_frame(indexed, cnorm, vec_col=vec_col, id_col=id_col),
+            m=m, k=pq_k, vec_col="__res", sample_cap=sample_cap,
+            normalize=False,
+        )
+    else:
+        books = train_pq_codebooks(
+            indexed, m=m, k=pq_k, vec_col=vec_col, sample_cap=sample_cap
+        )
+
+    # stage everything; nothing below touches the live artifacts until
+    # the commit manifest lands
+    obs = Observation()
+    (
+        encode_pq(
+            indexed, books, vec_col=vec_col, id_col=id_col,
+            keep_cols=("cell",), with_error=True,
+            residual_centroids=cnorm,
+        )
+        .observe(
+            obs,
+            F.avg("qerr").alias("mean_qerr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("qerr")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes_refit")
+    )
+    new_mean, n = float(obs.get["mean_qerr"]), int(obs.get["n"])
+    mm, kk, _sub = books.shape
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/pq_codebooks_refit"
+    )
+    spark.createDataFrame(
+        [(new_mean, n)], "mean_qerr double, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/drift/baseline_refit"
+    )
+
+    # commit point: from here the refit rolls FORWARD
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    _write_atomic(
+        jvm, fs, root, _REFIT_COMMIT,
+        json.dumps({"m": int(m), "pq_k": int(pq_k), "n": n}).encode("utf-8"),
+    )
+    _resolve_refit(spark, path)
+    return {
+        "m": int(m),
+        "pq_k": int(pq_k),
+        "n": n,
+        "baseline_qerr_old": float(old_base.mean_qerr),
+        "baseline_qerr_new": new_mean,
+    }
+
+
 def search_ivfpq(
     spark,
     path: str,
@@ -1760,6 +2241,14 @@ def search_ivfpq(
     AND of coarse k growth paths that sink the flat-GEMM assignment
     (SCALE.md round-10 residency table).
 
+    RESIDUAL indexes (``pq_meta`` flag) change only the ADC arithmetic:
+    the stored code quantizes r = x_norm - c_norm[cell], so the
+    approximate cosine is <q, c_norm[cell]> + sum_j LUT_j[code_j] — the
+    per-cell constant term comes from the broadcast (normalized) coarse
+    centroids the probe already holds, one extra (|q| x dim) GEMM per
+    cogroup task. Without it, cross-cell shortlist merging would
+    compare within-cell offsets from DIFFERENT anchors.
+
     Exactness pin (the x125/x75b discipline): nprobe == coarse_k probes
     every cell and shortlist >= |corpus| makes the re-rank see every
     candidate, so output == brute-force cosine top-k bit for bit —
@@ -1771,6 +2260,11 @@ def search_ivfpq(
     books = load_pq_codebooks(spark, path)
     m, _kk, sub = books.shape
     bc = spark.sparkContext.broadcast(books)
+    bc_cn = (
+        spark.sparkContext.broadcast(_normalized_centroids(centroids))
+        if _pq_residual(spark, path)
+        else None
+    )
 
     # --- 1. coarse assignment (probe_ivf's distributed shape) ---
     cent = spark.createDataFrame(
@@ -1823,6 +2317,11 @@ def search_ivfpq(
         scores = np.zeros((len(qids), len(codes)))
         for j in range(m):
             scores += luts[:, j, :][:, codes[:, j]]
+        if bc_cn is not None:
+            # residual codes: add back the cell-anchor term
+            # <q, c_norm[cell]> so shortlists MERGE correctly across
+            # cells (within one cell it is a constant shift)
+            scores += (qmat @ bc_cn.value[cell])[:, None]
         scores[qids[:, None] == nids[None, :]] = -np.inf  # drop self-matches
         t = min(shortlist, scores.shape[1])
         if not t:

@@ -2650,6 +2650,21 @@ EXTRA_ORACLES["x147_ivf_split_probe"] = ORACLES["x06_ann_cosine_topk"]
 # disagreement) would vacate a rank slot and break the hash.
 EXTRA_ORACLES["x149_ivfpq_split_probe"] = ORACLES["x06_ann_cosine_topk"]
 
+# x150 probes the IVFADC index after append + CODES-ONLY REFIT: the
+# re-rank uses full vectors, so nprobe == k + shortlist == |corpus|
+# equals brute force under ANY subcodebooks — x06's SQL; a code row
+# lost by the staged codes rewrite (or duplicated by a torn swap)
+# would vacate or double-fill a rank slot and break the hash.
+EXTRA_ORACLES["x150_ivfpq_refit_probe"] = ORACLES["x06_ann_cosine_topk"]
+
+# x151 probes the RESIDUAL-encoded IVFADC index (build 80% + keyed
+# append 20%): at full probe every candidate reaches the exact re-rank,
+# so brute force is the truth — x06's SQL; a residual mis-encode that
+# DROPPED a row, or an anchor-term bug that mis-merged per-cell
+# shortlists below the corpus-wide shortlist bound, would break the
+# hash through the candidate set.
+EXTRA_ORACLES["x151_ivfpq_residual_probe"] = ORACLES["x06_ann_cosine_topk"]
+
 
 def _power_iteration_sql(
     dim: int = 64, iters: int = 12, squarings: int = 6

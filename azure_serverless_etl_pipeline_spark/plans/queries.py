@@ -3930,6 +3930,93 @@ def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
+@query("x150_ivfpq_refit_probe")
+def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC probe AFTER a codes-only PQ subcodebook refit (verdict
+    r11 item 1 — ann_index.refit_pq_codebooks): the index is built on
+    80% of the corpus, the rest arrives through the exactly-once keyed
+    append (write-ahead txn), and the refit then sample-fits NEW
+    subcodebooks over the live corpus and rewrites ONLY the 8-byte
+    codes tier under the staged-swap commit manifest — cells/ and
+    centroids/ are byte-identical through it (pytest-pinned). The full
+    probe (nprobe == k, shortlist == |corpus|) must equal brute force —
+    x06's SQL: the re-rank uses full vectors, so the pin holds for ANY
+    codebooks, and what the hash actually guards is the refit's row
+    accounting — a code row LOST by the staged rewrite (or an id
+    duplicated by a torn swap) would vacate or double-fill a rank slot.
+    The recall-at-budget effect of refitting is RECALL.md's axis; the
+    drift trigger/remedy loop is pytest-pinned
+    (test_refit_pq_codebooks_is_codes_only_and_recovers_drift)."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivfpq_refit")
+    marker = os.path.join(idx, "_refit_done")
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        arriving = emb.filter(F.col("vec_id") % 5 == 0)
+        ann_index.save_ivfpq_index(base, idx, k=16, m=8, pq_k=16)
+        ann_index.append_to_ivfpq_index(arriving, idx, batch_id=0)
+        ann_index.refit_pq_codebooks(spark, idx)
+        open(marker, "w").close()
+    out = ann_index.search_ivfpq(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=16,
+        shortlist=emb.count(),
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
+@query("x151_ivfpq_residual_probe")
+def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC probe of a RESIDUAL-encoded index (verdict r11 item 4 —
+    save_ivfpq_index residual=True): codes quantize r = x_norm -
+    c_norm[cell] at the same 8-byte budget, the faiss-default IVF+PQ
+    composition, and the ADC score re-adds the per-cell anchor term
+    <q, c_norm[cell]> so shortlists merge correctly across cells. Built
+    on 80% of the corpus with the rest arriving through the keyed
+    append (residual encode against the frozen centroids+books). Full
+    probe == x06 brute force: the hash guards the residual arithmetic's
+    row accounting end to end (build encode, append encode, anchor-term
+    scoring feeding the re-rank the right candidates at full shortlist).
+    When residual is WORTH enabling is corpus-dependent and measured,
+    not assumed — RECALL.md's round-12 A/B covers both regimes (tight
+    coarse cells: ~8x lower quantization error, the recall mechanism;
+    loose isotropic cells like this testdata: raw wins — the build-time
+    mean-qerr baseline is the free decision rule); the residual split
+    re-encode is pytest-pinned
+    (test_residual_split_reencodes_and_crash_repairs)."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivfpq_residual")
+    marker = os.path.join(idx, "_built_done")
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        arriving = emb.filter(F.col("vec_id") % 5 == 0)
+        ann_index.save_ivfpq_index(
+            base, idx, k=16, m=8, pq_k=16, residual=True
+        )
+        ann_index.append_to_ivfpq_index(arriving, idx, batch_id=0)
+        open(marker, "w").close()
+    out = ann_index.search_ivfpq(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=16,
+        shortlist=emb.count(),
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
 @query("x137b_spectrum_power_iteration")
 def x137b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant covariance eigenpair by fixed-count power iteration
@@ -4302,7 +4389,17 @@ DRIVER_WINDOW: list[str] = [
     # invariants pytest-checked. Remaining designated rows-only slots:
     # x76, x78 (estimate-valued; exactness pins x77b/x130 cover the
     # mechanics).
-    "x146_ivfpq_probe", "x76_sketch_rollup",
+    # Round-12 swap (VERDICT r11 items 1+4 + the no-prior-row rule):
+    # x150 takes x146's slot with the SAME x06 oracle — the hash now
+    # proves build-80 + exactly-once append + CODES-ONLY REFIT (staged
+    # swap, cells/centroids untouched) == brute force, strictly more
+    # than x146's build-only probe; x151 takes x145's slot — the
+    # RESIDUAL encoding path (build + append + anchor-term ADC merge)
+    # becomes driver signal. x146 (r10/r11-green) and x145
+    # (r8-r11-green) stay registered + pytest-oracle-checked; the
+    # vector-index family keeps x149's split pin in-window alongside
+    # the two new lifecycle pins.
+    "x150_ivfpq_refit_probe", "x76_sketch_rollup",
     "x77b_theta_overlap_exact",
     "x78_table_profile_approx", "x79b_semantic_dedup_hyperplane",
     "x99_corpus_prep",
@@ -4337,7 +4434,7 @@ DRIVER_WINDOW: list[str] = [
     # gap-free, full probe == brute force — strictly more than x147's
     # flat-tier split. x147 is r10-green and stays pytest-oracle-
     # checked; the maintenance family keeps x145/x146 in-window.
-    "x145_live_index_probe", "x130_histogram_quantiles",
+    "x151_ivfpq_residual_probe", "x130_histogram_quantiles",
     "x131_incremental_rollup", "x149_ivfpq_split_probe",
     "x148_dedup_stream_update",
     # round-5 late additions (same no-prior-row rule): x126-x129 take the

@@ -151,6 +151,9 @@ def start_vector_ingest_stream(
     split_occupancy: int | None = None,
     ivfpq: bool = False,
     compact_every: int | None = None,
+    refit_check_every: int | None = None,
+    drift_threshold: float = 1.5,
+    auto_refit: bool = False,
 ):
     """Tail a landing directory of embedding parquet files; every
     micro-batch quantizes against the standing codebook and lands in
@@ -192,13 +195,41 @@ def start_vector_ingest_stream(
     appends leave one small file set per landing cell per batch — the
     streaming small-files problem — and the between-batches window is
     the one moment without a concurrent writer, the cadence ownership
-    compaction's non-snapshot-isolated rewrite requires."""
+    compaction's non-snapshot-isolated rewrite requires.
+
+    ``refit_check_every=N`` (verdict r11 item 2) puts the codebook
+    DRIFT CHECK on the maintenance cadence too: after every Nth batch,
+    ``ann_index.needs_refit`` pools the last N epochs' quantization-
+    error records (the check cadence is its natural window) against the
+    build baseline. The verdict is surfaced where a deployment can act
+    on it: every check writes ``{index}/drift/last_check.json``; a
+    TRIPPED check (``ratio > drift_threshold``) additionally commits
+    ``{index}/drift/alert.json`` (atomic — the state file an operator
+    or an external controller watches) and logs a warning. With
+    ``auto_refit=True`` the stream REPAIRS instead of alerting: a
+    tripped check runs ``ann_index.refit_pq_codebooks`` (the codes-only
+    subcodebook refit — bounded by the codes tier, never the full
+    rebuild), refreshes the sink's cached PQ codebooks (stale cached
+    books would encode every subsequent batch against the retired
+    generation), and clears any standing alert. Requires ``ivfpq=True``
+    — only the IVFADC append path records per-batch drift stats."""
     import numpy as np
 
     if split_occupancy is not None and not fold_every:
         raise ValueError(
             "split_occupancy requires fold_every: cell splits can only "
             "run on a drained append tier, i.e. right after a fold"
+        )
+    if refit_check_every is not None and not ivfpq:
+        raise ValueError(
+            "refit_check_every requires ivfpq=True: drift records ride "
+            "the IVFADC keyed append's codes write — the flat two-tier "
+            "index has no PQ codebooks to drift"
+        )
+    if auto_refit and refit_check_every is None:
+        raise ValueError(
+            "auto_refit requires refit_check_every: the repair runs on "
+            "the drift-check cadence"
         )
     stream = (
         spark.readStream.schema(EMB_SCHEMA)
@@ -259,6 +290,58 @@ def start_vector_ingest_stream(
         if grew:
             cache["centroids"] = _codebook()
 
+    _ALERT = "alert.json"
+
+    def _run_drift_check(epoch_id: int) -> None:
+        import logging
+
+        from ..operators.ann_index import needs_refit, refit_pq_codebooks
+        from ..operators.compaction import _write_atomic
+
+        verdict = needs_refit(
+            spark, index_dir, threshold=float(drift_threshold),
+            recent_batches=int(refit_check_every),
+        )
+        jvm, drift_jp, fs = _fs(spark, f"{index_dir}/drift")
+        if not fs.exists(drift_jp):
+            fs.mkdirs(drift_jp)
+        payload = dict(verdict, epoch=int(epoch_id))
+        _write_atomic(
+            jvm, fs, drift_jp, "last_check.json",
+            json.dumps(payload).encode("utf-8"),
+        )
+        alert_jp = jvm.org.apache.hadoop.fs.Path(drift_jp, _ALERT)
+        if not verdict["needs_refit"]:
+            return
+        if auto_refit:
+            out = refit_pq_codebooks(spark, index_dir)
+            # the refit retired the cached subcodebooks: every later
+            # batch must encode against the NEW generation
+            from ..operators.ann_index import load_pq_codebooks
+
+            cache["books"] = load_pq_codebooks(spark, index_dir)
+            if fs.exists(alert_jp):
+                fs.delete(alert_jp, False)
+            logging.getLogger(__name__).info(
+                "drift ratio %.3f tripped threshold %.3f at epoch %d; "
+                "codes-only refit applied (baseline %.4g -> %.4g)",
+                verdict["ratio"], float(drift_threshold), int(epoch_id),
+                out["baseline_qerr_old"], out["baseline_qerr_new"],
+            )
+        else:
+            _write_atomic(
+                jvm, fs, drift_jp, _ALERT,
+                json.dumps(payload).encode("utf-8"),
+            )
+            logging.getLogger(__name__).warning(
+                "codebook drift: pooled qerr ratio %.3f over the last "
+                "%d batches exceeds %.3f (epoch %d) — refit advised "
+                "(refit_pq_codebooks, or rebuild via save_ivfpq_index); "
+                "alert committed to %s/drift/%s",
+                verdict["ratio"], int(refit_check_every),
+                float(drift_threshold), int(epoch_id), index_dir, _ALERT,
+            )
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if ivfpq:
             from ..operators.ann_index import append_to_ivfpq_index
@@ -282,6 +365,11 @@ def start_vector_ingest_stream(
             from ..operators.ann_index import compact_ivf_index
 
             compact_ivf_index(spark, index_dir)
+        if (
+            refit_check_every
+            and (int(epoch_id) + 1) % refit_check_every == 0
+        ):
+            _run_drift_check(int(epoch_id))
 
     return (
         stream.writeStream.foreachBatch(sink)

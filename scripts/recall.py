@@ -155,7 +155,97 @@ def main() -> None:
                 f"shortlist={sl})",
                 ivfpq(np_, sl),
             )
+
+        # x151: RESIDUAL encoding at the SAME 8-byte budget (round 12).
+        # On THIS corpus (isotropic gaussian -> loose coarse cells,
+        # <x,c> << 1) the residual carries MORE energy than the vector
+        # (E||r||^2 = 2 - 2<x,c> > 1), so raw should win — measured
+        # honestly; the tight-cluster regime below is where residual
+        # pays. The build-time mean-qerr baselines (printed per mode)
+        # are the free decision rule.
+        idxr = f"/tmp/recall_ivfpq_res_{n}"
+        save_ivfpq_index(emb, idxr, k=8, m=8, pq_k=16, residual=True)
+
+        def qerr_of(path):
+            return float(
+                spark.read.parquet(f"{path}/drift/baseline")
+                .collect()[0]
+                .mean_qerr
+            )
+
+        rows.append(
+            f"| {sf.rsplit('/', 1)[-1]} | {n} | build mean-qerr raw vs "
+            f"residual (decision rule) | {qerr_of(idx):.3f} | "
+            f"{qerr_of(idxr):.3f} |"
+        )
+
+        def ivfpq_res(np_: int, sl: int):
+            return lambda: search_ivfpq(
+                spark, idxr, queries, k=K, nprobe=np_, shortlist=sl
+            )
+
+        for np_, sl in ((4, 50), (8, 100), (8, n)):
+            bench(
+                f"x151 IVFADC residual (k=8, m=8, nprobe={np_}, "
+                f"shortlist={sl})",
+                ivfpq_res(np_, sl),
+            )
         emb.unpersist()
+
+    # --- the residual regime A/B: a TIGHT clustered corpus (64 modes,
+    # small within-mode spread) — here the residual carries ~10x less
+    # energy and the same 8 bytes quantize it far more accurately
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    modes = rng.normal(size=(64, 64)) * 3.0
+    picks = rng.integers(0, 64, size=2000)
+    X = modes[picks] + rng.normal(size=(2000, 64)) * 0.3
+    emb = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(2000, dtype=np.int64),
+                    "embedding": [v.astype("float32").tolist() for v in X],
+                }
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+        .cache()
+    )
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = pairs(cosine_topk(emb, queries, k=K).toPandas())
+
+    def bench2(label, build):
+        t0 = time.time()
+        got = pairs(build().toPandas())
+        dt = time.time() - t0
+        r = len(got & exact) / len(exact)
+        rows.append(f"| synth-tight | {n} | {label} | {r:.2f} | {dt:.1f} |")
+
+    # k == mode count: one coarse cell per mode is the regime residual
+    # is for (k far below it leaves multi-mode cells and raw-sized
+    # residuals — the loose regime the gaussian rows above measure)
+    for tag, residual in (("raw", False), ("residual", True)):
+        idx = f"/tmp/recall_tight_{tag}"
+        save_ivfpq_index(emb, idx, k=64, m=8, pq_k=16, residual=residual)
+        rows.append(
+            f"| synth-tight | {n} | build mean-qerr ({tag}) | "
+            f"{float(spark.read.parquet(f'{idx}/drift/baseline').collect()[0].mean_qerr):.4f} | |"
+        )
+        for np_, sl in ((8, 20), (16, 50), (64, n)):
+            bench2(
+                f"IVFADC {tag} (k=64, nprobe={np_}, shortlist={sl})",
+                (lambda p, a, b: lambda: search_ivfpq(
+                    spark, p, queries, k=K, nprobe=a, shortlist=b
+                ))(idx, np_, sl),
+            )
+    emb.unpersist()
 
     out = "\n".join(
         [
@@ -174,6 +264,18 @@ def main() -> None:
             "`nprobe`, PQ `shortlist`) shows the recall/cost curve; "
             "monotonicity is pytest-asserted in test_ann_index. Registry "
             "defaults: 4 planes + multiprobe, nprobe=3, shortlist=50.",
+            "",
+            "Round-12 residual A/B (x151): at the same 8-byte budget, "
+            "residual encoding wins exactly when the coarse cells are "
+            "TIGHT (the synth-tight rows: build mean-qerr drops ~8x — "
+            "the accuracy the within-cell ranking actually uses); on the "
+            "LOOSE-cell gaussian testdata E||r||^2 = 2 - 2<x,c> > 1 and "
+            "residual reads BELOW raw — so the engine default stays "
+            "raw, and the free decision rule is the build-time "
+            "mean-qerr baseline each mode records (build a sample both "
+            "ways, keep the lower). Exactness pins hold in both modes "
+            "(re-rank uses full vectors); x151 driver-hashes the "
+            "residual full probe against x06.",
             "",
         ]
     )

@@ -1831,3 +1831,586 @@ def test_ivfpq_append_exactness_pin(spark, corpus, tmp_path_factory):
         .sort_values(["query_id", "rank"], ignore_index=True)
     )
     assert got.equals(want[got.columns])
+
+def test_delete_resolves_pending_append_txn(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Advice r11: a delete issued between a torn IVFADC append and its
+    retry must resolve the pending txn FIRST — otherwise the retry's
+    by-id rollback + re-append silently resurrects rows the delete
+    removed, and the audit report counts rows of an uncommitted batch.
+    With resolution at entry: the torn batch's ids are rolled back
+    before the delete looks (honestly 'not found'), a standing id
+    deletes normally, and the batch's retry is an ordinary new arrival
+    that lands exactly once AFTER the deletion."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("del_txn") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+    save = ann_index.save_ivfpq_index
+    save(base, idx, k=8, m=8, pq_k=16)
+
+    real_encode = ann_index.encode_pq
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash between tier writes")
+
+    monkeypatch.setattr(ann_index, "encode_pq", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.append_to_ivfpq_index(arriving, idx, batch_id=3)
+    monkeypatch.setattr(ann_index, "encode_pq", real_encode)
+    assert os.path.exists(f"{idx}/append_txn")
+
+    torn_id = int(arriving.select(F.min("vec_id")).collect()[0][0])
+    standing_id = int(base.select(F.min("vec_id")).collect()[0][0])
+    dels = spark.createDataFrame(
+        [(torn_id,), (standing_id,)], "vec_id long"
+    )
+    report = ann_index.delete_from_ivf_index(spark, idx, dels).toPandas()
+    # txn resolved at entry: rolled back, marker gone
+    assert not os.path.exists(f"{idx}/append_txn")
+    # honest audit: only the standing id was durably in the index
+    assert int(report["n_removed"].sum()) == 1
+    for tier in ("cells", "codes"):
+        present = {
+            r.vec_id
+            for r in spark.read.parquet(f"{idx}/{tier}")
+            .filter(F.col("vec_id").isin([torn_id, standing_id]))
+            .collect()
+        }
+        assert present == set(), f"{tier} still serves deleted/torn ids"
+
+    # the batch's retry is an ordinary arrival AFTER the delete: it
+    # lands exactly once (torn_id legitimately returns; standing_id
+    # stays gone)
+    ann_index.append_to_ivfpq_index(arriving, idx, batch_id=3)
+    final = emb.filter(F.col("vec_id") != standing_id)
+    for tier in ("cells", "codes"):
+        tdf = spark.read.parquet(f"{idx}/{tier}")
+        assert tdf.count() == final.count()
+        assert tdf.select("vec_id").distinct().count() == final.count()
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        ann_index.search_ivfpq(
+            spark, idx, queries, k=5, nprobe=8, shortlist=corpus.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(final, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_split_repair_dedupes_torn_cells_tier(
+    spark, corpus, tmp_path_factory
+):
+    """Advice r11: a cells-tier dynamic overwrite torn mid-job-commit
+    can leave an id in BOTH its old and new cell directory. The split
+    manifest repair must dedupe the cells tier too (max-cell winner,
+    matching a completed split) — a leftover duplicate id would occupy
+    two re-rank slots in search_ivfpq and evict a genuine top-k
+    candidate."""
+    import json as _json
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("torn_cells") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save = ann_index.save_ivfpq_index
+    save(emb, idx, k=4, m=8, pq_k=16)
+
+    cells = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    # a real torn split duplicates the id into a CHILD dir, whose cell id
+    # is strictly higher than the parent's — pick a resident of the min
+    # cell and plant its duplicate in the max cell
+    min_cell = int(cells.select(F.min("cell")).collect()[0][0])
+    row = (
+        cells.filter(F.col("cell") == min_cell)
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    dup_id, old_cell = int(row.vec_id), int(row.cell)
+    other = int(cells.select(F.max("cell")).collect()[0][0])
+    # plant the torn state: the id's row duplicated into a higher cell
+    (
+        cells.filter(F.col("vec_id") == dup_id)
+        .withColumn("cell", F.lit(other))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{idx}/cells")
+    )
+    with open(f"{idx}/codes/_split_pending.json", "w") as fh:
+        _json.dump({"affected_cells": [old_cell, other]}, fh)
+
+    # repair at split entry (target high enough that nothing re-splits)
+    rep = ann_index.split_cells(
+        spark, idx, target_occupancy=int(corpus.count())
+    )
+    assert rep.count() == 0
+    cells_after = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    assert cells_after.count() == corpus.count()
+    kept = cells_after.filter(F.col("vec_id") == dup_id).collect()
+    assert len(kept) == 1 and int(kept[0].cell) == other  # max-cell winner
+    codes_after = spark.read.parquet(f"{idx}/codes").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    assert codes_after.count() == corpus.count()
+    moved = codes_after.filter(F.col("vec_id") == dup_id).collect()
+    assert len(moved) == 1 and int(moved[0].cell) == other
+
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        ann_index.search_ivfpq(
+            spark, idx, queries, k=5, nprobe=4, shortlist=corpus.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(emb, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_compact_retention_refuses_zero_keep(spark, corpus, tmp_path_factory):
+    """Advice r11: keep_drift_batches=0 / keep_commit_records=0 used to
+    silently mean 'keep all' (falsy guard around dirs[:-0]) — the
+    opposite of the natural reading. Both now raise at entry."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        compact_ivf_index,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("keep0") / "index")
+    save_ivfpq_index(corpus.select("vec_id", "embedding"), idx, k=4)
+    with pytest.raises(ValueError, match="keep_drift_batches must be >= 1"):
+        compact_ivf_index(spark, idx, keep_drift_batches=0)
+    with pytest.raises(ValueError, match="keep_commit_records must be >= 1"):
+        compact_ivf_index(spark, idx, keep_commit_records=0)
+
+def _basis_batch(spark, n, id_base, offset=0):
+    """Deterministic off-codebook vectors (unit mass on one dim) — the
+    planted-shift generator shared by the drift-monitor and refit tests."""
+    import numpy as np
+    import pandas as pd
+
+    basis = np.eye(64)[(np.arange(n) + offset) % 64]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [id_base + i for i in range(n)],
+                "embedding": [v.astype("float32").tolist() for v in basis],
+            }
+        )
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_refit_pq_codebooks_is_codes_only_and_recovers_drift(
+    spark, corpus, tmp_path_factory
+):
+    """Verdict r11 item 1: the codes-only refit must (a) leave cells/
+    and centroids/ byte-for-byte untouched (the artifact win over the
+    full rebuild), (b) keep the full-probe exactness pin — the re-rank
+    uses full vectors, so it holds for ANY codebooks, (c) reset the
+    drift bookkeeping, and (d) actually REMEDY the drift: a post-refit
+    batch from the shifted distribution reads back under the threshold
+    that tripped pre-refit."""
+    import glob as _g
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        needs_refit,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("refit") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=8, m=8, pq_k=16)
+
+    shifted = _basis_batch(spark, 120, 7_000_000)
+    append_to_ivfpq_index(shifted, idx, batch_id=0)
+    tripped = needs_refit(spark, idx, threshold=1.5, recent_batches=1)
+    assert tripped["needs_refit"] is True
+
+    cells_files = sorted(_g.glob(f"{idx}/cells/cell=*/*.parquet"))
+    cents_files = sorted(_g.glob(f"{idx}/centroids/*.parquet"))
+    out = refit_pq_codebooks(spark, idx)
+    # (a) codes-only: the full-vector tier and the coarse codebook are
+    # the SAME files (not rewritten equivalents)
+    assert sorted(_g.glob(f"{idx}/cells/cell=*/*.parquet")) == cells_files
+    assert sorted(_g.glob(f"{idx}/centroids/*.parquet")) == cents_files
+    assert not _g.glob(f"{idx}/codes_refit*")
+    assert not _g.glob(f"{idx}/_refit_commit.json")
+    # old vs new baseline measure DIFFERENT corpora (the new one pools
+    # the harder shifted rows), so no ordering is asserted — the remedy
+    # pin is (d) below; here just check both were measured
+    assert out["baseline_qerr_old"] > 0 and out["baseline_qerr_new"] > 0
+    assert out["n"] == corpus.count() + 120
+
+    live = emb.unionByName(shifted)
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == live.count()
+
+    # (b) exactness pin over the refit index
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=8, shortlist=live.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(live, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+    # (c) bookkeeping reset: old-book batch records are gone
+    fresh = needs_refit(spark, idx, threshold=1.5)
+    assert fresh["n_batches"] == 0 and fresh["ratio"] is None
+    assert fresh["baseline_qerr"] == out["baseline_qerr_new"]
+
+    # (d) the remedy holds: a NEW batch from the shifted distribution no
+    # longer trips the same threshold against the refit baseline
+    shifted2 = _basis_batch(spark, 120, 8_000_000, offset=7)
+    append_to_ivfpq_index(shifted2, idx, batch_id=1)
+    after = needs_refit(spark, idx, threshold=1.5, recent_batches=1)
+    assert after["ratio"] is not None and after["ratio"] <= 1.5
+    assert after["needs_refit"] is False
+
+
+def test_refit_crash_rolls_back_then_forward(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Kill the refit (1) BEFORE its commit manifest — the next
+    maintenance entry must discard the staging dirs and leave the index
+    bit-identical; (2) AFTER the manifest but before the swap — the next
+    entry must roll the swap forward (new codes + books + baseline
+    live, old drift records dropped). The full probe stays exact in
+    every intermediate state."""
+    import glob as _g
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators import compaction
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("refit_crash") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    ann_index.save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    ann_index.append_to_ivfpq_index(
+        _basis_batch(spark, 60, 7_500_000), idx, batch_id=0
+    )
+    live_n = emb.count() + 60
+    queries = corpus.filter(F.col("vec_id") < 15)
+    live = emb.unionByName(_basis_batch(spark, 60, 7_500_000))
+    want = (
+        cosine_topk(live, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+
+    def probe():
+        return (
+            ann_index.search_ivfpq(
+                spark, idx, queries, k=5, nprobe=4, shortlist=live_n
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+
+    # --- crash 1: before the commit manifest (uncommitted -> rollback)
+    real_atomic = compaction._write_atomic
+
+    def boom_atomic(jvm, fs, jdir, name, payload):
+        if name == "_refit_commit.json":
+            raise RuntimeError("injected crash before refit commit")
+        return real_atomic(jvm, fs, jdir, name, payload)
+
+    monkeypatch.setattr(compaction, "_write_atomic", boom_atomic)
+    old_books = ann_index.load_pq_codebooks(spark, idx)
+    with pytest.raises(RuntimeError, match="before refit commit"):
+        ann_index.refit_pq_codebooks(spark, idx)
+    monkeypatch.setattr(compaction, "_write_atomic", real_atomic)
+    assert os.path.exists(f"{idx}/codes_refit")
+    assert not os.path.exists(f"{idx}/_refit_commit.json")
+    assert probe().equals(want[["query_id", "neighbor_id", "rank", "cos_sim"]])
+    # any maintenance entry discards the uncommitted staging
+    r = ann_index.needs_refit(spark, idx)
+    assert r["n_batches"] == 1  # old-book records SURVIVE a rollback
+    assert not os.path.exists(f"{idx}/codes_refit")
+    assert (ann_index.load_pq_codebooks(spark, idx) == old_books).all()
+
+    # --- crash 2: after the manifest, before the swap (-> roll forward)
+    calls = {"n": 0}
+    real_resolve = ann_index._resolve_refit
+
+    def boom_resolve(spark_, path_):
+        calls["n"] += 1
+        if calls["n"] >= 2 and os.path.exists(f"{path_}/_refit_commit.json"):
+            raise RuntimeError("injected crash before refit swap")
+        return real_resolve(spark_, path_)
+
+    monkeypatch.setattr(ann_index, "_resolve_refit", boom_resolve)
+    with pytest.raises(RuntimeError, match="before refit swap"):
+        ann_index.refit_pq_codebooks(spark, idx)
+    monkeypatch.setattr(ann_index, "_resolve_refit", real_resolve)
+    assert os.path.exists(f"{idx}/_refit_commit.json")
+    assert os.path.exists(f"{idx}/codes_refit")
+    # committed-but-unswapped: reads still exact at the full probe
+    assert probe().equals(want[["query_id", "neighbor_id", "rank", "cos_sim"]])
+
+    # the next maintenance entry rolls the swap FORWARD
+    stats = ann_index.compact_ivf_index(spark, idx)
+    assert stats["dirs"] > 0
+    assert not os.path.exists(f"{idx}/_refit_commit.json")
+    assert not os.path.exists(f"{idx}/codes_refit")
+    assert not os.path.exists(f"{idx}/pq_codebooks_refit")
+    new_books = ann_index.load_pq_codebooks(spark, idx)
+    assert not (new_books == old_books).all()
+    # old-book drift records died with the books
+    assert not _g.glob(f"{idx}/drift/batches/batch=*")
+    r2 = ann_index.needs_refit(spark, idx)
+    assert r2["n_batches"] == 0
+    assert spark.read.parquet(f"{idx}/codes").count() == live_n
+    assert probe().equals(want[["query_id", "neighbor_id", "rank", "cos_sim"]])
+
+def _tight_clustered(spark, n=2000, n_modes=64, noise=0.3, seed=9):
+    """Corpus with TIGHT coarse structure (many well-separated modes,
+    small within-mode spread) — the regime residual encoding is FOR:
+    <x_norm, c_norm> -> 1, so the residual carries far less energy than
+    the raw vector and the same 8-byte budget quantizes it much more
+    accurately. The repo's gaussian testdata is the OPPOSITE regime
+    (loose cells: E||r||^2 = 2 - 2<x,c> > 1) where residual hurts —
+    measured and documented in RECALL.md round 12."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    modes = rng.normal(size=(n_modes, 64)) * 3.0
+    picks = rng.integers(0, n_modes, size=n)
+    X = modes[picks] + rng.normal(size=(n, 64)) * noise
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [v.astype("float32").tolist() for v in X],
+            }
+        )
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_residual_ivfpq_exactness_pin_and_qerr_win(
+    spark, corpus, tmp_path_factory
+):
+    """Verdict r11 item 4: residual encoding at the SAME 8-byte budget.
+    (a) the full-probe exactness pin holds on the testdata corpus
+    (re-rank uses full vectors — codebook contents are irrelevant to
+    it); (b) on a TIGHT clustered corpus, the residual build's mean
+    quantization error (the drift baseline the build records) is far
+    below the raw build's — the measurable mechanism behind residual's
+    recall win on structured corpora, and the build-time decision rule
+    for choosing the mode (RECALL.md round 12 documents both regimes,
+    including the loose-cell corpus where raw wins)."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = corpus.select("vec_id", "embedding")
+    res_idx = str(tmp_path_factory.mktemp("respq") / "index")
+    save_ivfpq_index(emb, res_idx, k=8, m=8, pq_k=16, residual=True)
+    assert (
+        spark.read.parquet(f"{res_idx}/pq_meta").collect()[0].residual is True
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 20)
+    want = (
+        cosine_topk(emb, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    got = (
+        search_ivfpq(
+            spark, res_idx, queries, k=5, nprobe=8, shortlist=emb.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+    # (b) the qerr win, on the regime residual is for
+    tight = _tight_clustered(spark)
+
+    def baseline(residual):
+        # k == the mode count: one coarse cell per mode is the tight
+        # regime (k=16 over 64 modes leaves ~4 modes per cell and the
+        # residual stays raw-sized — measured 0.33 vs 0.37)
+        idx = str(
+            tmp_path_factory.mktemp(f"tight_{residual}") / "index"
+        )
+        save_ivfpq_index(tight, idx, k=64, m=8, pq_k=16, residual=residual)
+        return float(
+            spark.read.parquet(f"{idx}/drift/baseline").collect()[0].mean_qerr
+        )
+
+    b_raw, b_res = baseline(False), baseline(True)
+    assert b_res < 0.5 * b_raw  # measured ~8x apart; 2x is the loud bound
+
+
+def test_residual_split_reencodes_and_crash_repairs(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """On a residual index a split RE-ENCODES the affected cells' codes
+    (their centroids changed); the crash-between-tiers repair does the
+    same. Both must leave tiers agreeing per id and the full probe
+    bit-equal to brute force."""
+    from azure_serverless_etl_pipeline_spark.operators import ann_index
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("res_split") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    ann_index.save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16, residual=True)
+    target = int(corpus.count() / 6)
+
+    # torn split first: crash before the codes re-encode
+    real_sync = ann_index._sync_codes_to_cells
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before codes re-encode")
+
+    monkeypatch.setattr(ann_index, "_sync_codes_to_cells", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.split_cells(spark, idx, target_occupancy=target)
+    monkeypatch.setattr(ann_index, "_sync_codes_to_cells", real_sync)
+    import os
+
+    assert os.path.exists(f"{idx}/codes/_split_pending.json")
+
+    # repair + converge
+    for _ in range(8):
+        if ann_index.split_cells(spark, idx, target_occupancy=target).count() == 0:
+            break
+    assert not os.path.exists(f"{idx}/codes/_split_pending.json")
+    cells = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    codes = spark.read.parquet(f"{idx}/codes").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    assert cells.count() == codes.count() == corpus.count()
+    mism = (
+        codes.select("vec_id", F.col("cell").alias("code_cell"))
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .filter(F.col("code_cell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+
+    _, cents = ann_index.load_ivf_index(spark, idx)
+    queries = corpus.filter(F.col("vec_id") < 15)
+    got = (
+        ann_index.search_ivfpq(
+            spark, idx, queries, k=5, nprobe=cents.shape[0],
+            shortlist=corpus.count(),
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(emb, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_residual_append_and_refit_stay_exact(
+    spark, corpus, tmp_path_factory
+):
+    """The residual index's append path encodes arriving residuals
+    against the frozen centroids+books (exactly-once txn untouched);
+    refit_pq_codebooks retrains the RESIDUAL subcodebooks. Exactness
+    pin after each step; drift bookkeeping resets on refit."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        needs_refit,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    idx = str(tmp_path_factory.mktemp("res_app") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+    save_ivfpq_index(base, idx, k=8, m=8, pq_k=16, residual=True)
+    append_to_ivfpq_index(arriving, idx, batch_id=0)
+
+    queries = corpus.filter(F.col("vec_id") < 15)
+
+    def probe():
+        return (
+            search_ivfpq(
+                spark, idx, queries, k=5, nprobe=8, shortlist=corpus.count()
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+
+    want = (
+        cosine_topk(emb, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    got = probe()
+    assert got.equals(want[got.columns])
+    assert needs_refit(spark, idx)["n_batches"] == 1
+
+    out = refit_pq_codebooks(spark, idx)
+    assert out["n"] == corpus.count()
+    assert needs_refit(spark, idx)["n_batches"] == 0
+    got2 = probe()
+    assert got2.equals(want[got2.columns])

@@ -728,3 +728,158 @@ def test_stream_split_without_fold_cadence_refused(spark, tmp_path):
             str(tmp_path / "ckpt"),
             split_occupancy=10,
         )
+
+def _shifted_frame(spark, n, id_base, offset=0):
+    """Off-codebook arrivals (unit mass on one dim): quantization error
+    well above anything the build corpus's subcodebooks fit."""
+    import numpy as np
+    import pandas as pd
+
+    basis = np.eye(64)[(np.arange(n) + offset) % 64]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [id_base + i for i in range(n)],
+                "embedding": [v.astype("float32").tolist() for v in basis],
+                "label": [0] * n,
+            }
+        )
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+def test_stream_drift_check_alerts_on_cadence(spark, corpus, tmp_path):
+    """Verdict r11 item 2: the drift check runs on the stream cadence.
+    An in-distribution stream must NEVER trip (no alert file, last_check
+    verdict false); a planted mid-stream shift must raise the alert at
+    its cadence boundary — surfaced as ``drift/alert.json``, the state
+    file a deployment acts on."""
+    import json as _json
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        save_ivfpq_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    base = corpus.filter(F.col("vec_id") % 10 < 7)
+    arriving = corpus.filter(F.col("vec_id") % 10 >= 7)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+
+    # phase 1: in-distribution arrivals only — never trips
+    for part in range(2):
+        arriving.filter(F.col("vec_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = start_vector_ingest_stream(
+        spark, landing, idx, str(tmp_path / "ckpt"),
+        ivfpq=True, refit_check_every=1, drift_threshold=1.5,
+    )
+    q.awaitTermination(300)
+    assert not os.path.exists(f"{idx}/drift/alert.json")
+    with open(f"{idx}/drift/last_check.json") as fh:
+        check = _json.load(fh)
+    assert check["needs_refit"] is False and check["ratio"] < 1.5
+
+    # phase 2: a shifted arrival lands; the resumed stream's next
+    # cadence boundary must commit the alert
+    _shifted_frame(spark, 120, 7_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = start_vector_ingest_stream(
+        spark, landing, idx, str(tmp_path / "ckpt"),
+        ivfpq=True, refit_check_every=1, drift_threshold=1.5,
+    )
+    q.awaitTermination(300)
+    assert os.path.exists(f"{idx}/drift/alert.json")
+    with open(f"{idx}/drift/alert.json") as fh:
+        alert = _json.load(fh)
+    assert alert["needs_refit"] is True and alert["ratio"] > 1.5
+
+
+def test_stream_auto_refit_repairs_and_stays_exact(spark, corpus, tmp_path):
+    """auto_refit=True composes the cadence check with the codes-only
+    refit: a tripped epoch repairs in-line (new subcodebooks, codes tier
+    rewritten, drift bookkeeping reset, cached books refreshed so LATER
+    epochs encode against the new generation), no alert is left
+    standing, and the full probe over everything ingested equals brute
+    force."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        load_pq_codebooks,
+        save_ivfpq_index,
+        search_ivfpq,
+    )
+    from azure_serverless_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    base = corpus.filter(F.col("vec_id") % 10 < 7)
+    held = corpus.filter(F.col("vec_id") % 10 >= 7)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    old_books = load_pq_codebooks(spark, idx)
+
+    shifted = _shifted_frame(spark, 120, 7_000_000)
+    held.coalesce(1).write.mode("append").parquet(landing)
+    shifted.coalesce(1).write.mode("append").parquet(landing)
+    q = start_vector_ingest_stream(
+        spark, landing, idx, str(tmp_path / "ckpt"),
+        ivfpq=True, refit_check_every=1, drift_threshold=1.5,
+        auto_refit=True,
+    )
+    q.awaitTermination(300)
+
+    assert not os.path.exists(f"{idx}/drift/alert.json")
+    assert not os.path.exists(f"{idx}/_refit_commit.json")
+    assert not os.path.exists(f"{idx}/codes_refit")
+    new_books = load_pq_codebooks(spark, idx)
+    assert new_books.shape == old_books.shape
+    assert not (new_books == old_books).all()
+
+    live = corpus.select("vec_id", "embedding").unionByName(
+        shifted.select("vec_id", "embedding")
+    )
+    cells = spark.read.parquet(f"{idx}/cells")
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert cells.count() == codes.count() == live.count()
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = (
+        search_ivfpq(
+            spark, idx, queries, k=5, nprobe=4, shortlist=live.count()
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        cosine_topk(live, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_stream_refit_check_requires_ivfpq(spark, corpus, tmp_path):
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    with pytest.raises(ValueError, match="refit_check_every requires ivfpq"):
+        start_vector_ingest_stream(
+            spark, str(tmp_path / "l"), str(tmp_path / "i"),
+            str(tmp_path / "c"), refit_check_every=1,
+        )
+    with pytest.raises(ValueError, match="auto_refit requires"):
+        start_vector_ingest_stream(
+            spark, str(tmp_path / "l"), str(tmp_path / "i"),
+            str(tmp_path / "c"), ivfpq=True, auto_refit=True,
+        )
