@@ -1390,7 +1390,7 @@ def save_ivfpq_index(
     position on the sphere. WHEN that helps is a property of the
     CORPUS, measured not assumed (RECALL.md round 12): with TIGHT
     coarse cells (<x,c> -> 1 — clustered corpora, large k) the residual
-    carries far less energy and the mean quantization error drops ~8x
+    carries far less energy and the mean quantization error drops ~64x
     (pytest-pinned) — the mechanism behind residual's recall win on
     structured data; with LOOSE cells (isotropic corpora like this
     repo's gaussian testdata) E||r||^2 = 2 - 2<x,c> EXCEEDS

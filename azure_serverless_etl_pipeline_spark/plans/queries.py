@@ -3986,7 +3986,7 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring feeding the re-rank the right candidates at full shortlist).
     When residual is WORTH enabling is corpus-dependent and measured,
     not assumed — RECALL.md's round-12 A/B covers both regimes (tight
-    coarse cells: ~8x lower quantization error, the recall mechanism;
+    coarse cells: ~64x lower quantization error, the recall mechanism;
     loose isotropic cells like this testdata: raw wins — the build-time
     mean-qerr baseline is the free decision rule); the residual split
     re-encode is pytest-pinned

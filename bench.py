@@ -223,6 +223,12 @@ HEADLINE = [
     # iteration (the spectrum family's hash slot)
     "x149_ivfpq_split_probe",
     "x137b_spectrum_power_iteration",
+    # round-12 additions: the post-refit probe (build + exactly-once
+    # append + codes-only refit on warm-up; timed runs pay the full
+    # probe of the refit index) and the residual-encoded probe (same
+    # amortized convention; the ADC stage adds the per-cell anchor GEMM)
+    "x150_ivfpq_refit_probe",
+    "x151_ivfpq_residual_probe",
 ]
 
 

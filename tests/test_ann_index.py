@@ -2292,7 +2292,7 @@ def test_residual_ivfpq_exactness_pin_and_qerr_win(
         )
 
     b_raw, b_res = baseline(False), baseline(True)
-    assert b_res < 0.5 * b_raw  # measured ~8x apart; 2x is the loud bound
+    assert b_res < 0.5 * b_raw  # measured ~64x apart (0.0058 vs 0.372); 2x is the loud bound
 
 
 def test_residual_split_reencodes_and_crash_repairs(
