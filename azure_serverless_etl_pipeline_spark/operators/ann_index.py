@@ -581,19 +581,34 @@ def _sync_codes_to_cells(
     cl = [int(c) for c in cells_list]
     if not cl:
         return
+    # DEDUPED on both sides (review r11): a dynamic partition overwrite
+    # torn mid-job-commit can leave an id in both its old and new
+    # directory; undeduped, the join would fan out (a wedging count
+    # mismatch) or write duplicate code rows into the child dir —
+    # permanent double ADC candidates. Codes duplicates are identical
+    # rows (deterministic encode), so any-winner is exact; a cells-side
+    # duplicate takes the MAX cell (the split's destination child), the
+    # deterministic choice that matches a completed split.
+    w = W.partitionBy(id_col).orderBy(F.desc("cell"))
+
+    def _deduped_cells():
+        return (
+            spark.read.parquet(f"{path}/cells")
+            .withColumn("cell", F.col("cell").cast("int"))
+            .filter(F.col("cell").isin(cl))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    cells_full = None
     if repair_cells:
         full = (
             spark.read.parquet(f"{path}/cells")
             .withColumn("cell", F.col("cell").cast("int"))
             .filter(F.col("cell").isin(cl))
         )
-        wd = W.partitionBy(id_col).orderBy(F.desc("cell"))
-        deduped = (
-            full.withColumn("__rn", F.row_number().over(wd))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .localCheckpoint(eager=True)
-        )
+        deduped = _deduped_cells().localCheckpoint(eager=True)
         if deduped.count() < full.count():
             (
                 deduped.write.mode("overwrite")
@@ -615,23 +630,12 @@ def _sync_codes_to_cells(
                     fs_ = p.getFileSystem(conf_)
                     if fs_.exists(p):
                         fs_.delete(p, True)
-    # DEDUPED on both sides (review r11): a dynamic partition overwrite
-    # torn mid-job-commit can leave an id in both its old and new
-    # directory; undeduped, the join would fan out (a wedging count
-    # mismatch) or write duplicate code rows into the child dir —
-    # permanent double ADC candidates. Codes duplicates are identical
-    # rows (deterministic encode), so any-winner is exact; a cells-side
-    # duplicate takes the MAX cell (the split's destination child), the
-    # deterministic choice that matches a completed split.
-    w = W.partitionBy(id_col).orderBy(F.desc("cell"))
-    cells_full = (
-        spark.read.parquet(f"{path}/cells")
-        .withColumn("cell", F.col("cell").cast("int"))
-        .filter(F.col("cell").isin(cl))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+        # the checkpointed dedup IS the post-repair cells view: reuse it
+        # below instead of a second scan+window over the same dirs
+        # (review r12)
+        cells_full = deduped
+    if cells_full is None:
+        cells_full = _deduped_cells()
     codes = (
         spark.read.parquet(f"{path}/codes")
         .withColumn("cell", F.col("cell").cast("int"))
@@ -645,20 +649,39 @@ def _sync_codes_to_cells(
             cells_full, books, vec_col=vec_col, id_col=id_col,
             keep_cols=("cell",), residual_centroids=cnorm,
         ).localCheckpoint(eager=True)
+        # SET-total, not count-total (review r12): the re-encode sources
+        # from the CELLS tier, so a code id missing from the listed
+        # cells could cancel against a cells id missing from codes and
+        # leave the counts balanced — assert directly that no code id
+        # vanishes from the ADC tier
+        missing = (
+            codes.select(id_col)
+            .join(relabeled.select(id_col), id_col, "anti")
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"codes/cells sync over cells {cl} is not total: "
+                f"{missing} code ids in the listed directories have no "
+                "row in the listed cells — they would vanish from the "
+                "ADC tier"
+            )
     else:
         relabeled = (
             codes.drop("cell")
             .join(cells_full.select(id_col, "cell"), id_col)
             .localCheckpoint(eager=True)
         )
-    n_in, n_out = codes.count(), relabeled.count()
-    if n_in != n_out:
-        raise ValueError(
-            f"codes/cells sync over cells {cl} is not total: {n_in} code "
-            f"rows in the listed directories but {n_out} of their ids "
-            "live in the listed cells — the difference would vanish "
-            "from the ADC tier"
-        )
+        # inner join: n_out == n_in iff every code id is in the listed
+        # cells (both sides deduped), so count equality IS set totality
+        n_in, n_out = codes.count(), relabeled.count()
+        if n_in != n_out:
+            raise ValueError(
+                f"codes/cells sync over cells {cl} is not total: {n_in} "
+                f"code rows in the listed directories but {n_out} of "
+                "their ids live in the listed cells — the difference "
+                "would vanish from the ADC tier"
+            )
     (
         relabeled.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1645,6 +1668,7 @@ def append_to_ivfpq_index(
     batch_id: int | None = None,
     centroids: np.ndarray | None = None,
     books: np.ndarray | None = None,
+    residual: bool | None = None,
 ) -> None:
     """Fold a batch of NEW vectors into a persisted IVFADC index without
     refitting either codebook: one map-side pass assigns the coarse
@@ -1655,8 +1679,10 @@ def append_to_ivfpq_index(
     directories the batch lands in. NULL embeddings quarantine exactly
     as ``append_to_ivf_index`` does, with the same optional
     ``batch_id`` idempotency key for the quarantine dir. Pass
-    ``centroids``/``books`` to skip the per-call codebook reads (the
-    stream sink caches them; frozen between maintenance events).
+    ``centroids``/``books``/``residual`` to skip the per-call codebook
+    and pq_meta reads (the stream sink caches all three; the codebooks
+    are frozen between maintenance events, the residual flag for the
+    index's lifetime).
 
     EXACTLY-ONCE under crash/retry (advice r10 + verdict r10 item 2),
     via a write-ahead txn: before either tier write, the staged batch's
@@ -1696,13 +1722,14 @@ def append_to_ivfpq_index(
         centroids = _load_centroid_matrix(spark, path)
     if books is None:
         books = load_pq_codebooks(spark, path)
-    # residual indexes encode r = x_norm - c_norm[cell] (pq_meta flag);
-    # cnorm derives from the centroids already in hand — no extra read
-    cnorm = (
-        _normalized_centroids(centroids)
-        if _pq_residual(spark, path)
-        else None
-    )
+    # residual indexes encode r = x_norm - c_norm[cell]; the flag is
+    # immutable for the index's lifetime, so the stream sink caches and
+    # passes it (review r12 — the pq_meta read is tiny but the hot path
+    # should pay zero per-batch reads); cnorm itself derives from the
+    # centroids already in hand
+    if residual is None:
+        residual = _pq_residual(spark, path)
+    cnorm = _normalized_centroids(centroids) if residual else None
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
     q_path, q_mode = _quarantine_target(path, batch_id)
 
@@ -1943,9 +1970,11 @@ def needs_refit(
     the first keyed append."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    # a torn refit swap would pair the NEW baseline with the OLD books'
-    # batch records (or vice versa) — finish it before reading either
-    _resolve_refit(spark, path)
+    # a torn COMMITTED refit swap would pair the NEW baseline with the
+    # OLD books' batch records — finish it before reading either.
+    # forward_only: this is a READ API; it must never roll back a live
+    # refit's uncommitted staging (review r12)
+    _resolve_refit(spark, path, forward_only=True)
     base_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/baseline")
     if not base_jp.getFileSystem(conf).exists(base_jp):
         raise ValueError(
@@ -2005,7 +2034,7 @@ _REFIT_PAIRS = (
 )
 
 
-def _resolve_refit(spark, path: str) -> None:
+def _resolve_refit(spark, path: str, forward_only: bool = False) -> None:
     """Finish (or discard) a torn codes-only PQ refit so the index is
     consistent before anything else runs — the txn-resolution shape of
     ``_resolve_ivfpq_txn`` applied to ``refit_pq_codebooks``'s staged
@@ -2021,13 +2050,25 @@ def _resolve_refit(spark, path: str) -> None:
     anything. Reads during the forward-roll window degrade in recall
     only (mismatched books/codes skew ADC scores, never re-rank
     values); the full-probe exactness pin holds throughout because the
-    re-rank uses full vectors."""
+    re-rank uses full vectors.
+
+    ``forward_only=True`` is the READ-API mode (needs_refit — review
+    r12): it completes a committed swap (the monitor must not pair the
+    new baseline with old batch records) but NEVER deletes uncommitted
+    staging — a monitor polling mid-refit would otherwise roll back a
+    LIVE refit's staging out from under it, after which the refit's
+    commit would 'succeed' while installing nothing. Rollback of a
+    genuinely crashed attempt stays with the WRITE entries
+    (append/split/compact/delete/refit), which the single-writer
+    maintenance discipline already serializes."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
     manifest = jvm.org.apache.hadoop.fs.Path(f"{path}/{_REFIT_COMMIT}")
     committed = fs.exists(manifest)
+    if forward_only and not committed:
+        return
     for staging, final in _REFIT_PAIRS:
         sp = jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}")
         if not fs.exists(sp):

@@ -247,11 +247,24 @@ def start_vector_ingest_stream(
         )
         return np.vstack([np.asarray(r.centroid) for r in rows])
 
+    if ivfpq:
+        # finish a torn committed refit BEFORE caching any codebook
+        # (review r12): a crash between the refit's commit manifest and
+        # its swap would otherwise let this cache pin the RETIRED books
+        # for the stream's whole lifetime — every batch's codes and
+        # drift records measured against the wrong generation
+        from ..operators.ann_index import _resolve_refit
+
+        _resolve_refit(spark, index_dir)
     cache = {"centroids": _codebook()}
     if ivfpq:
-        from ..operators.ann_index import load_pq_codebooks
+        from ..operators.ann_index import _pq_residual, load_pq_codebooks
 
         cache["books"] = load_pq_codebooks(spark, index_dir)
+        # the residual flag is immutable for the index's lifetime —
+        # cache it with the books so the per-epoch append skips the
+        # per-call pq_meta read (review r12)
+        cache["residual"] = _pq_residual(spark, index_dir)
         # foreachBatch epoch ids are unique PER CHECKPOINT, not per
         # index: a retired stream's append_commits/batch=0..N would make
         # a NEW stream's epochs 0..N silently no-op as "already
@@ -312,6 +325,12 @@ def start_vector_ingest_stream(
         )
         alert_jp = jvm.org.apache.hadoop.fs.Path(drift_jp, _ALERT)
         if not verdict["needs_refit"]:
+            # a PASSING check retires any standing alert (review r12):
+            # the operator's out-of-band refit brought the ratio back
+            # under threshold, and a stale alert.json would keep an
+            # external controller re-triggering refits forever
+            if fs.exists(alert_jp):
+                fs.delete(alert_jp, False)
             return
         if auto_refit:
             out = refit_pq_codebooks(spark, index_dir)
@@ -352,6 +371,7 @@ def start_vector_ingest_stream(
                 batch_id=cache["base"] + int(epoch_id),
                 centroids=cache["centroids"],
                 books=cache["books"],
+                residual=cache["residual"],
             )
         else:
             append_batch(spark, batch_df, int(epoch_id), index_dir,

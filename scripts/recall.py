@@ -231,12 +231,18 @@ def main() -> None:
     # k == mode count: one coarse cell per mode is the regime residual
     # is for (k far below it leaves multi-mode cells and raw-sized
     # residuals — the loose regime the gaussian rows above measure)
+    tight_qerr: dict[str, float] = {}
     for tag, residual in (("raw", False), ("residual", True)):
         idx = f"/tmp/recall_tight_{tag}"
         save_ivfpq_index(emb, idx, k=64, m=8, pq_k=16, residual=residual)
+        tight_qerr[tag] = float(
+            spark.read.parquet(f"{idx}/drift/baseline")
+            .collect()[0]
+            .mean_qerr
+        )
         rows.append(
             f"| synth-tight | {n} | build mean-qerr ({tag}) | "
-            f"{float(spark.read.parquet(f'{idx}/drift/baseline').collect()[0].mean_qerr):.4f} | |"
+            f"{tight_qerr[tag]:.4f} | |"
         )
         for np_, sl in ((8, 20), (16, 50), (64, n)):
             bench2(
@@ -267,7 +273,9 @@ def main() -> None:
             "",
             "Round-12 residual A/B (x151): at the same 8-byte budget, "
             "residual encoding wins exactly when the coarse cells are "
-            "TIGHT (the synth-tight rows: build mean-qerr drops ~64x (0.372 -> 0.0058) — "
+            "TIGHT (the synth-tight rows: build mean-qerr drops "
+            f"~{tight_qerr['raw'] / tight_qerr['residual']:.0f}x "
+            f"({tight_qerr['raw']:.3f} -> {tight_qerr['residual']:.4f}) — "
             "the accuracy the within-cell ranking actually uses); on the "
             "LOOSE-cell gaussian testdata E||r||^2 = 2 - 2<x,c> > 1 and "
             "residual reads BELOW raw — so the engine default stays "

@@ -2167,9 +2167,14 @@ def test_refit_crash_rolls_back_then_forward(
     assert os.path.exists(f"{idx}/codes_refit")
     assert not os.path.exists(f"{idx}/_refit_commit.json")
     assert probe().equals(want[["query_id", "neighbor_id", "rank", "cos_sim"]])
-    # any maintenance entry discards the uncommitted staging
+    # the READ API must NOT roll back uncommitted staging (review r12:
+    # a monitor polling mid-refit would destroy a live refit's work) —
+    # but it still answers from the standing artifacts
     r = ann_index.needs_refit(spark, idx)
-    assert r["n_batches"] == 1  # old-book records SURVIVE a rollback
+    assert r["n_batches"] == 1  # old-book records SURVIVE
+    assert os.path.exists(f"{idx}/codes_refit")
+    # a WRITE entry discards the uncommitted staging (rollback)
+    ann_index.compact_ivf_index(spark, idx)
     assert not os.path.exists(f"{idx}/codes_refit")
     assert (ann_index.load_pq_codebooks(spark, idx) == old_books).all()
 
