@@ -1970,11 +1970,16 @@ def needs_refit(
     the first keyed append."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    # a torn COMMITTED refit swap would pair the NEW baseline with the
-    # OLD books' batch records — finish it before reading either.
-    # forward_only: this is a READ API; it must never roll back a live
-    # refit's uncommitted staging (review r12)
-    _resolve_refit(spark, path, forward_only=True)
+    # READ API: no resolution of any kind (review r12 pass 2 — a
+    # polling monitor must never mutate index state; its earlier
+    # forward-roll raced the writer's own commit-time swap and could
+    # delete the freshly installed codes tier). Transient-window
+    # semantics instead: pre-commit staging and a committed-but-
+    # unswapped refit both read the OLD generation consistently (old
+    # baseline + old records); a crash exactly mid-swap can pair the
+    # new baseline with old records for ONE poll, repaired at the next
+    # maintenance entry — a monitor tolerates one stale read, never a
+    # destroyed index.
     base_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/baseline")
     if not base_jp.getFileSystem(conf).exists(base_jp):
         raise ValueError(
@@ -2034,41 +2039,55 @@ _REFIT_PAIRS = (
 )
 
 
-def _resolve_refit(spark, path: str, forward_only: bool = False) -> None:
-    """Finish (or discard) a torn codes-only PQ refit so the index is
-    consistent before anything else runs — the txn-resolution shape of
-    ``_resolve_ivfpq_txn`` applied to ``refit_pq_codebooks``'s staged
-    swap. A COMMITTED refit (``_refit_commit.json`` present) rolls
-    FORWARD: each staged artifact still present replaces its final
-    counterpart (delete + rename — both idempotent: a pair whose
-    staging dir is gone was already swapped), the old books' per-batch
-    drift records are dropped (they were measured against the retired
-    codebooks and would poison needs_refit against the new baseline),
-    and the manifest is removed last. An UNCOMMITTED refit (staging
-    dirs but no manifest) rolls BACK: the staging dirs are deleted and
-    the index is untouched — the crashed attempt never published
-    anything. Reads during the forward-roll window degrade in recall
+def _resolve_refit(spark, path: str, mode: str = "writer") -> None:
+    """Finish (or refuse over) a torn codes-only PQ refit so the index
+    is consistent before anything else runs — the txn-resolution shape
+    of ``_resolve_ivfpq_txn`` applied to ``refit_pq_codebooks``'s
+    staged swap. A COMMITTED refit (``_refit_commit.json`` present)
+    rolls FORWARD in every mode: each staged artifact still present
+    replaces its final counterpart (delete + checked rename — per-pair
+    idempotent: a pair whose staging dir is gone was already swapped),
+    the old books' per-batch drift records are dropped (they were
+    measured against the retired codebooks and would poison needs_refit
+    against the new baseline), and the manifest is removed last. A
+    FAILED rename raises with the manifest still in place (review r12
+    pass 2): ignoring it would delete the manifest over an orphaned
+    staging dir, which the next resolve would classify as uncommitted
+    and silently destroy — an unrecoverable tier loss; raising keeps
+    the state repairable by the next entry.
+
+    UNCOMMITTED staging (dirs but no manifest) is where the modes
+    differ (review r12 pass 2 — the out-of-band-refit fencing):
+
+    - ``mode="owner"`` (refit_pq_codebooks itself): roll BACK — delete
+      the staging dirs and restage. The refit role is single-occupancy
+      (running two concurrent refits is the same operator error as two
+      concurrent folds); the owner reclaiming its own crashed staging
+      is always safe.
+    - ``mode="writer"`` (append/split/compact/delete, stream start):
+      REFUSE — raise, naming the remedy. Uncommitted staging means a
+      refit is either LIVE right now (the alert workflow invites an
+      out-of-band refit while a stream is scheduled — silently deleting
+      its staging would let that refit 'commit' nothing and wipe the
+      drift history) or crashed (re-run refit_pq_codebooks to
+      adopt-or-restart, or remove the staging dirs by hand). Loud and
+      recoverable beats silent destruction; this matches split/compact
+      refusing pending txns and manifests.
+
+    Reads during the committed forward-roll window degrade in recall
     only (mismatched books/codes skew ADC scores, never re-rank
     values); the full-probe exactness pin holds throughout because the
-    re-rank uses full vectors.
-
-    ``forward_only=True`` is the READ-API mode (needs_refit — review
-    r12): it completes a committed swap (the monitor must not pair the
-    new baseline with old batch records) but NEVER deletes uncommitted
-    staging — a monitor polling mid-refit would otherwise roll back a
-    LIVE refit's staging out from under it, after which the refit's
-    commit would 'succeed' while installing nothing. Rollback of a
-    genuinely crashed attempt stays with the WRITE entries
-    (append/split/compact/delete/refit), which the single-writer
-    maintenance discipline already serializes."""
+    re-rank uses full vectors. ``needs_refit`` — the READ API — calls
+    no resolution at all (a polling monitor must never mutate index
+    state; see its docstring for the transient-window semantics)."""
+    if mode not in ("owner", "writer"):
+        raise ValueError(f"unknown _resolve_refit mode {mode!r}")
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
     manifest = jvm.org.apache.hadoop.fs.Path(f"{path}/{_REFIT_COMMIT}")
     committed = fs.exists(manifest)
-    if forward_only and not committed:
-        return
     for staging, final in _REFIT_PAIRS:
         sp = jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}")
         if not fs.exists(sp):
@@ -2077,9 +2096,23 @@ def _resolve_refit(spark, path: str, forward_only: bool = False) -> None:
             fp = jvm.org.apache.hadoop.fs.Path(f"{path}/{final}")
             if fs.exists(fp):
                 fs.delete(fp, True)
-            fs.rename(sp, fp)
-        else:
+            if not fs.rename(sp, fp):
+                raise IOError(
+                    f"refit roll-forward could not rename {path}/"
+                    f"{staging} -> {path}/{final}; the commit manifest "
+                    "is left in place so the next maintenance entry "
+                    "can retry the swap"
+                )
+        elif mode == "owner":
             fs.delete(sp, True)
+        else:
+            raise ValueError(
+                f"{path} has uncommitted refit staging ({staging}): a "
+                "codes-only refit is in flight or crashed — let it "
+                "finish, re-run refit_pq_codebooks (the owner rolls "
+                "its own staging back and restages), or remove the "
+                "*_refit dirs to abandon it"
+            )
     if committed:
         batches = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/batches")
         if fs.exists(batches):
@@ -2142,7 +2175,9 @@ def refit_pq_codebooks(
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    _resolve_refit(spark, path)
+    # owner mode: the refit reclaims its OWN crashed staging (the refit
+    # role is single-occupancy); every other entry refuses over it
+    _resolve_refit(spark, path, mode="owner")
     _resolve_ivfpq_txn(spark, path, id_col=id_col)
     recover_pending_under(spark, f"{path}/cells")
     recover_pending_under(spark, f"{path}/codes")

@@ -247,19 +247,28 @@ def start_vector_ingest_stream(
         )
         return np.vstack([np.asarray(r.centroid) for r in rows])
 
+    cache = {}
     if ivfpq:
-        # finish a torn committed refit BEFORE caching any codebook
-        # (review r12): a crash between the refit's commit manifest and
-        # its swap would otherwise let this cache pin the RETIRED books
-        # for the stream's whole lifetime — every batch's codes and
-        # drift records measured against the wrong generation
-        from ..operators.ann_index import _resolve_refit
+        from ..operators.ann_index import (
+            _pq_residual,
+            _resolve_refit,
+            load_pq_codebooks,
+        )
 
-        _resolve_refit(spark, index_dir)
-    cache = {"centroids": _codebook()}
-    if ivfpq:
-        from ..operators.ann_index import _pq_residual, load_pq_codebooks
-
+        # finish a torn refit BEFORE caching any codebook (review r12):
+        # a crash between the refit's commit manifest and its swap would
+        # otherwise let this cache pin the RETIRED books for the
+        # stream's whole lifetime — every batch's codes and drift
+        # records measured against the wrong generation. Mode (review
+        # r12 pass 2): an auto_refit stream OWNS its refits, so it
+        # reclaims crashed staging and restarts cleanly; without
+        # auto_refit the refit role belongs to an external operator and
+        # uncommitted staging REFUSES the start — silently deleting a
+        # live out-of-band refit's staging would let it 'commit'
+        # nothing
+        _resolve_refit(
+            spark, index_dir, mode="owner" if auto_refit else "writer"
+        )
         cache["books"] = load_pq_codebooks(spark, index_dir)
         # the residual flag is immutable for the index's lifetime —
         # cache it with the books so the per-epoch append skips the
@@ -273,6 +282,10 @@ def start_vector_ingest_stream(
         # index's max committed key and starts above it; resumes of the
         # same checkpoint reuse the pin, keeping replay no-ops exact.
         cache["base"] = _epoch_base(spark, index_dir, checkpoint_dir)
+    # the coarse codebook loads AFTER any refit resolution (a refit
+    # never touches centroids/, but keeping every cached artifact
+    # behind the resolve reads as one invariant)
+    cache["centroids"] = _codebook()
 
     def _run_splits() -> None:
         import logging

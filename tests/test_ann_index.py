@@ -2167,26 +2167,29 @@ def test_refit_crash_rolls_back_then_forward(
     assert os.path.exists(f"{idx}/codes_refit")
     assert not os.path.exists(f"{idx}/_refit_commit.json")
     assert probe().equals(want[["query_id", "neighbor_id", "rank", "cos_sim"]])
-    # the READ API must NOT roll back uncommitted staging (review r12:
-    # a monitor polling mid-refit would destroy a live refit's work) —
-    # but it still answers from the standing artifacts
+    # the READ API neither rolls back nor swaps (review r12 pass 2: a
+    # polling monitor must never mutate index state) — it answers from
+    # the standing (old-generation) artifacts
     r = ann_index.needs_refit(spark, idx)
     assert r["n_batches"] == 1  # old-book records SURVIVE
     assert os.path.exists(f"{idx}/codes_refit")
-    # a WRITE entry discards the uncommitted staging (rollback)
-    ann_index.compact_ivf_index(spark, idx)
-    assert not os.path.exists(f"{idx}/codes_refit")
+    # a WRITE entry REFUSES over uncommitted staging (a live
+    # out-of-band refit must not have its staging deleted from under
+    # it; a crashed one is reclaimed by re-running the refit)
+    with pytest.raises(ValueError, match="uncommitted refit staging"):
+        ann_index.compact_ivf_index(spark, idx)
+    assert os.path.exists(f"{idx}/codes_refit")
     assert (ann_index.load_pq_codebooks(spark, idx) == old_books).all()
 
     # --- crash 2: after the manifest, before the swap (-> roll forward)
     calls = {"n": 0}
     real_resolve = ann_index._resolve_refit
 
-    def boom_resolve(spark_, path_):
+    def boom_resolve(spark_, path_, mode="writer"):
         calls["n"] += 1
         if calls["n"] >= 2 and os.path.exists(f"{path_}/_refit_commit.json"):
             raise RuntimeError("injected crash before refit swap")
-        return real_resolve(spark_, path_)
+        return real_resolve(spark_, path_, mode=mode)
 
     monkeypatch.setattr(ann_index, "_resolve_refit", boom_resolve)
     with pytest.raises(RuntimeError, match="before refit swap"):
@@ -2419,3 +2422,50 @@ def test_residual_append_and_refit_stay_exact(
     assert needs_refit(spark, idx)["n_batches"] == 0
     got2 = probe()
     assert got2.equals(want[got2.columns])
+
+def test_uncommitted_refit_staging_fences_writers(
+    spark, corpus, tmp_path_factory
+):
+    """Review r12 pass 2: uncommitted refit staging means a refit is
+    LIVE (the alert workflow invites an out-of-band refit) or crashed.
+    Write entries must REFUSE over it — silently deleting it would let
+    the live refit 'commit' nothing — while the refit itself (the
+    single-occupancy owner) reclaims its own staging and completes."""
+    import os
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        compact_ivf_index,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    idx = str(tmp_path_factory.mktemp("fence") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+    os.makedirs(f"{idx}/codes_refit")  # a live/crashed refit's staging
+
+    with pytest.raises(ValueError, match="uncommitted refit staging"):
+        append_to_ivfpq_index(arriving, idx, batch_id=0)
+    with pytest.raises(ValueError, match="uncommitted refit staging"):
+        compact_ivf_index(spark, idx)
+    landing = str(tmp_path_factory.mktemp("fence_landing"))
+    with pytest.raises(ValueError, match="uncommitted refit staging"):
+        start_vector_ingest_stream(
+            spark, landing, idx,
+            str(tmp_path_factory.mktemp("fence_ckpt")), ivfpq=True,
+        )
+
+    # the owner reclaims and completes; writers work again after
+    out = refit_pq_codebooks(spark, idx)
+    assert out["n"] == base.count()
+    assert not os.path.exists(f"{idx}/codes_refit")
+    append_to_ivfpq_index(arriving, idx, batch_id=0)
+    assert (
+        spark.read.parquet(f"{idx}/cells").count() == corpus.count()
+    )
