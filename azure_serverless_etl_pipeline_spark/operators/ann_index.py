@@ -130,6 +130,17 @@ def save_ivf_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # reset the compaction dirty set for the new index generation and
+    # seed it with a cells-tier census record: the build's partitionBy
+    # write fans each cell across its shuffle partitions' files, so the
+    # FIRST compaction must examine every cell dir — once, via this
+    # record, not via the standing census on every later call
+    jvm = spark.sparkContext._jvm
+    dj = jvm.org.apache.hadoop.fs.Path(f"{path}/{_DIRTY_DIR}")
+    dfs = dj.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if dfs.exists(dj):
+        dfs.delete(dj, True)
+    _mark_dirty(spark, path, census=("cells",))
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
@@ -333,6 +344,7 @@ def _write_quarantining_nulls(
     write_valid,
     quarantine_path: str,
     quarantine_mode: str,
+    mark_root: str | None = None,
 ) -> None:
     """Shared null-cell quarantine for both index append paths (batch
     and streaming): run ``write_valid`` on the NOT-NULL-cell rows with
@@ -367,6 +379,15 @@ def _write_quarantining_nulls(
             .write.mode(quarantine_mode)
             .parquet(quarantine_path)
         )
+        if mark_root is not None:
+            # the quarantine leaf joins the compaction dirty set (it is
+            # one of the census tiers; ``mark_root`` is the index root
+            # the leaf is recorded relative to)
+            _mark_dirty(
+                assigned.sparkSession,
+                mark_root,
+                leaves=[quarantine_path[len(mark_root) + 1:]],
+            )
         n_q = int(qobs.get["n_quarantined"])
         if n_q != n_null:
             raise ValueError(
@@ -423,15 +444,28 @@ def append_to_ivf_index(
     centroids = _load_centroid_matrix(spark, path)
     assigned = assign_cells(new_vectors, centroids, vec_col=vec_col)
     q_path, q_mode = _quarantine_target(path, batch_id)
+
+    def write_valid(valid: DataFrame) -> None:
+        from pyspark.sql import Observation
+
+        # the landing-cell set rides the write (collect_set observation
+        # — zero extra jobs); it feeds the compaction dirty set
+        obs = Observation()
+        (
+            valid.observe(obs, F.collect_set("cell").alias("cells"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
+        _mark_dirty(
+            spark,
+            path,
+            leaves=[f"cells/cell={int(c)}" for c in obs.get["cells"]],
+        )
+
     _write_quarantining_nulls(
-        assigned,
-        new_vectors,
-        vec_col,
-        lambda valid: valid.write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells"),
-        q_path,
-        q_mode,
+        assigned, new_vectors, vec_col, write_valid, q_path, q_mode,
+        mark_root=path,
     )
 
 
@@ -699,6 +733,11 @@ def _sync_codes_to_cells(
             fs = p.getFileSystem(conf)
             if fs.exists(p):
                 fs.delete(p, True)
+    _mark_dirty(
+        spark, path,
+        leaves=[f"codes/cell={c}" for c in cl if c in present]
+        + ([f"cells/cell={c}" for c in cl] if repair_cells else []),
+    )
 
 
 def split_cells(
@@ -986,6 +1025,11 @@ def split_cells(
             spark, path, affected_final, id_col=id_col, vec_col=vec_col
         )
         mfs.delete(manifest_jp, False)
+    # the parent+child cells dirs were just rewritten (the codes dirs
+    # were marked by _sync_codes_to_cells itself)
+    _mark_dirty(
+        spark, path, leaves=[f"cells/cell={c}" for c in affected_final]
+    )
     return report
 
 
@@ -1073,6 +1117,16 @@ def train_pq_codebooks(
         )
     if normalize:
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return _fit_books(x, m=m, k=k, iters=iters)
+
+
+def _fit_books(
+    x: np.ndarray, m: int, k: int, iters: int = 20
+) -> np.ndarray:
+    """Per-subspace seeded Lloyd over an in-memory sample matrix — the
+    numpy core shared by ``train_pq_codebooks`` (uniform corpus-prefix
+    sample) and ``refit_pq_codebooks(weight_by_error=True)`` (error-
+    proportional importance sample). Deterministic for a given x."""
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1450,6 +1504,9 @@ def save_ivfpq_index(
         "codes_refit",
         "pq_codebooks_refit",
         _REFIT_COMMIT,
+        # the codebook generation stamp resets with the rebuild (a
+        # cached-books reader treats missing-stamp as generation 0)
+        _PQ_GEN,
     ):
         jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{stale}")
         fs = jp.getFileSystem(conf)
@@ -1508,6 +1565,9 @@ def save_ivfpq_index(
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_meta")
+    # the build's codes tier needs the same one-time census the cells
+    # tier got inside save_ivf_index (which also reset the dirty set)
+    _mark_dirty(spark, path, census=("codes",))
 
 
 def _delete_ids_from_tier(
@@ -1557,6 +1617,11 @@ def _delete_ids_from_tier(
             fs = p.getFileSystem(conf)
             if fs.exists(p):
                 fs.delete(p, True)
+    root, tier = tier_path.rsplit("/", 1)
+    _mark_dirty(
+        spark, root,
+        leaves=[f"{tier}/cell={int(c)}" for c in affected if int(c) in present],
+    )
 
 
 def _batch_dirs(spark, root: str) -> list[tuple[int, str]]:
@@ -1770,11 +1835,22 @@ def append_to_ivfpq_index(
                 obs,
                 F.avg("qerr").alias("mean_qerr"),
                 F.count(F.lit(1)).alias("n"),
+                # the landing-cell set rides the same write — it feeds
+                # the compaction dirty set for BOTH tiers (the batch
+                # lands in the same cells in each)
+                F.collect_set("cell").alias("cells"),
             )
             .drop("qerr")
             .write.mode("append")
             .partitionBy("cell")
             .parquet(f"{path}/codes")
+        )
+        landed = [int(c) for c in obs.get["cells"]]
+        _mark_dirty(
+            spark,
+            path,
+            leaves=[f"cells/cell={c}" for c in landed]
+            + [f"codes/cell={c}" for c in landed],
         )
         if batch_id is not None and int(obs.get["n"]) > 0:
             # keyed overwrite: idempotent under the same replay
@@ -1787,7 +1863,8 @@ def append_to_ivfpq_index(
             )
 
     _write_quarantining_nulls(
-        assigned, new_vectors, vec_col, write_valid, q_path, q_mode
+        assigned, new_vectors, vec_col, write_valid, q_path, q_mode,
+        mark_root=path,
     )
     if batch_id is not None:
         spark.createDataFrame([(1,)], "committed int").coalesce(
@@ -1825,6 +1902,83 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     return books
 
 
+_DIRTY_DIR = "dirty"
+
+# (tier subdir, leaf-dir name prefix) — the compaction candidate tiers,
+# shared by the full census and the dirty-census records
+_TIER_PATTERNS = (
+    ("cells", "cell="),
+    ("codes", "cell="),
+    ("appends", "batch="),
+    ("quarantine", "batch="),
+)
+
+
+def _mark_dirty(
+    spark, path: str, leaves=(), census=()
+) -> None:
+    """Record compaction candidates for ``compact_ivf_index``'s bounded
+    discovery (verdict r12 item 1): every write that lands files in a
+    cell/batch leaf appends one tiny JSON record naming the leaf dirs
+    it touched (``leaves`` — index-relative, e.g. ``cells/cell=3``) or,
+    for a write that refreshes a whole tier (build, codes-only refit),
+    the tier to re-census (``census`` — e.g. ``codes``). Records are
+    written atomically (temp + rename) and CONSUMED by the compaction
+    that covered them; a record that fails to parse degrades discovery
+    to the full census, never to a skipped leaf. Driver cost: one
+    small-file write per maintenance/append event — the same order as
+    the commit records these events already write."""
+    import json as _json
+    import uuid
+
+    from .compaction import _write_atomic
+
+    leaves = sorted({str(leaf) for leaf in leaves})
+    census = sorted({str(c) for c in census})
+    if not leaves and not census:
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_DIRTY_DIR}")
+    fs = jdir.getFileSystem(conf)
+    if not fs.exists(jdir):
+        fs.mkdirs(jdir)
+    _write_atomic(
+        jvm,
+        fs,
+        jdir,
+        f"{uuid.uuid4().hex}.json",
+        _json.dumps({"leaves": leaves, "census": census}).encode("utf-8"),
+    )
+
+
+_PQ_GEN = "pq_gen.json"
+
+
+def _pq_generation(spark, path: str) -> int:
+    """The PQ codebook GENERATION stamp — bumped by every committed
+    codes-only refit's roll-forward (``_resolve_refit``), reset (file
+    deleted -> 0) by a full ``save_ivfpq_index`` rebuild. A long-lived
+    writer that caches the subcodebooks (the stream sink) compares this
+    stamp per batch and refreshes its cache when an out-of-band refit
+    retired the cached generation (ADVICE r12): the read is one tiny
+    driver-side file per batch, the alternative is silently encoding
+    every subsequent batch against retired codebooks."""
+    import json as _json
+
+    from .compaction import _read_fully
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PQ_GEN}")
+    fs = jp.getFileSystem(conf)
+    if not fs.exists(jp):
+        return 0
+    return int(
+        _json.loads(_read_fully(spark, fs, jp).decode("utf-8"))["gen"]
+    )
+
+
 def compact_ivf_index(
     spark,
     path: str,
@@ -1832,11 +1986,12 @@ def compact_ivf_index(
     min_file_bytes: int | None = None,
     keep_drift_batches: int = 256,
     keep_commit_records: int = 4096,
+    full: bool = False,
 ) -> dict:
-    """OPTIMIZE pass over a persisted IVF/IVFADC index: bin-pack every
-    cell directory of the cells tier — and the codes tier when present,
-    plus any unfolded flat append epochs and quarantine batches —
-    through ``compaction.compact_parquet_dir`` (read -> coalesce ->
+    """OPTIMIZE pass over a persisted IVF/IVFADC index: bin-pack the
+    candidate leaf directories (cells tier, codes tier when present,
+    unfolded flat append epochs, quarantine batches) through
+    ``compaction.compact_parquet_dir`` (read -> coalesce ->
     rename-commit, crash-safe via its write-ahead manifest). Per-batch
     appends write one small file set per landing cell per batch — the
     standard streaming small-files problem; at a day of per-minute
@@ -1847,6 +2002,22 @@ def compact_ivf_index(
     that owns split_cells is the natural owner. Refuses while an IVFADC
     append txn or a split manifest is pending: both mark in-flight
     multi-step writes whose repair reads the exact files on disk.
+
+    CANDIDATE DISCOVERY IS BOUNDED BY THE DIRTY SET (verdict r12 item
+    1): every codes/cells/appends/quarantine write since the last
+    compaction recorded the leaf dirs it touched (``_mark_dirty``), so
+    this pass examines only those leaves — never the standing index's
+    directory census, the one per-epoch maintenance cost the round-12
+    1M-vector stream run measured growing with the index (61 -> 99 s
+    compact epochs while plain appends stayed flat). The full census
+    remains behind ``full=True`` (the escape hatch, and the behavior on
+    an index that predates dirty tracking — a missing ``dirty/`` dir
+    degrades to the census, as does ANY unreadable dirty record: a torn
+    record must never become a skipped leaf). Consumed records are
+    deleted only after the covering compaction completes, so a crash
+    mid-pass re-examines (idempotently) rather than skips. The
+    bookkeeping-retention pruning below is unchanged — its listings are
+    bounded by the retention caps themselves after the first prune.
 
     Retention params must be >= 1 (validated at entry — advice r11):
     'keep zero records' is never meaningful here (the newest drift
@@ -1885,14 +2056,11 @@ def compact_ivf_index(
             "repair the codes tier before compacting"
         )
 
-    def leaves() -> list[str]:
+    def census(tiers: set[str]) -> list[str]:
         out: list[str] = []
-        for sub, pat in (
-            ("cells", "cell="),
-            ("codes", "cell="),
-            ("appends", "batch="),
-            ("quarantine", "batch="),
-        ):
+        for sub, pat in _TIER_PATTERNS:
+            if sub not in tiers:
+                continue
             root = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
             fs = root.getFileSystem(conf)
             if not fs.exists(root):
@@ -1906,8 +2074,55 @@ def compact_ivf_index(
             out += dirs or ([f"{path}/{sub}"] if sub == "quarantine" else [])
         return out
 
-    out = {"dirs": 0, "compacted": 0, "rewritten": 0, "pruned": 0}
-    for leaf in leaves():
+    import json as _json
+
+    from .compaction import _read_fully
+
+    all_tiers = {sub for sub, _ in _TIER_PATTERNS}
+    dirty_jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_DIRTY_DIR}")
+    dfs = dirty_jp.getFileSystem(conf)
+    tracked = dfs.exists(dirty_jp)
+    consumed = []
+    if tracked:
+        # snapshot the record files now: records arriving later belong
+        # to writes this pass does not cover and must survive it
+        consumed = [
+            st.getPath()
+            for st in dfs.listStatus(dirty_jp)
+            if not st.isDirectory()
+            and not st.getPath().getName().startswith(".")
+        ]
+    mode = "census"
+    target_leaves: list[str] | None = None
+    if tracked and not full:
+        rel_leaves: set[str] = set()
+        census_tiers: set[str] = set()
+        ok = True
+        for jp in consumed:
+            try:
+                rec = _json.loads(_read_fully(spark, dfs, jp).decode("utf-8"))
+                rel_leaves.update(str(x) for x in rec["leaves"])
+                census_tiers.update(str(x) for x in rec["census"])
+            except Exception:
+                # a torn/garbage record degrades to the full census —
+                # never to a silently skipped leaf
+                ok = False
+                break
+        if ok:
+            mode = "dirty"
+            target_leaves = census(census_tiers & all_tiers)
+            for rel in sorted(rel_leaves):
+                jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+                # a recorded leaf a later fold/split/delete removed is
+                # simply no longer a candidate
+                if jp.getFileSystem(conf).exists(jp):
+                    target_leaves.append(f"{path}/{rel}")
+    if target_leaves is None:
+        target_leaves = census(all_tiers)
+
+    out = {"dirs": 0, "compacted": 0, "rewritten": 0, "pruned": 0,
+           "mode": mode}
+    for leaf in sorted(set(target_leaves)):
         stats = compact_parquet_dir(
             spark, leaf, target_bytes=target_bytes,
             min_file_bytes=min_file_bytes,
@@ -1932,6 +2147,15 @@ def compact_ivf_index(
             p = jvm.org.apache.hadoop.fs.Path(leaf)
             p.getFileSystem(conf).delete(p, True)
             out["pruned"] += 1
+    # consume the covered dirty records LAST (a crash above re-examines,
+    # never skips), and ensure the dirty dir exists so the next pass is
+    # bounded — a census pass covered everything the missing dir could
+    # not account for
+    for jp in consumed:
+        if dfs.exists(jp):
+            dfs.delete(jp, False)
+    if not dfs.exists(dirty_jp):
+        dfs.mkdirs(dirty_jp)
     return out
 
 
@@ -2039,22 +2263,41 @@ _REFIT_PAIRS = (
 )
 
 
-def _resolve_refit(spark, path: str, mode: str = "writer") -> None:
+def _resolve_refit(
+    spark, path: str, mode: str = "writer", id_col: str = "vec_id"
+) -> bool:
     """Finish (or refuse over) a torn codes-only PQ refit so the index
     is consistent before anything else runs — the txn-resolution shape
     of ``_resolve_ivfpq_txn`` applied to ``refit_pq_codebooks``'s
-    staged swap. A COMMITTED refit (``_refit_commit.json`` present)
-    rolls FORWARD in every mode: each staged artifact still present
-    replaces its final counterpart (delete + checked rename — per-pair
-    idempotent: a pair whose staging dir is gone was already swapped),
-    the old books' per-batch drift records are dropped (they were
-    measured against the retired codebooks and would poison needs_refit
-    against the new baseline), and the manifest is removed last. A
-    FAILED rename raises with the manifest still in place (review r12
-    pass 2): ignoring it would delete the manifest over an orphaned
-    staging dir, which the next resolve would classify as uncommitted
-    and silently destroy — an unrecoverable tier loss; raising keeps
-    the state repairable by the next entry.
+    staged swap. Returns True iff a COMMITTED refit was rolled forward
+    here (the flag a cached-books caller can use to refresh; the
+    durable signal is the ``pq_gen.json`` generation stamp this
+    roll-forward writes). A COMMITTED refit (``_refit_commit.json``
+    present) rolls FORWARD in every mode: each staged artifact still
+    present replaces its final counterpart (delete + checked rename —
+    per-pair idempotent: a pair whose staging dir is gone was already
+    swapped), any code id the cells tier no longer holds is purged
+    (see below), the generation stamp is bumped, the old books'
+    per-batch drift records are dropped (they were measured against the
+    retired codebooks and would poison needs_refit against the new
+    baseline), and the manifest is removed last. A FAILED rename raises
+    with the manifest still in place (review r12 pass 2): ignoring it
+    would delete the manifest over an orphaned staging dir, which the
+    next resolve would classify as uncommitted and silently destroy —
+    an unrecoverable tier loss; raising keeps the state repairable by
+    the next entry.
+
+    SINGLE-WRITER DISCIPLINE (ADVICE r12): the writer-mode fence below
+    is check-at-entry, not a lock — index mutators (refit, append,
+    delete, split, compact, fold) are single-occupancy BY CONTRACT;
+    running two concurrently from different processes is an operator
+    error this module detects at entry but cannot exclude mid-flight.
+    The one RTBF-relevant consequence — a cross-process refit staging
+    codes from a cells snapshot a concurrent delete then erased, so the
+    committed codes tier resurrects erased ids — is closed here anyway:
+    the committed roll-forward anti-joins the codes tier's ids against
+    the cells tier (one id-projection join, zero matches under the
+    discipline) and purges any orphan before the generation commits.
 
     UNCOMMITTED staging (dirs but no manifest) is where the modes
     differ (review r12 pass 2 — the out-of-band-refit fencing):
@@ -2114,10 +2357,174 @@ def _resolve_refit(spark, path: str, mode: str = "writer") -> None:
                 "*_refit dirs to abandon it"
             )
     if committed:
+        import json as _json
+
+        from .compaction import _read_fully, _write_atomic
+
+        # RTBF orphan purge (ADVICE r12, see docstring): drop any code
+        # id the cells tier no longer holds — a delete that raced the
+        # refit's staging window erased it from cells, and the staged
+        # codes were encoded from the pre-delete snapshot
+        orphans = (
+            spark.read.parquet(f"{path}/codes")
+            .select(id_col)
+            .join(
+                spark.read.parquet(f"{path}/cells").select(id_col),
+                id_col,
+                "anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if orphans.count():
+            _delete_ids_from_tier(
+                spark, f"{path}/codes", orphans, id_col=id_col
+            )
+        # generation stamp BEFORE the manifest drop: a crash between
+        # them re-runs this block (idempotent — the gen rides the
+        # manifest, so the rewrite lands the same value)
+        try:
+            gen = int(
+                _json.loads(
+                    _read_fully(spark, fs, manifest).decode("utf-8")
+                )["gen"]
+            )
+        except (KeyError, ValueError):  # pre-generation-stamp manifest
+            gen = _pq_generation(spark, path) + 1
+        _write_atomic(
+            jvm, fs, root, _PQ_GEN,
+            _json.dumps({"gen": gen}).encode("utf-8"),
+        )
+        # the swapped-in codes tier is a fresh partitionBy write — its
+        # cell dirs join the compaction dirty set via a census record
+        _mark_dirty(spark, path, census=("codes",))
         batches = jvm.org.apache.hadoop.fs.Path(f"{path}/drift/batches")
         if fs.exists(batches):
             fs.delete(batches, True)
         fs.delete(manifest, False)
+    return committed
+
+
+def _qerr_frame(
+    indexed: DataFrame,
+    books: np.ndarray,
+    cnorm: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(train_vec array<double>, qerr double) per corpus row: the PQ
+    TRAINING INPUT (normalized vector, or the residual against ``cnorm``
+    when given) paired with its quantization error under the CURRENT
+    ``books`` — one Arrow map pass, the importance-sampling source for
+    the error-weighted refit."""
+    import pandas as pd
+
+    spark = indexed.sparkSession
+    bb = spark.sparkContext.broadcast(
+        np.ascontiguousarray(books, dtype=np.float64)
+    )
+    bc = spark.sparkContext.broadcast(
+        None
+        if cnorm is None
+        else np.ascontiguousarray(cnorm, dtype=np.float64)
+    )
+
+    def gen(batches):
+        B = bb.value
+        C = bc.value
+        mm, _kk, sub = B.shape
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            if C is not None:
+                x = x - C[pdf["cell"].to_numpy().astype(np.int64)]
+            q = np.zeros(len(x))
+            for j in range(mm):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (xs**2).sum(1)[:, None]
+                    - 2.0 * (xs @ B[j].T)
+                    + (B[j] ** 2).sum(1)[None, :]
+                )
+                q += d2.min(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "train_vec": list(x),
+                    "qerr": np.maximum(q, 0.0),
+                }
+            )
+
+    id_type = dict(indexed.dtypes)[id_col]
+    return indexed.select(id_col, "cell", vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, train_vec array<double>, qerr double"
+    )
+
+
+def _train_books_weighted(
+    indexed: DataFrame,
+    old_books: np.ndarray,
+    cnorm: np.ndarray | None,
+    m: int,
+    k: int,
+    sample_cap: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Capacity-aware subcodebook fit (verdict r12 item 3a): sample the
+    fit set with inclusion probability PROPORTIONAL TO each row's
+    quantization error under the RETIRED books, so a minority shifted
+    mixture — whose rows carry most of the residual mass — earns a
+    sample share (and therefore a centroid share per subspace) matching
+    its error mass, not its row count. At the measured 9%-mixture/9.5x-
+    ratio scenario the shifted mode's expected share is ~half the
+    sample vs ~9% under the uniform fit — exactly the allocation the
+    uniform refit could not make (SCALE.md round 12's honest limit).
+    Mechanics: one Arrow map pass emits (training input, qerr); one agg
+    fixes the Bernoulli scale sample_cap/sum(qerr); the filtered pick
+    (expected size ~sample_cap, limit-guarded) collects via Arrow into
+    the shared Lloyd core. Degenerate all-zero error falls back to the
+    uniform prefix sample."""
+    spark = indexed.sparkSession
+    qf = _qerr_frame(
+        indexed, old_books, cnorm, vec_col=vec_col, id_col=id_col
+    )
+    tot_row = qf.agg(F.sum("qerr").alias("t")).collect()[0]
+    tot = float(tot_row.t or 0.0)
+    if tot <= 0.0:
+        picked = qf.select("train_vec").limit(int(sample_cap))
+    else:
+        scale = float(sample_cap) / tot
+        # ROW-INTRINSIC Bernoulli draw: the uniform variate is a hash of
+        # the row's id, not F.rand (whose per-partition seeding makes the
+        # sample — and therefore the fitted books — depend on partition
+        # layout and session config; the fit must be a pure function of
+        # the stored data)
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(_SEED)), F.lit(1 << 30))
+            / F.lit(float(1 << 30))
+        )
+        # id-ordered collect: the Lloyd seeding draws by sample-row
+        # position, so the fit is deterministic only if the collected
+        # matrix order is (TakeOrdered — the pick is ~sample_cap rows)
+        picked = (
+            qf.filter(u < F.col("qerr") * F.lit(scale))
+            .orderBy(id_col)
+            .limit(2 * int(sample_cap))
+            .select("train_vec")
+        )
+    arr = picked.toArrow().column(0).combine_chunks()
+    flat = np.asarray(
+        arr.values.to_numpy(zero_copy_only=False), dtype=np.float64
+    )
+    x = flat.reshape(len(arr), -1).copy()
+    if len(x) < k:
+        raise ValueError(
+            f"error-weighted PQ refit sampled only {len(x)} rows "
+            f"(< k={k}); grow the corpus or lower pq_k"
+        )
+    return _fit_books(x, m=m, k=k)
 
 
 def refit_pq_codebooks(
@@ -2128,6 +2535,7 @@ def refit_pq_codebooks(
     sample_cap: int = 100_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    weight_by_error: bool = False,
 ) -> dict:
     """Codes-only subcodebook refit — the bounded remedy for a tripped
     ``needs_refit`` (verdict r11 item 1). The full in-place rebuild
@@ -2160,6 +2568,18 @@ def refit_pq_codebooks(
     rolls a torn attempt forward (committed) or back (uncommitted), so
     the one torn window lasts at most until the next maintenance call
     — and degrades recall only, never re-rank values.
+
+    ``weight_by_error=True`` (verdict r12 item 3a) makes the sample-fit
+    CAPACITY-AWARE: rows enter the fit sample with probability
+    proportional to their quantization error under the retired books
+    (``_train_books_weighted``), so a minority shifted mixture — the
+    scenario SCALE.md round 12 measured the uniform refit failing
+    (9% mixture: drift ratio 8.04 -> 4.08, still over the 1.5
+    threshold) — earns subcodebook centroids matching its error mass
+    rather than its row count. Exactness pins are unaffected (the
+    re-rank uses full vectors — the x150/x152 hash holds for ANY
+    codebooks); the cost is two extra bounded map passes (qerr scoring
+    + the weighted pick) over the corpus the refit re-encodes anyway.
 
     Entry discipline: resolves a prior refit, then a pending append
     txn; refuses a pending split manifest (its repair owns the codes
@@ -2215,6 +2635,19 @@ def refit_pq_codebooks(
         # residuals against the CURRENT coarse centroids — the same
         # quantity the codes tier stores
         cnorm = _normalized_centroids(_load_centroid_matrix(spark, path))
+    if weight_by_error:
+        # capacity-aware fit (verdict r12 item 3a): sample proportional
+        # to quantization error under the OLD books, so a minority
+        # shifted mixture earns centroid capacity matching its error
+        # mass — the remedy the uniform sample-fit measurably lacks at
+        # small mixtures (SCALE.md round 12: 9% mixture, ratio stuck at
+        # 4.08; round 13 re-measures this scenario with the weighted
+        # fit)
+        books = _train_books_weighted(
+            indexed, old_books, cnorm, m=m, k=pq_k,
+            sample_cap=sample_cap, vec_col=vec_col, id_col=id_col,
+        )
+    elif cnorm is not None:
         books = train_pq_codebooks(
             _residual_frame(indexed, cnorm, vec_col=vec_col, id_col=id_col),
             m=m, k=pq_k, vec_col="__res", sample_cap=sample_cap,
@@ -2267,7 +2700,17 @@ def refit_pq_codebooks(
     fs = root.getFileSystem(conf)
     _write_atomic(
         jvm, fs, root, _REFIT_COMMIT,
-        json.dumps({"m": int(m), "pq_k": int(pq_k), "n": n}).encode("utf-8"),
+        json.dumps(
+            {
+                "m": int(m),
+                "pq_k": int(pq_k),
+                "n": n,
+                # the roll-forward stamps this as pq_gen.json — the
+                # cache-invalidation signal for long-lived writers that
+                # cached the subcodebooks (ADVICE r12)
+                "gen": _pq_generation(spark, path) + 1,
+            }
+        ).encode("utf-8"),
     )
     _resolve_refit(spark, path)
     return {

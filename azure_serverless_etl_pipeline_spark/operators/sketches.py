@@ -55,28 +55,59 @@ def daily_sketches(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    kll_k: int = 800,
+    theta_users_lg_k: int | None = None,
 ) -> DataFrame:
     """The materialize-once layer: one row per day carrying mergeable
     sketch state (HLL users, KLL values) + an exact event count. At scale
     this frame is what you PERSIST; every rollup below reads it, not the
-    raw events."""
+    raw events.
+
+    ``theta_users_lg_k`` switches the user sketch from HLL to THETA at
+    the given log2 nominal entries — the x77b exactness-pin recipe
+    applied to the ROLLUP's merge path (verdict r12 item 2): a theta
+    sketch is exact while the per-group distinct count stays under its
+    nominal bound, and a KLL sketch is exact while its retained items
+    never compact (``kll_k`` >= the group's row count), so with both
+    sized over the test-scale bounds the ENTIRE daily->weekly merge
+    algebra returns exact values and is driver-hash-checkable against
+    plain SQL (x76b); at production scale the identical plan degrades
+    gracefully to the estimates."""
+    agg_users = (
+        F.hll_sketch_agg(user_col)
+        if theta_users_lg_k is None
+        else F.theta_sketch_agg(user_col, F.lit(int(theta_users_lg_k)))
+    )
     return events.groupBy(F.to_date(ts_col).alias("day")).agg(
-        F.hll_sketch_agg(user_col).alias("user_sk"),
-        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(800)).alias("val_sk"),
+        agg_users.alias("user_sk"),
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(int(kll_k))
+        ).alias("val_sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
 
-def weekly_rollup(daily: DataFrame) -> DataFrame:
+def weekly_rollup(
+    daily: DataFrame, theta_users_lg_k: int | None = None
+) -> DataFrame:
     """Re-aggregate the daily sketch frame to weeks — no raw-data scan.
-    approx_users: HLL union estimate; p50/p95: merged-KLL quantiles."""
+    approx_users: HLL union estimate (or theta union when the daily
+    frame was built with ``theta_users_lg_k`` — pass the same value
+    here); p50/p95: merged-KLL quantiles."""
     merged_kll = kll_merge_fold("val_sk", "day")
+    users = (
+        F.hll_sketch_estimate(F.hll_union_agg("user_sk"))
+        if theta_users_lg_k is None
+        else F.theta_sketch_estimate(
+            F.theta_union_agg("user_sk", F.lit(int(theta_users_lg_k)))
+        )
+    )
     return (
         daily.groupBy(
             F.date_trunc("week", F.col("day").cast("timestamp")).alias("week")
         )
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("user_sk")).alias("approx_users"),
+            users.alias("approx_users"),
             F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)).alias("p50_value"),
             F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.95)).alias("p95_value"),
             F.sum("n_events").alias("n_events"),

@@ -2665,6 +2665,15 @@ EXTRA_ORACLES["x150_ivfpq_refit_probe"] = ORACLES["x06_ann_cosine_topk"]
 # hash through the candidate set.
 EXTRA_ORACLES["x151_ivfpq_residual_probe"] = ORACLES["x06_ann_cosine_topk"]
 
+# x152 probes the index after dirty-set-bounded COMPACTION + the
+# error-WEIGHTED codes-only refit (round-13 maintenance pair): full
+# probe == brute force — x06's SQL; a row lost or duplicated by the
+# bounded compaction rewrite, or a code row lost by the weighted
+# refit's staged swap, would vacate or double-fill a rank slot.
+EXTRA_ORACLES["x152_ivfpq_compact_weighted_refit_probe"] = ORACLES[
+    "x06_ann_cosine_topk"
+]
+
 
 def _power_iteration_sql(
     dim: int = 64, iters: int = 12, squarings: int = 6
@@ -3386,6 +3395,24 @@ SELECT doc_id, n_tokens,
        array_to_string(t[chunk_start + 1 : chunk_start + 64], ' ') AS chunk_text
 FROM exploded
 ORDER BY doc_id, chunk_id
+"""
+
+
+# x76b: the daily->weekly sketch rollup in EXACT mode (theta users at
+# lg_k=16, KLL values at k=32767 — both sized over the per-week bounds
+# at test scales), so the oracle is the plain weekly SQL over raw
+# events: exact distinct users, exact inclusive-rank (percentile_disc)
+# quantiles, exact counts. The x77b recipe applied to the rollup's
+# MERGE path (verdict r12 item 2).
+EXTRA_ORACLES["x76b_sketch_rollup_exact"] = """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+       quantile_disc(value, 0.5) AS p50_value,
+       quantile_disc(value, 0.95) AS p95_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY 1
 """
 
 

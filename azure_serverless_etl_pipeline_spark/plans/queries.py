@@ -2104,6 +2104,33 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.weekly_rollup(sketches.daily_sketches(ev)).orderBy("week")
 
 
+@query("x76b_sketch_rollup_exact")
+def x76b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x76's daily->weekly sketch rollup EXACTNESS-PINNED (the x77b
+    recipe applied to the MERGE path — verdict r12 item 2): the user
+    sketch is THETA at lg_k=16 (65536 nominal entries vs ~1.5k distinct
+    users per week at sf0.1 — exact mode throughout agg AND union), the
+    value sketch is KLL at k=32767 (>= the ~24k values per week at
+    sf0.1, so no level-0 compaction ever fires and the merged quantile
+    is the exact inclusive-rank order statistic == SQL percentile_disc).
+    The IDENTICAL daily-state -> weekly-merge plan therefore returns
+    exact values, and the oracle is plain weekly SQL over raw events —
+    the driver hash covers the whole re-aggregation algebra (per-day agg,
+    cross-day theta union, order-pinned KLL merge fold, quantile read)
+    that x76's tolerance tests could only bound. x76 (engine-default
+    HLL/KLL sizes, the 100 TB shape where sketches actually estimate)
+    stays registered and benched."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.weekly_rollup(
+        sketches.daily_sketches(
+            ev, kll_k=32767, theta_users_lg_k=16
+        ),
+        theta_users_lg_k=16,
+    ).orderBy("week")
+
+
 @query("x77_theta_overlap")
 def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x48's contamination check with theta-sketch set algebra: one
@@ -4017,6 +4044,55 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 12))
 
 
+@query("x152_ivfpq_compact_weighted_refit_probe")
+def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC probe AFTER the round-13 maintenance pair (verdict r12
+    items 1 + 3a): the index is built on 80% of the corpus, the rest
+    arrives through the exactly-once keyed append, then
+    ``compact_ivf_index`` bin-packs the per-batch small files with its
+    candidate discovery BOUNDED BY THE DIRTY SET (the append recorded
+    its landing cells; the pass examines only those leaves plus the
+    build's one-time census record — never the standing directory
+    census), and ``refit_pq_codebooks(weight_by_error=True)`` refits
+    the subcodebooks on the error-proportional importance sample under
+    the staged-swap manifest. Full probe (nprobe == k, shortlist ==
+    |corpus|) must equal brute force — x06's SQL: the re-rank uses full
+    vectors, so the pin holds for ANY codebooks, and what the hash
+    guards is ROW ACCOUNTING through both new paths — a row lost (or
+    duplicated) by a dirty-set-scoped compaction rewrite, a code row
+    lost by the weighted refit's staged rewrite, or a generation-stamp
+    mix-up feeding the probe a half-swapped tier would vacate or
+    double-fill a rank slot. The bounded-discovery mechanics
+    (dirty-mode report, torn-record census degrade) and the weighted
+    fit's drift recovery are pytest-pinned; the 9%-mixture remedy is
+    measured in SCALE.md round 13."""
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _state_dir(sf_dir, "embeddings", "ivfpq_compact_refit")
+    marker = os.path.join(idx, "_maint_done")
+    if not os.path.exists(marker):
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        arriving = emb.filter(F.col("vec_id") % 5 == 0)
+        ann_index.save_ivfpq_index(base, idx, k=16, m=8, pq_k=16)
+        ann_index.append_to_ivfpq_index(arriving, idx, batch_id=0)
+        rep = ann_index.compact_ivf_index(spark, idx)
+        assert rep["mode"] == "dirty", rep  # bounded discovery engaged
+        ann_index.refit_pq_codebooks(spark, idx, weight_by_error=True)
+        open(marker, "w").close()
+    out = ann_index.search_ivfpq(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=16,
+        shortlist=emb.count(),
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 12))
+
+
 @query("x137b_spectrum_power_iteration")
 def x137b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant covariance eigenpair by fixed-count power iteration
@@ -4399,9 +4475,26 @@ DRIVER_WINDOW: list[str] = [
     # (r8-r11-green) stay registered + pytest-oracle-checked; the
     # vector-index family keeps x149's split pin in-window alongside
     # the two new lifecycle pins.
-    "x150_ivfpq_refit_probe", "x76_sketch_rollup",
+    # Round-13 swaps (VERDICT r12 items 2+6 — make the driver's hard
+    # signal 50/50 green): the window's LAST two designed rows-only
+    # slots become HASH slots. x76b takes x76's slot — the daily->
+    # weekly sketch rollup with theta users (lg_k=16) + KLL values
+    # (k=32767), both in EXACT mode at test scales (the x77b recipe
+    # applied to the rollup's merge path), so the whole re-aggregation
+    # algebra is driver-hashed against plain weekly SQL; x76 (engine-
+    # default HLL/KLL sizes — the scale shape that actually estimates)
+    # stays registered rows-only, tolerance-tested in test_approx and
+    # benched. x152 takes x78's slot — the round-13 maintenance pair
+    # (dirty-set-bounded compaction + error-weighted codes-only refit)
+    # probed at nprobe==k/shortlist==|corpus| against x06's brute-force
+    # SQL, strictly new lifecycle signal; x78 (HLL table profile, the
+    # 100 TB default path) stays registered rows-only with its
+    # 5%-tolerance + schema pytest against exact twin x71 (r1..r12
+    # driver rows-only records stand) and stays in the bench headline.
+    "x150_ivfpq_refit_probe", "x76b_sketch_rollup_exact",
     "x77b_theta_overlap_exact",
-    "x78_table_profile_approx", "x79b_semantic_dedup_hyperplane",
+    "x152_ivfpq_compact_weighted_refit_probe",
+    "x79b_semantic_dedup_hyperplane",
     "x99_corpus_prep",
     # Round-7 continuation (no-prior-row rule): x142 takes x125's slot
     # with the SAME x06 oracle — the hash now proves build-90 +

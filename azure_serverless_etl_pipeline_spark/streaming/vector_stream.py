@@ -139,7 +139,35 @@ def append_batch(
         ),
         f"{index_dir}/quarantine/batch={int(epoch_id)}",
         "overwrite",
+        mark_root=index_dir,
     )
+    from ..operators.ann_index import _mark_dirty
+
+    # the epoch dir joins the compaction dirty set (consumed when a
+    # fold deletes it, or compacted if it outlives the fold cadence)
+    _mark_dirty(
+        spark, index_dir, leaves=[f"appends/batch={int(epoch_id)}"]
+    )
+
+
+def _refresh_books_if_stale(
+    spark: SparkSession, index_dir: str, cache: dict
+) -> bool:
+    """Compare the index's PQ codebook generation stamp against the
+    cached one and reload the subcodebooks on mismatch (ADVICE r12: the
+    out-of-band-refit cache-invalidation path — a committed refit's
+    roll-forward bumps ``pq_gen.json``, and a long-lived sink must not
+    keep encoding against the retired generation). Returns True iff the
+    cache was refreshed. Cost when fresh (every epoch): one tiny
+    driver-side file read, no Spark job."""
+    from ..operators.ann_index import _pq_generation, load_pq_codebooks
+
+    gen = _pq_generation(spark, index_dir)
+    if gen == cache.get("gen"):
+        return False
+    cache["books"] = load_pq_codebooks(spark, index_dir)
+    cache["gen"] = gen
+    return True
 
 
 def start_vector_ingest_stream(
@@ -154,6 +182,7 @@ def start_vector_ingest_stream(
     refit_check_every: int | None = None,
     drift_threshold: float = 1.5,
     auto_refit: bool = False,
+    refit_weight_by_error: bool = False,
 ):
     """Tail a landing directory of embedding parquet files; every
     micro-batch quantizes against the standing codebook and lands in
@@ -209,10 +238,22 @@ def start_vector_ingest_stream(
     ``auto_refit=True`` the stream REPAIRS instead of alerting: a
     tripped check runs ``ann_index.refit_pq_codebooks`` (the codes-only
     subcodebook refit — bounded by the codes tier, never the full
-    rebuild), refreshes the sink's cached PQ codebooks (stale cached
-    books would encode every subsequent batch against the retired
-    generation), and clears any standing alert. Requires ``ivfpq=True``
-    — only the IVFADC append path records per-batch drift stats."""
+    rebuild; ``refit_weight_by_error=True`` selects the error-weighted
+    capacity-aware fit — the minority-mixture remedy), refreshes the
+    sink's cached PQ codebooks (stale cached books would encode every
+    subsequent batch against the retired generation), and clears any
+    standing alert. Requires ``ivfpq=True`` — only the IVFADC append
+    path records per-batch drift stats.
+
+    WITHOUT ``auto_refit`` the alert workflow invites an operator to
+    run ``refit_pq_codebooks`` out-of-band; the sink therefore checks
+    the index's ``pq_gen.json`` generation stamp every epoch (one tiny
+    driver-side read) and refreshes its cached subcodebooks when a
+    refit committed since the cache was filled (ADVICE r12) — the
+    out-of-band refit must still run in the between-batches window (the
+    single-writer discipline every index mutator shares): an epoch that
+    lands while the refit's staging is up refuses loudly rather than
+    racing it."""
     import numpy as np
 
     if split_occupancy is not None and not fold_every:
@@ -225,6 +266,16 @@ def start_vector_ingest_stream(
             "refit_check_every requires ivfpq=True: drift records ride "
             "the IVFADC keyed append's codes write — the flat two-tier "
             "index has no PQ codebooks to drift"
+        )
+    if refit_check_every is not None and int(refit_check_every) < 1:
+        # ADVICE r12: 0 passed the None-only check but the sink's falsy
+        # cadence guard then silently never ran a drift check — the
+        # same falsy-zero trap the compaction retention params validate
+        # against; there is no 'check never' spelling other than None
+        raise ValueError(
+            f"refit_check_every must be >= 1 (got {refit_check_every}): "
+            "it is the drift-check cadence in epochs — pass None to "
+            "disable the check entirely"
         )
     if auto_refit and refit_check_every is None:
         raise ValueError(
@@ -250,6 +301,7 @@ def start_vector_ingest_stream(
     cache = {}
     if ivfpq:
         from ..operators.ann_index import (
+            _pq_generation,
             _pq_residual,
             _resolve_refit,
             load_pq_codebooks,
@@ -270,6 +322,12 @@ def start_vector_ingest_stream(
             spark, index_dir, mode="owner" if auto_refit else "writer"
         )
         cache["books"] = load_pq_codebooks(spark, index_dir)
+        # the codebook GENERATION the cache holds (ADVICE r12): an
+        # out-of-band refit committed while this stream is live bumps
+        # the index's pq_gen stamp, and the sink compares + refreshes
+        # per epoch — a stale cache would encode every subsequent batch
+        # against the retired books
+        cache["gen"] = _pq_generation(spark, index_dir)
         # the residual flag is immutable for the index's lifetime —
         # cache it with the books so the per-epoch append skips the
         # per-call pq_meta read (review r12)
@@ -346,12 +404,13 @@ def start_vector_ingest_stream(
                 fs.delete(alert_jp, False)
             return
         if auto_refit:
-            out = refit_pq_codebooks(spark, index_dir)
+            out = refit_pq_codebooks(
+                spark, index_dir, weight_by_error=refit_weight_by_error
+            )
             # the refit retired the cached subcodebooks: every later
-            # batch must encode against the NEW generation
-            from ..operators.ann_index import load_pq_codebooks
-
-            cache["books"] = load_pq_codebooks(spark, index_dir)
+            # batch must encode against the NEW generation (the refit's
+            # roll-forward bumped pq_gen, so the stamp compare refreshes)
+            _refresh_books_if_stale(spark, index_dir, cache)
             if fs.exists(alert_jp):
                 fs.delete(alert_jp, False)
             logging.getLogger(__name__).info(
@@ -376,8 +435,24 @@ def start_vector_ingest_stream(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if ivfpq:
-            from ..operators.ann_index import append_to_ivfpq_index
+            from ..operators.ann_index import (
+                _resolve_refit,
+                append_to_ivfpq_index,
+            )
 
+            # finish (or refuse over — same modes as stream start) any
+            # out-of-band refit BEFORE this epoch encodes, then compare
+            # the generation stamp and refresh the cached books if a
+            # refit committed since the cache was filled (ADVICE r12:
+            # without this the sink encodes every batch after an
+            # operator's refit against the retired codebooks — silent
+            # ADC recall decay, drift records measured against the
+            # wrong generation)
+            _resolve_refit(
+                spark, index_dir,
+                mode="owner" if auto_refit else "writer",
+            )
+            _refresh_books_if_stale(spark, index_dir, cache)
             append_to_ivfpq_index(
                 batch_df,
                 index_dir,
@@ -579,6 +654,17 @@ def fold_appends(spark: SparkSession, index_dir: str) -> dict:
                 ),
                 True,
             )
+    from ..operators.ann_index import _mark_dirty
+
+    # the affected cell dirs were just rewritten (multi-file dynamic
+    # overwrite) — they join the compaction dirty set; the folded
+    # append dirs are deleted below, so their own dirty records resolve
+    # to nonexistent leaves and drop out at the next compaction
+    _mark_dirty(
+        spark,
+        index_dir,
+        leaves=[f"cells/cell={int(c)}" for c in affected if c in present],
+    )
     payload = json.dumps(
         {"folded_dirs": [p for _, p in batches]}
     ).encode("utf-8")

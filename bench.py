@@ -229,6 +229,12 @@ HEADLINE = [
     # amortized convention; the ADC stage adds the per-cell anchor GEMM)
     "x150_ivfpq_refit_probe",
     "x151_ivfpq_residual_probe",
+    # round-13 additions: the exact-mode sketch rollup (theta users +
+    # exact-mode KLL through the same merge plan as x76) and the
+    # maintenance-pair probe (dirty-bounded compaction + error-weighted
+    # refit on warm-up; timed runs pay the full probe)
+    "x76b_sketch_rollup_exact",
+    "x152_ivfpq_compact_weighted_refit_probe",
 ]
 
 
@@ -267,10 +273,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    from azure_serverless_etl_pipeline_spark.deploy import ship_package
     from azure_serverless_etl_pipeline_spark.plans import all_queries
     from azure_serverless_etl_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    # worker-side packaging (verdict r12 item 4): the Arrow-batched
+    # queries' UDF closures import the package in the Python workers —
+    # ship the zip so the bench runs from any working directory
+    ship_package(spark)
     queries = all_queries()
 
     # Optional subset re-run (regression triage): comma-separated names.

@@ -2469,3 +2469,234 @@ def test_uncommitted_refit_staging_fences_writers(
     assert (
         spark.read.parquet(f"{idx}/cells").count() == corpus.count()
     )
+
+
+def test_compact_discovery_bounded_by_dirty_set(
+    spark, corpus, tmp_path_factory
+):
+    """Verdict r12 item 1: compact_ivf_index must discover candidates
+    from the dirty set the writers record, not a census of every cell
+    directory. Pins: (a) the first pass after a build consumes the
+    build's one-time census record; (b) with nothing written since, the
+    bounded pass examines ZERO leaves; (c) an append landing in one
+    cell dirties exactly that cell's two tier dirs; (d) full=True still
+    censuses everything."""
+    import numpy as np
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        compact_ivf_index,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("dirty") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=8, m=8, pq_k=16)
+
+    r1 = compact_ivf_index(spark, idx)
+    assert r1["mode"] == "dirty" and r1["dirs"] > 0  # build census record
+
+    r2 = compact_ivf_index(spark, idx)
+    assert r2["mode"] == "dirty" and r2["dirs"] == 0  # nothing written
+
+    # a batch hugging one coarse centroid lands in exactly one cell
+    cents = (
+        spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    )
+    c0 = np.asarray(cents[0].centroid)
+    rng = np.random.default_rng(3)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [9_000_000 + i for i in range(20)],
+                "embedding": [
+                    (c0 + rng.normal(size=c0.shape) * 1e-3)
+                    .astype("float32")
+                    .tolist()
+                    for _ in range(20)
+                ],
+            }
+        )
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    append_to_ivfpq_index(batch, idx, batch_id=0)
+    r3 = compact_ivf_index(spark, idx)
+    assert r3["mode"] == "dirty"
+    assert r3["dirs"] == 2  # cells/cell=c and codes/cell=c, nothing else
+
+    r4 = compact_ivf_index(spark, idx, full=True)
+    assert r4["mode"] == "census"
+    assert r4["dirs"] >= 16  # every occupied cell dir in both tiers
+
+
+def test_compact_torn_dirty_record_degrades_to_census(
+    spark, corpus, tmp_path_factory
+):
+    """A dirty record that fails to parse must degrade discovery to the
+    FULL census (a torn write can hide a leaf, and a skipped leaf is
+    permanent small-files debt) — and be consumed by that census pass,
+    so the next call is bounded again."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        compact_ivf_index,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("torn") / "index")
+    save_ivfpq_index(corpus.select("vec_id", "embedding"), idx, k=4, m=8, pq_k=16)
+    compact_ivf_index(spark, idx)  # consume the build census record
+
+    with open(f"{idx}/dirty/zz_torn.json", "w") as f:
+        f.write("{this is not json")
+    r = compact_ivf_index(spark, idx)
+    assert r["mode"] == "census" and r["dirs"] > 0
+
+    r2 = compact_ivf_index(spark, idx)
+    assert r2["mode"] == "dirty" and r2["dirs"] == 0
+
+
+def test_compact_untracked_index_censuses_then_tracks(
+    spark, corpus, tmp_path_factory
+):
+    """An index that predates dirty tracking (no dirty/ dir) gets the
+    full census — never a silent skip — and the pass leaves the dir in
+    place so subsequent compactions are bounded."""
+    import shutil
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        compact_ivf_index,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("untracked") / "index")
+    save_ivfpq_index(corpus.select("vec_id", "embedding"), idx, k=4, m=8, pq_k=16)
+    shutil.rmtree(f"{idx}/dirty")  # simulate a pre-round-13 index
+
+    r = compact_ivf_index(spark, idx)
+    assert r["mode"] == "census" and r["dirs"] > 0
+    r2 = compact_ivf_index(spark, idx)
+    assert r2["mode"] == "dirty" and r2["dirs"] == 0
+
+
+def test_refit_generation_stamp_lifecycle(spark, corpus, tmp_path_factory):
+    """ADVICE r12: every committed refit's roll-forward bumps the
+    pq_gen stamp (the cache-invalidation signal long-lived writers
+    poll); a full rebuild resets it with the generation it retires."""
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _pq_generation,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("gen") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    assert _pq_generation(spark, idx) == 0
+    refit_pq_codebooks(spark, idx)
+    assert _pq_generation(spark, idx) == 1
+    refit_pq_codebooks(spark, idx, weight_by_error=True)
+    assert _pq_generation(spark, idx) == 2
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    assert _pq_generation(spark, idx) == 0
+
+
+def test_committed_rollforward_purges_ids_deleted_after_staging(
+    spark, corpus, tmp_path_factory
+):
+    """ADVICE r12 (RTBF race): a cross-process refit that staged its
+    codes from a pre-delete cells snapshot would resurrect erased ids
+    when its commit rolls forward — the roll-forward must anti-join the
+    swapped-in codes against the CURRENT cells tier and purge the
+    orphans before the generation commits."""
+    import json
+    import shutil
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _delete_ids_from_tier,
+        _pq_generation,
+        _resolve_refit,
+        save_ivfpq_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("race") / "index")
+    emb = corpus.select("vec_id", "embedding")
+    save_ivfpq_index(emb, idx, k=4, m=8, pq_k=16)
+    n = emb.count()
+
+    # the refit stages a full snapshot of the CURRENT codes/books and
+    # commits (this is what a concurrent process's refit leaves behind
+    # the instant before its own resolve would run)
+    shutil.copytree(f"{idx}/codes", f"{idx}/codes_refit")
+    shutil.copytree(f"{idx}/pq_codebooks", f"{idx}/pq_codebooks_refit")
+    shutil.copytree(f"{idx}/drift/baseline", f"{idx}/drift/baseline_refit")
+    with open(f"{idx}/_refit_commit.json", "w") as f:
+        json.dump({"m": 8, "pq_k": 16, "n": n, "gen": 1}, f)
+
+    # ...meanwhile a delete erased vec_id=3 from BOTH live tiers (the
+    # staged snapshot still carries it)
+    victim = spark.createDataFrame([(3,)], "vec_id long")
+    _delete_ids_from_tier(spark, f"{idx}/cells", victim)
+    _delete_ids_from_tier(spark, f"{idx}/codes", victim)
+
+    rolled = _resolve_refit(spark, idx, mode="writer")
+    assert rolled is True
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.filter(F.col("vec_id") == 3).count() == 0
+    assert codes.count() == n - 1
+    assert _pq_generation(spark, idx) == 1
+
+
+def test_weighted_refit_recovers_minority_mixture(spark, tmp_path_factory):
+    """Verdict r12 item 3a: at a ~9% shifted mixture the UNIFORM
+    sample-fit spends only the mixture share of centroids on the
+    shifted mass (SCALE.md round 12 measured the drift ratio stuck at
+    4.08 after refit); the error-WEIGHTED fit samples by residual mass,
+    so the shifted mode earns capacity matching its error — a fresh
+    shifted batch must read back UNDER the 1.5 threshold after the
+    weighted refit, and under the uniform refit's ratio. Fully seeded:
+    both corpora, both builds and both fits are deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        needs_refit,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(4000, 16))
+
+    def frame(mat, id_base):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [id_base + i for i in range(len(mat))],
+                    "embedding": [
+                        v.astype("float32").tolist() for v in mat
+                    ],
+                }
+            )
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+
+    base = frame(X, 0).repartition(8).localCheckpoint(eager=True)
+    basis = np.eye(16)
+    shift1 = frame(basis[np.arange(400) % 16], 1_000_000)
+    shift2 = frame(basis[(np.arange(400) + 5) % 16], 2_000_000)
+
+    ratios = {}
+    for tag, weighted in (("uniform", False), ("weighted", True)):
+        idx = str(tmp_path_factory.mktemp(f"mix_{tag}") / "index")
+        save_ivfpq_index(base, idx, k=4, m=4, pq_k=16)
+        append_to_ivfpq_index(shift1, idx, batch_id=0)
+        refit_pq_codebooks(spark, idx, weight_by_error=weighted)
+        append_to_ivfpq_index(shift2, idx, batch_id=1)
+        ratios[tag] = needs_refit(spark, idx, recent_batches=1)["ratio"]
+
+    assert ratios["weighted"] <= 1.5
+    assert ratios["weighted"] < ratios["uniform"]

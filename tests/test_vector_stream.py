@@ -883,3 +883,130 @@ def test_stream_refit_check_requires_ivfpq(spark, corpus, tmp_path):
             spark, str(tmp_path / "l"), str(tmp_path / "i"),
             str(tmp_path / "c"), ivfpq=True, auto_refit=True,
         )
+
+
+def test_refresh_books_if_stale_reloads_on_generation_bump(
+    spark, corpus, tmp_path
+):
+    """ADVICE r12: the sink's cached subcodebooks must follow the
+    index's pq_gen stamp — an out-of-band refit committed between
+    epochs retires the cached generation, and the per-epoch stamp
+    compare reloads the books (and ONLY then: a fresh stamp is a
+    no-op file read)."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _pq_generation,
+        load_pq_codebooks,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        _refresh_books_if_stale,
+    )
+
+    idx = str(tmp_path / "index")
+    save_ivfpq_index(
+        corpus.select("vec_id", "embedding"), idx, k=4, m=8, pq_k=16
+    )
+    cache = {
+        "books": load_pq_codebooks(spark, idx),
+        "gen": _pq_generation(spark, idx),
+    }
+    assert _refresh_books_if_stale(spark, idx, cache) is False
+
+    old_books = cache["books"].copy()
+    refit_pq_codebooks(spark, idx)  # the operator's out-of-band refit
+
+    assert _refresh_books_if_stale(spark, idx, cache) is True
+    assert cache["gen"] == 1
+    assert np.array_equal(cache["books"], load_pq_codebooks(spark, idx))
+    assert not np.array_equal(cache["books"], old_books)
+    assert _refresh_books_if_stale(spark, idx, cache) is False
+
+
+def test_stream_picks_up_out_of_band_refit_between_runs(
+    spark, corpus, tmp_path
+):
+    """E2e for the ADVICE r12 scenario at the run boundary: epoch 1
+    ingests, an operator refits out-of-band (alert workflow), epoch 2
+    resumes the SAME checkpoint — its codes must be encoded against the
+    NEW generation (asserted via the drift record: an epoch encoded
+    with the retired books against the new baseline would read a
+    different qerr than a direct re-encode with the live books)."""
+    import numpy as np
+
+    from azure_serverless_etl_pipeline_spark.operators.ann_index import (
+        _pq_generation,
+        encode_pq,
+        load_pq_codebooks,
+        refit_pq_codebooks,
+        save_ivfpq_index,
+    )
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    emb = corpus.select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1).localCheckpoint(eager=True)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
+
+    b1.write.parquet(f"{landing}/b1.parquet")
+    start_vector_ingest_stream(
+        spark, landing, idx, ckpt, ivfpq=True
+    ).awaitTermination()
+
+    refit_pq_codebooks(spark, idx)
+    assert _pq_generation(spark, idx) == 1
+    new_books = load_pq_codebooks(spark, idx)
+
+    b2.write.parquet(f"{landing}/b2.parquet")
+    start_vector_ingest_stream(
+        spark, landing, idx, ckpt, ivfpq=True
+    ).awaitTermination()
+
+    # every live code row must decode identically to a fresh encode of
+    # its vector with the LIVE books — including epoch 2's rows, which
+    # a stale cache would have encoded with the retired generation
+    cells = spark.read.parquet(f"{idx}/cells").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    want = encode_pq(
+        cells, new_books, keep_cols=("cell",)
+    ).orderBy("vec_id").collect()
+    got = (
+        spark.read.parquet(f"{idx}/codes")
+        .withColumn("cell", F.col("cell").cast("int"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(got) == emb.count()
+    for g, w in zip(got, want):
+        assert g.vec_id == w.vec_id
+        assert list(g.codes) == list(w.codes)
+
+
+def test_refit_check_every_zero_refused(spark, tmp_path):
+    """ADVICE r12: refit_check_every=0 used to validate (only None was
+    rejected) while the sink's falsy cadence guard silently never ran a
+    check — auto_refit=True with cadence 0 was a validated no-op."""
+    from azure_serverless_etl_pipeline_spark.streaming.vector_stream import (
+        start_vector_ingest_stream,
+    )
+
+    with pytest.raises(ValueError, match="refit_check_every must be >= 1"):
+        start_vector_ingest_stream(
+            spark,
+            str(tmp_path / "landing"),
+            str(tmp_path / "index"),
+            str(tmp_path / "ckpt"),
+            ivfpq=True,
+            refit_check_every=0,
+            auto_refit=True,
+        )
