@@ -947,26 +947,29 @@ def test_stream_picks_up_out_of_band_refit_between_runs(
         start_vector_ingest_stream,
     )
 
-    emb = corpus.select("vec_id", "embedding")
-    base = emb.filter(F.col("vec_id") % 3 == 0)
-    b1 = emb.filter(F.col("vec_id") % 3 == 1).localCheckpoint(eager=True)
-    b2 = emb.filter(F.col("vec_id") % 3 == 2).localCheckpoint(eager=True)
+    base = corpus.filter(F.col("vec_id") % 3 == 0)
+    b1 = corpus.filter(F.col("vec_id") % 3 == 1).localCheckpoint(eager=True)
+    b2 = corpus.filter(F.col("vec_id") % 3 == 2).localCheckpoint(eager=True)
 
     idx = str(tmp_path / "index")
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
     save_ivfpq_index(base, idx, k=4, m=8, pq_k=16)
 
-    b1.write.parquet(f"{landing}/b1.parquet")
+    b1.coalesce(1).write.mode("append").parquet(landing)
     start_vector_ingest_stream(
         spark, landing, idx, ckpt, ivfpq=True
     ).awaitTermination()
+    assert (
+        spark.read.parquet(f"{idx}/codes").count()
+        == base.count() + b1.count()
+    )
 
     refit_pq_codebooks(spark, idx)
     assert _pq_generation(spark, idx) == 1
     new_books = load_pq_codebooks(spark, idx)
 
-    b2.write.parquet(f"{landing}/b2.parquet")
+    b2.coalesce(1).write.mode("append").parquet(landing)
     start_vector_ingest_stream(
         spark, landing, idx, ckpt, ivfpq=True
     ).awaitTermination()
@@ -986,7 +989,7 @@ def test_stream_picks_up_out_of_band_refit_between_runs(
         .orderBy("vec_id")
         .collect()
     )
-    assert len(got) == emb.count()
+    assert len(got) == corpus.count()
     for g, w in zip(got, want):
         assert g.vec_id == w.vec_id
         assert list(g.codes) == list(w.codes)
