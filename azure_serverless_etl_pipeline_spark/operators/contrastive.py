@@ -48,30 +48,48 @@ def mine_triplets(
     embedding_near_dup output shape. Rows whose cell has one pair (no
     usable shifted candidate) are dropped.
     """
+    # The cyclic shift is pure WINDOW arithmetic over one per-cell sort:
+    # cand1 (index (rn mod n)+1) is lead(1) with a wrap to the cell's
+    # first row, cand2 (index ((rn+1) mod n)+1) is lead(2) with the two
+    # wrap cases spelled out. The former rank + count-join + two modular
+    # self-joins re-executed the (expensive) pair-mining subtree four
+    # times and shuffled it twice more; this shape evaluates ``pairs``
+    # ONCE and reuses the single (cell)-partitioned exchange for every
+    # window column (r13 opt; bit-identical output — the modular index
+    # algebra is unchanged, only its physical form).
     w = W.partitionBy("cell").orderBy("anchor", "positive")
-    ranked = pairs.select(
-        F.col("id_a").alias("anchor"),
-        F.col("id_b").alias("positive"),
-        F.col(cell_col).alias("cell"),
-        F.col("cos_sim").alias("cos_pos"),
-    ).withColumn("rn", F.row_number().over(w))
-    counts = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n_pairs"))
-    ranked = ranked.join(counts, "cell")
-
-    def shifted(k: int, alias: str) -> DataFrame:
-        return ranked.select(
-            F.col("cell"), F.col("rn").alias(f"rn{k}"), F.col("positive").alias(alias)
+    wcell = W.partitionBy("cell")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = (
+        pairs.select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("positive"),
+            F.col(cell_col).alias("cell"),
+            F.col("cos_sim").alias("cos_pos"),
         )
-
-    base = ranked.withColumn("idx1", (F.col("rn") % F.col("n_pairs")) + 1).withColumn(
-        "idx2", ((F.col("rn") + 1) % F.col("n_pairs")) + 1
-    )
-    j1 = shifted(1, "cand1").withColumnRenamed("rn1", "idx1")
-    j2 = shifted(2, "cand2").withColumnRenamed("rn2", "idx2")
-    picked = (
-        base.join(j1, ["cell", "idx1"])
-        .join(j2, ["cell", "idx2"])
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wcell))
         .withColumn(
+            "cand1",
+            F.coalesce(
+                F.lead("positive", 1).over(w), F.first("positive").over(wfull)
+            ),
+        )
+        .withColumn(
+            "cand2",
+            F.when(
+                F.col("rn") <= F.col("n_pairs") - 2,
+                F.lead("positive", 2).over(w),
+            )
+            .when(
+                F.col("rn") == F.col("n_pairs") - 1,
+                F.first("positive").over(wfull),
+            )
+            .otherwise(F.nth_value("positive", 2).over(wfull)),
+        )
+    )
+    picked = (
+        ranked.withColumn(
             "negative",
             F.when(
                 (F.col("cand1") != F.col("anchor"))

@@ -87,12 +87,22 @@ def prepare_training_corpus(
         selection against the target corpus (x87) -> fixed-budget
         chunking (x67)
 
-    Every stage is an operator this engine ships individually, composed
-    here without materialization barriers: Catalyst sees the whole
-    chain, so column pruning flows through (the dedup/decontam stages
-    read only id+text), and nothing is collected until the caller acts.
-    The one intentional cache is inside the DSIR model fit (bounded
-    bucket table). Returns the chunked frame (id, chunk_id, chunk_text,
+    Every stage is an operator this engine ships individually. The
+    chain's consumers FAN OUT (decontamination reads its input twice,
+    DSIR reads its input for model counts, scoring and the zero-token
+    cover, the final selection joins the clean frame again), and Spark
+    shares no subtrees across a DAG — left lazy, the gate+dedup+
+    decontam prefix re-executed up to seven times per action (r13
+    measured: 15 parquet scans of the corpus in one x99 plan). Each
+    stage boundary that is consumed more than once is therefore
+    localCheckpoint-ed (eager, computed from the inputs on EVERY
+    invocation — per-run work, not cross-run state; the in-storage
+    analog of the interstage tables the streaming variant of this
+    module writes): the stage prefix now runs exactly once per call
+    (guide §1.2 — remove recomputation before tuning anything else).
+    Column pruning still reaches the parquet scans inside each stage's
+    one evaluation (the checkpointed frames are pre-projected to
+    id+text). Returns the chunked frame (id, chunk_id, chunk_text,
     n_tokens per chunk) ready for packing (x68) or writing.
 
     Stage-equivalence (the composition equals applying the stages one at
@@ -104,11 +114,23 @@ def prepare_training_corpus(
     from .packing import chunk_documents
 
     gated = quality_gate(docs, text_col)
-    # exact dedup keeps the min-id representative per distinct text
-    reps = exact_dedup(gated, text_col, id_col).select(id_col, text_col)
-    clean = decontam.decontaminate(reps, eval_df, n=5, id_col=id_col, text_col=text_col)
-    scores = dsir.importance_scores(clean, target, n_buckets=1000,
-                                    id_col=id_col, text_col=text_col)
+    # exact dedup keeps the min-id representative per distinct text;
+    # consumed twice by decontamination (report + anti-join)
+    reps = (
+        exact_dedup(gated, text_col, id_col)
+        .select(id_col, text_col)
+        .localCheckpoint()
+    )
+    # consumed three times: DSIR statistic, DSIR zero-token cover,
+    # final selection join
+    clean = decontam.decontaminate(
+        reps, eval_df, n=5, id_col=id_col, text_col=text_col
+    ).localCheckpoint()
+    # consumed twice by select_top_fraction (count + rank window); its
+    # own evaluation tokenizes the target corpus for the model table
+    scores = dsir.importance_scores(
+        clean, target, n_buckets=1000, id_col=id_col, text_col=text_col
+    ).localCheckpoint()
     picked = dsir.select_top_fraction(scores, keep_fraction, id_col=id_col)
     selected = clean.join(picked.select(id_col), id_col)
     return chunk_documents(selected, chunk_tokens=chunk_tokens)

@@ -392,11 +392,18 @@ def bigram_logprob(
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("v"), b.alias("w")),
     )
+    # (doc, v, w, k) is the sufficient statistic every model table and
+    # the scoring join derive from; localCheckpoint it (eager, computed
+    # per invocation inside the caller's timed region) so the corpus is
+    # tokenized/exploded/shuffled ONCE — the lazy shape re-executed this
+    # subtree three times (bi, prev-via-bi, and the contrib join; r13
+    # opt, guide §1.2: one pass for one statistic).
     doc_bi = (
         df.select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, "p.v", "p.w")
         .groupBy(id_col, "v", "w")
         .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
     )
     bi = doc_bi.groupBy("v", "w").agg(F.sum("k").alias("cb"))
     prev = bi.groupBy("v").agg(F.sum("cb").alias("cp"))

@@ -482,10 +482,14 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=50)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = docs.join(dupes, "doc_id", "left_anti")
-    q = text.quality_score(kept)
+    # quality_score is a pure per-row projection: carry the output columns
+    # through extra_cols instead of join-ing the scored frame back onto
+    # ``kept`` — the old self-join re-executed the whole pair-mining
+    # subtree a second time (r13 opt: 2 evaluations -> 1, one join
+    # exchange removed; identical rows/values).
+    q = text.quality_score(kept, extra_cols=("lang", "source", "n_chars"))
     return (
-        kept.join(q, "doc_id")
-        .filter(F.col("is_high_quality"))
+        q.filter(F.col("is_high_quality"))
         .select("doc_id", "lang", "source", "n_chars", "quality")
     )
 

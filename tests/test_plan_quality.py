@@ -252,12 +252,15 @@ def test_dsir_scoring_joins_on_bucket(spark, queries):
 
 
 def test_corpus_prep_one_plan_no_cartesian(spark, queries):
-    """x99: the five-stage composition must stay one lazy plan — no
-    cartesian anywhere, and the doc scan must not read columns the chain
-    never uses (lang/source are only read by the eval/target slices)."""
+    """x99: no cartesian anywhere, and the multiply-consumed stage
+    boundaries (reps/clean/scores) are localCheckpoint-ed (r13 opt) so
+    the final plan reads the per-invocation checkpoint RDDs instead of
+    re-executing the gate+dedup+decontam prefix per consumer — the
+    before/after shape is recorded in plans/r13/ and
+    OPTIMIZATION_r13.md."""
     plan = plan_of(queries["x99_corpus_prep"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
-    assert "Scan parquet" in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def n_scans(plan: str) -> int:
