@@ -1380,29 +1380,25 @@ def canonical_map(
     corpus-sized steps are two id-keyed hash joins — no global sort, no
     driver state.
     """
-    # The cluster winner is lifted onto every member row with first()
-    # over a full-frame ordered window instead of the former
-    # rank-filter + join-back, which evaluated the ``clusters`` frame
-    # twice and paid an extra cluster_id exchange (r13 opt; identical
-    # result — row_number()==1 under (score desc, id asc) IS the ordered
-    # window's first row). Exact-semantics notes: membership is a LEFT
-    # join (the old inner member + cluster_id join-back also surfaced
-    # UNSCORED members of a scored cluster), only scored members are
-    # eligible winners (ignorenulls over the null-last ordering), and a
-    # cluster with NO scored member drops from ``resolved`` entirely —
-    # its docs fall through to the singleton coalesce, as before.
-    member = clusters.join(scores, id_col, "left")
+    # r13 note: a "one-pass" variant was tried here — left-join members,
+    # lift the winner onto every row with first() over a full-frame
+    # (unbounded-following) cluster_id window — and MEASURED SLOWER
+    # (x105 3.6->4.5s, x104 4.6->4.9s at sf0.1): the buffering
+    # full-frame window costs more than the extra cluster_id exchange it
+    # removes, because the rank-filter shrinks the frame to one row per
+    # cluster before the join-back (which broadcasts) and ``clusters``
+    # is a checkpointed RDD whose second evaluation is a block read.
+    # Kept in the rank-filter + join-back shape deliberately.
+    member = clusters.join(scores, id_col)
     w = W.partitionBy("cluster_id").orderBy(
         F.desc(score_col), F.col(id_col)
-    ).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    resolved = member.select(
-        id_col,
-        "cluster_id",
-        F.first(
-            F.when(F.col(score_col).isNotNull(), F.col(id_col)),
-            ignorenulls=True,
-        ).over(w).alias("canonical_id"),
-    ).filter(F.col("canonical_id").isNotNull())
+    )
+    canon = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("canonical_id"))
+    )
+    resolved = clusters.join(canon, "cluster_id")
     return (
         docs.select(id_col)
         .join(scores, id_col, "left")
