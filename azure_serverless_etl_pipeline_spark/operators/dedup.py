@@ -68,20 +68,54 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs: re-fetch
     the two shingle arrays and intersect — the semi-join verify pattern
-    shared by the prefix/capped/minhash candidate generators."""
+    shared by the prefix/capped/minhash candidate generators.
+
+    The union size is DERIVED, not computed: every ``shingles`` array this
+    sees is distinct-by-construction (``word_shingles`` ends in
+    ``array_distinct``; persisted bases roundtrip that output), so
+    |A ∪ B| == |A| + |B| − |A ∩ B| over the same integers — the division
+    sees identical operands and the jaccard value is bit-identical, while
+    the per-row interpreted ``ArrayUnion`` hash-set build (the measured
+    hot spot of the verify task — a thread dump showed it at ~75% of the
+    stage) is gone entirely."""
     sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter),
         )
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _shingle_base(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingles) projection with empty-shingle docs dropped — the
+    shared base of every shingle-driven generator.
+
+    The emptiness filter runs on the TOKEN COUNT *before* the projection:
+    writing ``.filter(size(shingles) > 0)`` after the select makes
+    Catalyst push the predicate below the project by substituting the
+    alias, so the whole zip_with shingle pipeline — interpreted
+    higher-order functions, the heaviest per-row expression in the dedup
+    family, never shared across operators by codegen CSE — is evaluated
+    TWICE per document (once in the pushed filter, once in the
+    projection; visible as the duplicated expression in Filter/Project
+    pairs of the round-13 before-plans). A doc has a non-empty shingle
+    array iff it has >= n non-empty tokens (each gram needs n consecutive
+    tokens; array_compact drops the null-padded tail, array_distinct of a
+    non-empty array is non-empty), and the token-count predicate costs
+    one split+filter instead of the full chain."""
+    c = F.col(text_col)
+    return df.filter(F.size(tokens(c)) >= n).select(
+        F.col(id_col), word_shingles(c, n).alias("shingles")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -125,9 +159,7 @@ def ngram_jaccard_pairs(
     The cap composes: prefix shingles above it are dropped before the
     self-join.
     """
-    base = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = _shingle_base(df, text_col, id_col, n)
     sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle")).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
@@ -273,9 +305,7 @@ def containment_pairs(
     an exact array-intersect verify — identical cap semantics and recall
     caveat as the Jaccard operator (dedup.py:96).
     """
-    base = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = _shingle_base(df, text_col, id_col, n)
     sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle")).cache()
 
     if max_shingle_freq is not None:
@@ -396,9 +426,7 @@ def minhash_lsh_pairs(
     (|docs|-bounded partial rows, not |shingles|).
     """
     r = num_perm // bands
-    base = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = _shingle_base(df, text_col, id_col, n)
     ex = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     one_hash = ex.select(
         id_col, F.xxhash64(F.lit(_SEED), F.col("shingle")).alias("h")
@@ -661,12 +689,8 @@ def ngram_jaccard_pairs_incremental(
     artifact updated per batch; here it is derived, and the derivation
     is the one extra old-corpus scan (linear, not quadratic).
     """
-    new_base = new_docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    old_base = old_docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    new_base = _shingle_base(new_docs, text_col, id_col, n)
+    old_base = _shingle_base(old_docs, text_col, id_col, n)
     # keep the cached handle: max_shingle_freq rebinds new_sh below, and
     # the HANDLE is what the _owned_caches handover must release
     cached_new_sh = new_base.select(
@@ -678,15 +702,95 @@ def ngram_jaccard_pairs_incremental(
     )
 
     if max_shingle_freq is not None:
-        freq = (
-            new_sh.unionByName(old_sh)
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
-            .select("shingle")
+        # round-13: candidate generation keeps the cap as before, but the
+        # raw shared-shingle pairs now pass the one-shot capped path's
+        # SOUND Jaccard upper bound before the array verify:
+        #   true_common <= n_cc + min(dropped_a, dropped_b)
+        # (a shared shingle is shared-capped — counted in n_cc — or
+        # over-cap, i.e. dropped on BOTH sides). Only pairs whose bound
+        # clears the threshold reach the per-pair array intersect; the
+        # 50/50 x117 demo fed ~100k raw candidates to the verify stage,
+        # of which a few hundred survive it — the prune removes the
+        # hopeless ones with the pair-count aggregate the join already
+        # produces. Output is unchanged: the verify still decides
+        # membership for every surviving pair.
+        # df via a window over the union shingle table — ONE shuffle that
+        # also leaves both join sides partitioned by the join key, and
+        # per-doc (size, dropped) stats fall out of the same tagged frame.
+        u = new_sh.withColumn("__new", F.lit(True)).unionByName(
+            old_sh.withColumn("__new", F.lit(False))
         )
-        new_sh = new_sh.join(freq, "shingle")
-        old_sh = old_sh.join(freq, "shingle")
+        tagged = (
+            u.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .withColumn("keep", F.col("df") <= max_shingle_freq)
+            .cache()
+        )
+        stats = tagged.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("sz"),
+            (F.count(F.lit(1)) - F.sum(F.col("keep").cast("long"))).alias(
+                "dropped"
+            ),
+        )
+        new_capped = tagged.filter(F.col("keep") & F.col("__new")).select(
+            id_col, "shingle"
+        )
+        old_capped = tagged.filter(F.col("keep") & ~F.col("__new")).select(
+            id_col, "shingle"
+        )
+        a, b = new_capped.alias("a"), new_capped.alias("b")
+        nn = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_cc"))
+        )
+        o = old_capped.alias("o")
+        no = (
+            a.join(o, F.col("a.shingle") == F.col("o.shingle"))
+            .groupBy(
+                F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias(
+                    "id_a"
+                ),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias(
+                    "id_b"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("n_cc"))
+        )
+        da = stats.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
+            F.col("dropped").alias("drop_a"),
+        )
+        db = stats.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
+            F.col("dropped").alias("drop_b"),
+        )
+        ub_common = F.col("n_cc") + F.least(F.col("drop_a"), F.col("drop_b"))
+        # 1e-9 soundness margin: the bound only PRUNES, so comparing a
+        # hair below the threshold can never drop a pair the float
+        # verify would keep (selectivity is unaffected — real junk
+        # candidates miss the threshold by orders of magnitude)
+        cand = (
+            nn.unionByName(no)
+            .join(da, "id_a")
+            .join(db, "id_b")
+            .filter(
+                ub_common / (F.col("sz_a") + F.col("sz_b") - ub_common)
+                >= threshold - 1e-9
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        base = new_base.unionByName(old_base)
+        out = _verify_jaccard(cand, base, id_col, threshold)
+        out._owned_caches = [cached_new_sh, tagged]  # type: ignore[attr-defined]
+        return out
 
     a, b = new_sh.alias("a"), new_sh.alias("b")
     nn = (
@@ -841,9 +945,7 @@ def materialize_incremental_state(
     the batch's rows to these artifacts (same schemas/layout), keeping
     the steady-state cost proportional to batch size.
     """
-    base = old_docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = _shingle_base(old_docs, text_col, id_col, n)
     # range-sort by id: layout-only (same schema) — enables row-group
     # skipping on the bucketed path's In(id) verify re-fetch
     base.repartitionByRange(F.col(id_col)).sortWithinPartitions(
@@ -900,13 +1002,7 @@ def ngram_jaccard_pairs_incremental_indexed(
     # regex shingling and the documents scan run ONCE per micro-batch —
     # batch-sized, same caller-clears contract as the pair-frame cache
     # on incremental_dup_clusters.
-    new_base = (
-        new_docs.select(
-            F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-        )
-        .filter(F.size("shingles") > 0)
-        .cache()
-    )
+    new_base = _shingle_base(new_docs, text_col, id_col, n).cache()
     new_sh = new_base.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).cache()
@@ -1149,13 +1245,7 @@ def ngram_jaccard_pairs_incremental_bucketed(
         raise ValueError(
             "pass state_dir, or all of postings/shingle_df/old_base/n_buckets"
         )
-    new_base = (
-        new_docs.select(
-            F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-        )
-        .filter(F.size("shingles") > 0)
-        .cache()
-    )
+    new_base = _shingle_base(new_docs, text_col, id_col, n).cache()
     new_sh = (
         new_base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
         .withColumn("shingle_h", F.xxhash64("shingle"))
@@ -1303,27 +1393,110 @@ def ngram_jaccard_pairs_incremental_bucketed(
     live_post = post.join(F.broadcast(new_ids), id_col, "left_anti")
 
     a, b = nsh.alias("a"), nsh.alias("b")
-    nn = a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-    )
     # the batch side BROADCASTS into the pruned posting scan — the
     # standing tier is never exchanged (cap filter on the posting side
     # is redundant: a candidate needs a shared shingle that SURVIVED the
     # cap on the batch side, and cap status is a property of the shingle)
     an = nsh.select(F.col(id_col).alias("__nid"), "shingle")
-    no = (
-        live_post.join(F.broadcast(an), "shingle")
-        .filter(F.col("__nid") != F.col(id_col))
-        .select(
-            F.least("__nid", id_col).alias("id_a"),
-            F.greatest("__nid", id_col).alias("id_b"),
+    if max_shingle_freq is not None:
+        # round-13: raw shared-shingle candidates pass the one-shot
+        # capped path's SOUND Jaccard upper bound before any verify I/O:
+        #   true_common <= n_cc + dropped_new
+        # (a shared shingle lives in the NEW doc's set, so it is either
+        # under the union cap — in nsh AND findable in the uncapped
+        # posting tier, hence counted by the pair aggregate — or over
+        # the cap, bounded by the new side's dropped count). For
+        # new-old pairs the old doc's size is unknown without touching
+        # old_base, but sz_old >= true_common gives
+        #   jaccard <= ub / sz_new
+        # — batch-side-only, no standing-corpus read. New-new pairs use
+        # the full two-sided bound. Only survivors reach the checkpoint,
+        # the old_base re-fetch, and the per-pair array intersect; the
+        # sf0.1 batch fed ~100k raw candidates to a 4.9 s single-task
+        # verify of which a few dozen pass — the prune drops the
+        # hopeless ones using counts the joins already produce. The
+        # verify still decides membership, so output is unchanged.
+        # (1e-9: prune-only soundness margin for the float boundary.)
+        stats_new = new_base.select(
+            F.col(id_col), F.size("shingles").alias("sz")
+        ).join(
+            nsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("kept")),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            "sz",
+            (F.col("sz") - F.coalesce(F.col("kept"), F.lit(0))).alias(
+                "dropped"
+            ),
         )
-    )
+        nn_cnt = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ).agg(F.count(F.lit(1)).alias("n_cc"))
+        da = stats_new.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
+            F.col("dropped").alias("drop_a"),
+        )
+        db = stats_new.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
+            F.col("dropped").alias("drop_b"),
+        )
+        nn_ub = F.col("n_cc") + F.least(F.col("drop_a"), F.col("drop_b"))
+        nn = (
+            nn_cnt.join(F.broadcast(da), "id_a")
+            .join(F.broadcast(db), "id_b")
+            .filter(
+                nn_ub / (F.col("sz_a") + F.col("sz_b") - nn_ub)
+                >= threshold - 1e-9
+            )
+            .select("id_a", "id_b")
+        )
+        no_cnt = (
+            live_post.join(F.broadcast(an), "shingle")
+            .filter(F.col("__nid") != F.col(id_col))
+            .groupBy(F.col("__nid"), F.col(id_col).alias("__oid"))
+            .agg(F.count(F.lit(1)).alias("n_cc"))
+        )
+        no = (
+            no_cnt.join(
+                F.broadcast(
+                    stats_new.select(
+                        F.col(id_col).alias("__nid"), "sz", "dropped"
+                    )
+                ),
+                "__nid",
+            )
+            .filter(
+                (F.col("n_cc") + F.col("dropped")) / F.col("sz")
+                >= threshold - 1e-9
+            )
+            .select(
+                F.least("__nid", "__oid").alias("id_a"),
+                F.greatest("__nid", "__oid").alias("id_b"),
+            )
+        )
+    else:
+        nn = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        no = (
+            live_post.join(F.broadcast(an), "shingle")
+            .filter(F.col("__nid") != F.col(id_col))
+            .select(
+                F.least("__nid", id_col).alias("id_a"),
+                F.greatest("__nid", id_col).alias("id_b"),
+            )
+        )
     # eager checkpoint: batch-bounded (two ids per candidate pair); lets
     # the old-candidate id list collect below without re-running
     # candidate generation, and backs the verify + clustering consumers
@@ -1429,25 +1602,123 @@ def embedding_near_dup(
 
     ``block_col`` is the IVF-style coarse-quantizer cell: pairs are only
     compared within a cell, turning O(n^2) into O(sum of cell^2) — the
-    standard scale path for embedding dedup. Cosine is computed as a
-    sequential double fold (bit-identical to the DuckDB oracle); the
-    per-vector L2 norm and the float->double cast are precomputed ONCE
-    per vector, not per pair — a 3x cut in per-pair flops (the dominant
-    cost at scale) with an identical result.
+    standard scale path for embedding dedup.
+
+    Round-13 (guide §4.2): the blocked path scores each cell's pair space
+    with one NumPy GEMM per Arrow cogroup instead of the JVM's
+    interpreted zip_with fold in the join condition (the round-13 x05
+    before-plan evaluates that fold once per CANDIDATE pair — every
+    within-cell pair — and the thread-dump profile put ~all of the stage
+    there). Exactness is preserved by a two-step score: the GEMM is only
+    a PRE-FILTER at ``threshold - 1e-6`` (BLAS re-association error for a
+    64-dim double dot is ~1e-13, five orders inside the margin), and every
+    surviving pair is re-scored with the same sequential double fold the
+    JVM expression performs — p_k = a_k*b_k, acc = acc + p_k in IEEE
+    float64, norms sqrt(fold(x,x)) — so the emitted cos_sim is
+    bit-identical to the previous plan's and every downstream
+    round/threshold/ordering decision is unchanged. Per-task memory is
+    bounded by GEMM row-chunking; the one exchange is the cell cogroup
+    (vs the broadcast build of the join path).
+
+    ``block_col=None`` keeps the JVM broadcast cross-join fold (unused on
+    any scale path; retained for API completeness).
     """
-    cols = [F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")]
     if block_col:
-        cols.append(F.col(block_col))
+        id_t = dict(df.dtypes)[id_col]
+        blk_t = dict(df.dtypes)[block_col]
+        thr = float(threshold)
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            empty = pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    block_col: pdf[block_col].iloc[:0],
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nr = np.sqrt(np.einsum("ij,ij->i", M, M))
+            # row-chunked GEMM: bounded scratch even for a hot cell
+            chunk = max(1, (4 << 20) // max(n, 1))
+            cand_i: list[np.ndarray] = []
+            cand_j: list[np.ndarray] = []
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (M[s:e] @ M.T) / np.outer(nr[s:e], nr)
+                li, lj = np.nonzero(S >= thr - 1e-6)
+                gi = li + s
+                m = gi < lj  # id_a < id_b == position order after sort
+                cand_i.append(gi[m])
+                cand_j.append(lj[m])
+            ci = np.concatenate(cand_i) if cand_i else np.array([], dtype=int)
+            cj = np.concatenate(cand_j) if cand_j else np.array([], dtype=int)
+            if not len(ci):
+                return empty
+            # exact sequential re-score (bit-identical to the JVM fold)
+            exact_nrm: dict[int, np.float64] = {}
+
+            def en(i: int) -> np.float64:
+                v = exact_nrm.get(i)
+                if v is None:
+                    acc = np.float64(0.0)
+                    for x in M[i]:
+                        acc = acc + x * x
+                    v = np.sqrt(acc)
+                    exact_nrm[i] = v
+                return v
+
+            ka, kb, ks = [], [], []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for i, j in zip(ci, cj):
+                    va, vb = M[i], M[j]
+                    acc = np.float64(0.0)
+                    for x, y in zip(va, vb):
+                        acc = acc + x * y
+                    s_exact = acc / (en(i) * en(j))
+                    if s_exact >= thr:
+                        ka.append(ids[i])
+                        kb.append(ids[j])
+                        ks.append(float(s_exact))
+            if not ka:
+                return empty
+            out = pd.DataFrame(
+                {
+                    "id_a": np.asarray(ka),
+                    "id_b": np.asarray(kb),
+                    block_col: pdf[block_col].iloc[0],
+                    "cos_sim": np.asarray(ks, dtype=np.float64),
+                }
+            )
+            return out
+
+        return (
+            df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+            .groupBy(block_col)
+            .applyInPandas(
+                score,
+                schema=(
+                    f"id_a {id_t}, id_b {id_t}, "
+                    f"{block_col} {blk_t}, cos_sim double"
+                ),
+            )
+        )
+
+    cols = [F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")]
     e = df.select(*cols).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a, b = e.alias("a"), e.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     out = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        *([F.col(f"a.{block_col}").alias(block_col)] if block_col else []),
         sim.alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)

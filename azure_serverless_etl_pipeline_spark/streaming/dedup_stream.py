@@ -70,11 +70,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _shingle_base,
     dup_clusters,
     incremental_dup_clusters,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_incremental_bucketed,
-    word_shingles,
     write_bucketed_df,
     write_bucketed_layer,
 )
@@ -652,9 +652,7 @@ def fold_batch(
     # In(doc_id) and min/max-skips row groups across the ranged files
     # (repartitionByRange stays parallel for the big one-shot first
     # layer; AQE coalesces the tiny micro-batch case to few files)
-    base = batch_df.select(
-        F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = _shingle_base(batch_df, "text", "doc_id", n)
     (
         base.repartitionByRange(F.col("doc_id"))
         .sortWithinPartitions("doc_id")
@@ -880,9 +878,9 @@ def rebuild_updated(
 
     from ..operators.dedup import (
         _keys_pruned_capped,
+        _shingle_base,
         _verify_jaccard,
         ngram_jaccard_pairs_incremental_bucketed,
-        word_shingles,
         write_bucketed_layer,
     )
 
@@ -989,9 +987,7 @@ def rebuild_updated(
     u_old_sh = u_old_rows.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    u_shingled = u_new.select(
-        F.col("doc_id"), word_shingles(F.col("text"), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    u_shingled = _shingle_base(u_new, "text", "doc_id", n)
     u_new_sh = u_shingled.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
