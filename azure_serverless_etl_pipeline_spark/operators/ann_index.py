@@ -2802,9 +2802,18 @@ def search_ivfpq(
     probe_q = probe_df.join(q.select("query_id", "q_vec"), "query_id")
 
     # --- 2. partition-pruned ADC scan, cogrouped per cell ---
-    probed = sorted(
-        r.cell for r in probe_df.select("cell").distinct().collect()
-    )
+    if nprobe >= len(centroids):
+        # full probe: every cell is assigned to every query (the rank
+        # filter keeps all `len(centroids)` rows), so the probed-cell
+        # list is statically the gap-free codebook range — skip the
+        # distinct-collect job that would re-execute the coarse
+        # assignment subtree just to learn it (round-13; the narrower
+        # nprobe regime still derives it from the data)
+        probed = list(range(len(centroids)))
+    else:
+        probed = sorted(
+            r.cell for r in probe_df.select("cell").distinct().collect()
+        )
     codes_scan = (
         spark.read.parquet(f"{path}/codes")
         .withColumn("cell", F.col("cell").cast("int"))

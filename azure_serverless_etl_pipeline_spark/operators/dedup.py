@@ -1605,25 +1605,24 @@ def embedding_near_dup(
     standard scale path for embedding dedup.
 
     Round-13 (guide §4.2): the blocked path scores each cell's pair space
-    with one NumPy GEMM per Arrow cogroup instead of the JVM's
+    with vectorized NumPy per Arrow cogroup instead of the JVM's
     interpreted zip_with fold in the join condition (the round-13 x05
     before-plan evaluates that fold once per CANDIDATE pair — every
     within-cell pair — and the thread-dump profile put ~all of the stage
-    there). Exactness is preserved by a two-step score: the GEMM is only
-    a PRE-FILTER at ``threshold - 1e-6`` (BLAS re-association error for a
-    64-dim double dot is ~1e-13, five orders inside the margin), and every
-    surviving pair is re-scored with the same sequential double fold the
-    JVM expression performs — p_k = a_k*b_k, acc = acc + p_k in IEEE
-    float64, norms sqrt(fold(x,x)) — so the emitted cos_sim is
-    bit-identical to the previous plan's and every downstream
-    round/threshold/ordering decision is unchanged. Per-task memory is
-    bounded by GEMM row-chunking; the one exchange is the cell cogroup
-    (vs the broadcast build of the join path).
+    there). ``similarity.exact_cos_matrix`` reproduces the fold's IEEE
+    sequence exactly (rank-1-update accumulation — see its docstring), so
+    the emitted cos_sim is bit-identical to the previous plan's and every
+    downstream round/threshold/ordering decision is unchanged (in-session
+    parity harness compared int64 bit patterns at sf0.01 and sf0.1:
+    equal). Per-task memory is bounded by row-chunking; the one exchange
+    is the cell cogroup (vs the broadcast build of the join path).
 
     ``block_col=None`` keeps the JVM broadcast cross-join fold (unused on
     any scale path; retained for API completeness).
     """
     if block_col:
+        from .similarity import exact_cos_matrix
+
         id_t = dict(df.dtypes)[id_col]
         blk_t = dict(df.dtypes)[block_col]
         thr = float(threshold)
@@ -1643,58 +1642,27 @@ def embedding_near_dup(
             pdf = pdf.sort_values(id_col, ignore_index=True)
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                nr = np.sqrt(np.einsum("ij,ij->i", M, M))
-            # row-chunked GEMM: bounded scratch even for a hot cell
+            # row-chunked: bounded scratch even for a hot cell
             chunk = max(1, (4 << 20) // max(n, 1))
-            cand_i: list[np.ndarray] = []
-            cand_j: list[np.ndarray] = []
+            ka, kb, ks = [], [], []
             for s in range(0, n, chunk):
                 e = min(n, s + chunk)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = (M[s:e] @ M.T) / np.outer(nr[s:e], nr)
-                li, lj = np.nonzero(S >= thr - 1e-6)
+                C = exact_cos_matrix(M[s:e], M)
+                li, lj = np.nonzero(C >= thr)
                 gi = li + s
                 m = gi < lj  # id_a < id_b == position order after sort
-                cand_i.append(gi[m])
-                cand_j.append(lj[m])
-            ci = np.concatenate(cand_i) if cand_i else np.array([], dtype=int)
-            cj = np.concatenate(cand_j) if cand_j else np.array([], dtype=int)
-            if not len(ci):
-                return empty
-            # exact sequential re-score (bit-identical to the JVM fold)
-            exact_nrm: dict[int, np.float64] = {}
-
-            def en(i: int) -> np.float64:
-                v = exact_nrm.get(i)
-                if v is None:
-                    acc = np.float64(0.0)
-                    for x in M[i]:
-                        acc = acc + x * x
-                    v = np.sqrt(acc)
-                    exact_nrm[i] = v
-                return v
-
-            ka, kb, ks = [], [], []
-            with np.errstate(divide="ignore", invalid="ignore"):
-                for i, j in zip(ci, cj):
-                    va, vb = M[i], M[j]
-                    acc = np.float64(0.0)
-                    for x, y in zip(va, vb):
-                        acc = acc + x * y
-                    s_exact = acc / (en(i) * en(j))
-                    if s_exact >= thr:
-                        ka.append(ids[i])
-                        kb.append(ids[j])
-                        ks.append(float(s_exact))
-            if not ka:
+                ka.append(ids[gi[m]])
+                kb.append(ids[lj[m]])
+                ks.append(C[li[m], lj[m]])
+            ida = np.concatenate(ka)
+            if not len(ida):
                 return empty
             out = pd.DataFrame(
                 {
-                    "id_a": np.asarray(ka),
-                    "id_b": np.asarray(kb),
+                    "id_a": ida,
+                    "id_b": np.concatenate(kb),
                     block_col: pdf[block_col].iloc[0],
-                    "cos_sim": np.asarray(ks, dtype=np.float64),
+                    "cos_sim": np.concatenate(ks).astype(np.float64),
                 }
             )
             return out

@@ -18,6 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -25,6 +26,37 @@ from pyspark.sql import functions as F
 from ..functions import dot
 
 _SEED = 42
+
+
+def exact_cos_matrix(S: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """Pairwise cosine between the rows of S and T (float64), bit-identical
+    to the JVM expression ``dot(a,b)/(nrm_a*nrm_b)`` (functions.dot — a
+    sequential left fold over ascending index).
+
+    The dot accumulation is a loop of RANK-1 UPDATES over the dimension:
+    ``C += outer(S[:,k], T[:,k])`` performs, per element, exactly
+    p = a_k*b_k (one rounding) then acc = acc + p (one rounding) in index
+    order — the same IEEE-double sequence as the zip_with/aggregate fold,
+    vectorized across pairs with no BLAS re-association and no FMA
+    contraction (numpy ufuncs never fuse). Norms fold the same way;
+    the final division sees identical operands. This is what lets the
+    pandas-cogroup scorers replace interpreted per-pair JVM folds without
+    moving a single output bit (guide §4.2). Cost is GEMM-class flops
+    (d elementwise passes over the |S|x|T| matrix); callers chunk rows of
+    S to bound the scratch matrix."""
+    d = S.shape[1]
+    C = np.zeros((S.shape[0], T.shape[0]))
+    for k in range(d):
+        C += np.outer(S[:, k], T[:, k])
+
+    def _nrm(M: np.ndarray) -> np.ndarray:
+        acc = np.zeros(M.shape[0])
+        for k in range(M.shape[1]):
+            acc += M[:, k] * M[:, k]
+        return np.sqrt(acc)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return C / np.outer(_nrm(S), _nrm(T))
 
 
 def _prepped(
@@ -311,16 +343,79 @@ def margin_topk_match_indexed(
         .withColumn("cent_sim", _cos_pair("q_vec", "cent_vec"))
         .withColumn("cent_rank", F.row_number().over(wq))
         .filter(F.col("cent_rank") <= nprobe)
-        .select("src_id", "q_vec", "q_vec_nrm", "cell")
+        .select("src_id", "q_vec", "cell")
     )
-    c = _prepped(
-        indexed_tgt, id_col, vec_col, "tgt_id", "c_vec", extra={"cell": "cell"}
+    # Round-13 (guide §4.2): per-cell scoring runs as a pandas COGROUP —
+    # exact_cos_matrix reproduces the JVM fold's IEEE sequence exactly
+    # (see its docstring), so each cell's cosines are bit-identical to
+    # the old cell-keyed equi-join + interpreted per-pair fold. Each
+    # cogroup emits only its cell's per-source top-k CANDIDATES (every
+    # pair whose exact cosine is within 1e-9 of the cell's per-source
+    # k-th largest): a pair in the GLOBAL top-k by (rounded cos desc,
+    # tgt_id asc) is a fortiori in its own cell's top-k by the same
+    # order, and rounded-order vs exact-order rank flips need values
+    # within the 1e-12 rounding quantum — three orders inside the 1e-9
+    # emit margin. Rounding to 12 then happens in the JVM on the emitted
+    # rows (identical operands -> identical rounding), and the rank
+    # window sees |src| x k x nprobe rows instead of every scored pair.
+    tgt_sel = indexed_tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("t_vec"),
+        F.col("cell"),
     )
-    # Cell-keyed equi-join — a tgt vector lives in exactly one cell and a
-    # source's probe cells are distinct, so each (src, tgt) pair appears
-    # at most once; no dedup shuffle needed before the rank window.
-    scored = c.join(probes, "cell").withColumn(
-        "cos_sim", F.round(_cos_pair("q_vec", "c_vec"), 12)
+    kk = int(k)
+
+    def score(src_pdf, tgt_pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype="int64"),
+                "tgt_id": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(src_pdf) or not len(tgt_pdf):
+            return empty
+        sids = src_pdf["src_id"].to_numpy()
+        tids = tgt_pdf["tgt_id"].to_numpy()
+        S = np.stack(src_pdf["q_vec"].to_numpy()).astype(np.float64)
+        T = np.stack(tgt_pdf["t_vec"].to_numpy()).astype(np.float64)
+        nt = len(tids)
+        chunk = max(1, (4 << 20) // max(nt, 1))
+        out_s, out_t, out_c = [], [], []
+        for s in range(0, len(sids), chunk):
+            e = min(len(sids), s + chunk)
+            C = exact_cos_matrix(S[s:e], T)
+            if nt > kk:
+                kth = np.partition(C, nt - kk, axis=1)[:, nt - kk]
+                # NaN cosines (zero-norm vectors) sort ABOVE every value
+                # in Spark's ordering — emit them so the rank window sees
+                # exactly what the old full-pair plan saw
+                mask = (C >= (kth[:, None] - 1e-9)) | np.isnan(C)
+            else:
+                mask = np.ones_like(C, dtype=bool)
+            li, lj = np.nonzero(mask)
+            out_s.append(sids[li + s])
+            out_t.append(tids[lj])
+            out_c.append(C[li, lj])
+        import numpy as _np
+
+        return pd.DataFrame(
+            {
+                "src_id": _np.concatenate(out_s),
+                "tgt_id": _np.concatenate(out_t),
+                "cos_sim": _np.concatenate(out_c).astype(_np.float64),
+            }
+        )
+
+    scored = (
+        tgt_sel.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(
+            lambda t_pdf, s_pdf: score(s_pdf, t_pdf),
+            schema="src_id long, tgt_id long, cos_sim double",
+        )
+        .withColumn("cos_sim", F.round("cos_sim", 12))
     )
     return _margin_from_scored(scored, k)
 
