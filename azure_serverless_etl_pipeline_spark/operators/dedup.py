@@ -1246,8 +1246,17 @@ def ngram_jaccard_pairs_incremental_bucketed(
             "pass state_dir, or all of postings/shingle_df/old_base/n_buckets"
         )
     new_base = _shingle_base(new_docs, text_col, id_col, n).cache()
+    # sz (full per-doc shingle count) rides each exploded row: the capped
+    # branch's prune derives every per-doc stat from the shingle rows
+    # themselves (one window) instead of a separate stats frame joined
+    # back three ways — one int per cached row buys three fewer
+    # broadcast-build jobs per batch
     new_sh = (
-        new_base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        new_base.select(
+            F.col(id_col),
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("shingle"),
+        )
         .withColumn("shingle_h", F.xxhash64("shingle"))
         .cache()
     )
@@ -1417,59 +1426,45 @@ def ngram_jaccard_pairs_incremental_bucketed(
         # hopeless ones using counts the joins already produce. The
         # verify still decides membership, so output is unchanged.
         # (1e-9: prune-only soundness margin for the float boundary.)
-        stats_new = new_base.select(
-            F.col(id_col), F.size("shingles").alias("sz")
-        ).join(
-            nsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("kept")),
-            id_col,
-            "left",
-        ).select(
-            F.col(id_col),
-            "sz",
-            (F.col("sz") - F.coalesce(F.col("kept"), F.lit(0))).alias(
-                "dropped"
-            ),
+        # Per-doc stats ride the shingle rows: sz came with new_sh, kept
+        # is one window count over the capped rows, dropped = sz - kept.
+        # The nn/no aggregates then read the stats for free (constant per
+        # group -> min), with NO stats frame and no broadcast-build jobs.
+        stat = nsh.withColumn(
+            "dropped",
+            F.col("sz") - F.count(F.lit(1)).over(W.partitionBy(id_col)),
         )
-        nn_cnt = a.join(
-            b,
+        sa, sb = stat.alias("a"), stat.alias("b")
+        nn_cnt = sa.join(
+            sb,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         ).groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-        ).agg(F.count(F.lit(1)).alias("n_cc"))
-        da = stats_new.select(
-            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
-            F.col("dropped").alias("drop_a"),
-        )
-        db = stats_new.select(
-            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
-            F.col("dropped").alias("drop_b"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_cc"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("a.dropped").alias("drop_a"),
+            F.min("b.sz").alias("sz_b"),
+            F.min("b.dropped").alias("drop_b"),
         )
         nn_ub = F.col("n_cc") + F.least(F.col("drop_a"), F.col("drop_b"))
-        nn = (
-            nn_cnt.join(F.broadcast(da), "id_a")
-            .join(F.broadcast(db), "id_b")
-            .filter(
-                nn_ub / (F.col("sz_a") + F.col("sz_b") - nn_ub)
-                >= threshold - 1e-9
-            )
-            .select("id_a", "id_b")
-        )
-        no_cnt = (
-            live_post.join(F.broadcast(an), "shingle")
-            .filter(F.col("__nid") != F.col(id_col))
-            .groupBy(F.col("__nid"), F.col(id_col).alias("__oid"))
-            .agg(F.count(F.lit(1)).alias("n_cc"))
+        nn = nn_cnt.filter(
+            nn_ub / (F.col("sz_a") + F.col("sz_b") - nn_ub)
+            >= threshold - 1e-9
+        ).select("id_a", "id_b")
+        an_stat = stat.select(
+            F.col(id_col).alias("__nid"), "shingle", "sz", "dropped"
         )
         no = (
-            no_cnt.join(
-                F.broadcast(
-                    stats_new.select(
-                        F.col(id_col).alias("__nid"), "sz", "dropped"
-                    )
-                ),
-                "__nid",
+            live_post.join(F.broadcast(an_stat), "shingle")
+            .filter(F.col("__nid") != F.col(id_col))
+            .groupBy(F.col("__nid"), F.col(id_col).alias("__oid"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cc"),
+                F.min("sz").alias("sz"),
+                F.min("dropped").alias("dropped"),
             )
             .filter(
                 (F.col("n_cc") + F.col("dropped")) / F.col("sz")
