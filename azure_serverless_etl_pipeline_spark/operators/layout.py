@@ -35,6 +35,8 @@ north-star extension that makes the 100 TB scan economics work.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -164,6 +166,45 @@ def zorder_frame(
     return q.withColumn("zkey", morton_key(F.col("xq"), F.col("yq")))
 
 
+def _hilbert_key_udf(order: int):
+    """Vectorized Hilbert index kernel (r14, guide §4.2): the classic
+    per-bit rotate-and-accumulate walk over whole Arrow batches in
+    NumPy int64 instead of ``order`` chained JVM projection stages.
+
+    The JVM unroll kept each stage as a separate non-collapsed Project
+    (inlining would grow ~3^order expression nodes), so every row paid
+    ``order`` interpreted/codegen projection passes — the measured
+    asymmetry between x139 (z-order, 4 shift/mask steps, 0.8 s) and
+    x144 (Hilbert, 16 stages, 3.9 s). Here the walk is 16 iterations of
+    a handful of NumPy int64 ufuncs over the batch. All-integer
+    arithmetic (masks, shifts, xor, reflect) — no floating point, no
+    rounding, so the result is bit-identical to the JVM stages and the
+    DuckDB CTE twin (pytest pins both against the Python reference
+    walk). Map-side expression: no shuffle, no extra scan; only the two
+    long inputs cross the Arrow boundary."""
+    @F.pandas_udf("long")
+    def hilbert(xq: pd.Series, yq: pd.Series) -> pd.Series:
+        x = xq.to_numpy(dtype=np.int64).copy()
+        y = yq.to_numpy(dtype=np.int64).copy()
+        d = np.zeros(len(x), dtype=np.int64)
+        s = 1 << (order - 1)
+        while s:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += (s * s) * ((3 * rx) ^ ry)
+            # rotate/reflect the quadrant frame (same walk as the
+            # Python reference in tests/test_layout_governance.py)
+            refl = (ry == 0) & (rx == 1)
+            xr = np.where(refl, s - 1 - x, x)
+            yr = np.where(refl, s - 1 - y, y)
+            swap = ry == 0
+            x, y = np.where(swap, yr, xr), np.where(swap, xr, yr)
+            s >>= 1
+        return pd.Series(d)
+
+    return hilbert
+
+
 def _hilbert_fold(
     frame: DataFrame,
     order: int = 16,
@@ -172,43 +213,12 @@ def _hilbert_fold(
     y_col: str = "yq",
 ) -> DataFrame:
     """Fold quantized (xq, yq) into the Hilbert-curve index of the given
-    order (the classic per-bit rotate-and-accumulate walk, unrolled into
-    ``order`` projection stages). Expects ``xq``/``yq`` columns; emits
-    ``key_col``.
-
-    Why projection stages and not one composed expression: each
-    iteration's (x, y) feed the next through multiple references, so an
-    inlined expression tree grows ~3^order nodes and kills codegen; a
-    per-iteration ``withColumns`` keeps every stage flat (Catalyst keeps
-    multiply-referenced projections separate). All integer when/and/xor
-    arithmetic — bit-exact in any engine, no UDF, no shuffle."""
-    f = (
-        frame.withColumn("_hx", F.col(x_col).cast("long"))
-        .withColumn("_hy", F.col(y_col).cast("long"))
-        .withColumn(key_col, F.lit(0).cast("long"))
+    order. Expects ``xq``/``yq`` columns; emits ``key_col`` — one
+    vectorized Arrow kernel call per batch (``_hilbert_key_udf``),
+    bit-exact to the unrolled JVM projection walk it replaced."""
+    return frame.withColumn(
+        key_col, _hilbert_key_udf(order)(F.col(x_col), F.col(y_col))
     )
-    s = 1 << (order - 1)
-    while s:
-        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
-        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
-        d2 = F.col(key_col) + F.lit(s) * F.lit(s) * (
-            (F.lit(3) * rx).bitwiseXOR(ry)
-        )
-        tx = F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
-            F.col("_hx")
-        )
-        ty = F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
-            F.col("_hy")
-        )
-        f = f.withColumns(
-            {
-                key_col: d2,
-                "_hx": F.when(ry == 0, ty).otherwise(F.col("_hx")),
-                "_hy": F.when(ry == 0, tx).otherwise(F.col("_hy")),
-            }
-        )
-        s >>= 1
-    return f.drop("_hx", "_hy")
 
 
 def curve_pruning_stats(

@@ -2733,15 +2733,43 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE is the one-shot recursive-CTE components over the WHOLE
     corpus (x31's SQL) — the driver hash-check proves the incremental
     path reproduces the batch truth exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    old_map = dedup.dup_clusters(
-        dedup.ngram_jaccard_pairs(old, threshold=0.5, max_shingle_freq=50)
-    )
-    inc = dedup.ngram_jaccard_pairs_incremental(
-        new, old, threshold=0.5, max_shingle_freq=50
-    )
+
+    # The old-corpus map rebuild and the incremental pair mining are
+    # INDEPENDENT until the final fold (the map is only consumed by
+    # incremental_dup_clusters, the pairs only read old/new docs), but
+    # both are eager (dup_clusters iterates; the fold checkpoints the
+    # pair frame), so composing them serially leaves the cluster idle
+    # through each one's job tail. Submit them from two driver threads
+    # (guide §2.6 — actions are only sequential because driver code
+    # calls them sequentially); the result is the identical composition
+    # of the identical operators.
+    def _old_map():
+        spark.sparkContext.setJobDescription("x117: old-map rebuild")
+        return dedup.dup_clusters(
+            dedup.ngram_jaccard_pairs(old, threshold=0.5, max_shingle_freq=50)
+        )
+
+    def _inc_pairs():
+        spark.sparkContext.setJobDescription("x117: incremental pair mining")
+        p = dedup.ngram_jaccard_pairs_incremental(
+            new, old, threshold=0.5, max_shingle_freq=50
+        )
+        ck = p.select("id_a", "id_b").localCheckpoint(eager=True)
+        # carry the generator's cache handover to the fold, which
+        # releases it after its (now trivial) re-checkpoint
+        ck._owned_caches = getattr(p, "_owned_caches", ())
+        return ck
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_map = pool.submit(_old_map)
+        f_inc = pool.submit(_inc_pairs)
+        old_map, inc = f_map.result(), f_inc.result()
+    spark.sparkContext.setJobDescription(None)
     return dedup.incremental_dup_clusters(old_map, inc)
 
 

@@ -877,6 +877,7 @@ def rebuild_updated(
     from pyspark.sql import Window
 
     from ..operators.dedup import (
+        _explode_shingles,
         _keys_pruned_capped,
         _shingle_base,
         _verify_jaccard,
@@ -988,9 +989,11 @@ def rebuild_updated(
         "doc_id", F.explode("shingles").alias("shingle")
     )
     u_shingled = _shingle_base(u_new, "text", "doc_id", n)
-    u_new_sh = u_shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    # computed (not stored) shingles: explode through the outer+isNotNull
+    # shape so the zip_with chain is evaluated once per doc (dedup.
+    # _explode_shingles — the other explode sites here read materialized
+    # arrays, where the inferred filter costs one size(), not a chain)
+    u_new_sh = _explode_shingles(u_shingled, "doc_id")
 
     affected = u_ids.unionByName(
         inc_pairs.select(F.col("id_a").alias("doc_id"))

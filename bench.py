@@ -363,32 +363,39 @@ def main() -> None:
     median_ratio = (
         round(statistics.median(ratio_vals), 4) if ratio_vals else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_median_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "runs": runs,
-                "calibration": calibration,
-                "drift": drift,
-                **(
-                    {
-                        "vs_standing_median_ratio": median_ratio,
-                        "vs_standing_over_2x": sorted(
-                            n for n, r in ratios.items() if r > 2.0
-                        ),
-                        "vs_standing": ratios,
-                    }
-                    if ratios
-                    else {}
-                ),
-                **({"errors": errors} if errors else {}),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_median_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "runs": runs,
+            "calibration": calibration,
+            "drift": drift,
+            **(
+                {
+                    "vs_standing_median_ratio": median_ratio,
+                    "vs_standing_over_2x": sorted(
+                        n for n, r in ratios.items() if r > 2.0
+                    ),
+                    "vs_standing": ratios,
+                }
+                if ratios
+                else {}
+            ),
+            **({"errors": errors} if errors else {}),
+        }
     )
+    print(line)
+    # Insurance against stdout-tail truncation (the r12 bench record was
+    # lost to exactly that and left PERF_r13 with no baseline): the same
+    # one JSON line is also written to a file next to the harness. The
+    # stdout contract is unchanged.
+    try:
+        (REPO / "BENCH_out.json").write_text(line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not sink the bench
 
 
 if __name__ == "__main__":
