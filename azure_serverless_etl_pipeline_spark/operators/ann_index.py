@@ -2773,15 +2773,29 @@ def search_ivfpq(
     candidate, so output == brute-force cosine top-k bit for bit —
     that composition is the x146 driver oracle."""
     import pandas as pd
+    from concurrent.futures import ThreadPoolExecutor
 
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    # The three index-metadata reads (coarse centroids, PQ codebooks,
+    # residual flag) are independent bounded artifacts under different
+    # subdirs, but each is a driver-blocking parquet-read job and every
+    # timed probe pays all three serially. Fetch them on a small thread
+    # pool (guide §2.6) — same rows, same broadcasts, ~one job latency
+    # instead of three per probe (r14).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cent = pool.submit(
+            lambda: spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        f_books = pool.submit(load_pq_codebooks, spark, path)
+        f_res = pool.submit(_pq_residual, spark, path)
+        rows, books, residual = f_cent.result(), f_books.result(), f_res.result()
     centroids = np.vstack([np.asarray(r.centroid) for r in rows])
-    books = load_pq_codebooks(spark, path)
     m, _kk, sub = books.shape
     bc = spark.sparkContext.broadcast(books)
     bc_cn = (
         spark.sparkContext.broadcast(_normalized_centroids(centroids))
-        if _pq_residual(spark, path)
+        if residual
         else None
     )
 

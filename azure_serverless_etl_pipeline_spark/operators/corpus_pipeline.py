@@ -109,27 +109,55 @@ def prepare_training_corpus(
     a time) is pytest-asserted, which is what makes refactoring the
     chain safe.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import decontam, dsir
     from .dedup import exact_dedup
     from .packing import chunk_documents
 
     gated = quality_gate(docs, text_col)
-    # exact dedup keeps the min-id representative per distinct text;
-    # consumed twice by decontamination (report + anti-join)
-    reps = (
-        exact_dedup(gated, text_col, id_col)
-        .select(id_col, text_col)
-        .localCheckpoint()
-    )
-    # consumed three times: DSIR statistic, DSIR zero-token cover,
-    # final selection join
-    clean = decontam.decontaminate(
-        reps, eval_df, n=5, id_col=id_col, text_col=text_col
-    ).localCheckpoint()
-    # consumed twice by select_top_fraction (count + rank window); its
-    # own evaluation tokenizes the target corpus for the model table
+    # The TARGET-side DSIR bucket counts depend on nothing upstream
+    # (the target corpus is an independent input), but they used to be
+    # evaluated inside the scores checkpoint — the last link of the
+    # serial gate -> dedup -> decontam -> score chain. Tokenize the
+    # target on a second driver thread concurrently with the raw-side
+    # stage builds (guide §2.6: actions are only sequential because
+    # driver code calls them sequentially) and hand the finished
+    # statistic to the scorer. Identical counts, identical ratios —
+    # the checkpoint only moves WHEN the same plan runs.
+    spark = docs.sparkSession
+    n_buckets = 1000
+
+    def _target_counts():
+        spark.sparkContext.setJobDescription("corpus-prep: target counts")
+        return dsir._bucket_counts(
+            target, "c_t", n_buckets, text_col
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_tc = pool.submit(_target_counts)
+        # exact dedup keeps the min-id representative per distinct text;
+        # consumed twice by decontamination (report + anti-join)
+        reps = (
+            exact_dedup(gated, text_col, id_col)
+            .select(id_col, text_col)
+            .localCheckpoint()
+        )
+        # consumed three times: DSIR statistic, DSIR zero-token cover,
+        # final selection join
+        clean = decontam.decontaminate(
+            reps, eval_df, n=5, id_col=id_col, text_col=text_col
+        ).localCheckpoint()
+        target_counts = f_tc.result()
+    spark.sparkContext.setJobDescription(None)
+    # consumed twice by select_top_fraction (count + rank window)
     scores = dsir.importance_scores(
-        clean, target, n_buckets=1000, id_col=id_col, text_col=text_col
+        clean,
+        target,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        target_counts=target_counts,
     ).localCheckpoint()
     picked = dsir.select_top_fraction(scores, keep_fraction, id_col=id_col)
     selected = clean.join(picked.select(id_col), id_col)

@@ -85,13 +85,22 @@ def _log_ratios_from_counts(
     target: DataFrame,
     n_buckets: int,
     text_col: str,
+    target_counts: DataFrame | None = None,
 ) -> DataFrame:
     """bucket_log_ratios taking the RAW side as a precomputed (bucket,
     c_r) count table — lets importance_scores derive it from the same
     sufficient statistic the scoring pass uses instead of tokenizing
     the raw corpus a second time (r13 opt; identical counts, identical
-    ratios)."""
-    tc = _bucket_counts(target, "c_t", n_buckets, text_col)
+    ratios). ``target_counts`` optionally supplies the TARGET side the
+    same way (same (bucket, c_t) schema as ``_bucket_counts``) — the
+    r14 overlap hook: a pipeline whose target corpus is independent of
+    its raw-side stages can tokenize the target concurrently with them
+    (guide §2.6) and hand the finished statistic in here."""
+    tc = (
+        target_counts
+        if target_counts is not None
+        else _bucket_counts(target, "c_t", n_buckets, text_col)
+    )
     joined = tc.join(rc, "bucket", "full_outer").select(
         F.col("bucket"),
         F.coalesce("c_t", F.lit(0)).alias("c_t"),
@@ -119,6 +128,7 @@ def importance_scores(
     n_buckets: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-raw-document DSIR importance score.
 
@@ -144,7 +154,9 @@ def importance_scores(
         .localCheckpoint()
     )
     rc = doc_bucket.groupBy("bucket").agg(F.sum("occ").alias("c_r"))
-    lr = _log_ratios_from_counts(rc, target, n_buckets, text_col)
+    lr = _log_ratios_from_counts(
+        rc, target, n_buckets, text_col, target_counts=target_counts
+    )
     # importance = sum over token occurrences of round(log_ratio, 9),
     # decimal-summed. With per-bucket occurrence counts that is
     # sum(occ * lr): lr is exact at scale 9 in decimal(25,9) and

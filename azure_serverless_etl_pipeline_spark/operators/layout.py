@@ -103,7 +103,7 @@ def with_zorder_key(
     1-row bounds aggregate broadcast back onto the scan; the key itself
     is map-side integer arithmetic. ``curve`` picks the interleave:
     ``morton`` (bit shuffle — 4 projection steps) or ``hilbert``
-    (rotate-and-accumulate walk — 16 flat projection steps, tighter
+    (rotate-and-accumulate walk — one vectorized Arrow kernel, tighter
     per-tile spans thanks to curve continuity)."""
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"curve must be morton|hilbert, got {curve!r}")

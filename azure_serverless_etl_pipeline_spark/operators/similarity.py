@@ -363,6 +363,9 @@ def margin_topk_match_indexed(
         F.col("cell"),
     )
     kk = int(k)
+    # derive the id dtype instead of hardcoding long (ADVICE r13): the
+    # old equi-join plan preserved whatever id type the caller used
+    id_t = dict(indexed_tgt.dtypes)[id_col]
 
     def score(src_pdf, tgt_pdf):
         import pandas as pd
@@ -388,9 +391,23 @@ def margin_topk_match_indexed(
             C = exact_cos_matrix(S[s:e], T)
             if nt > kk:
                 kth = np.partition(C, nt - kk, axis=1)[:, nt - kk]
-                # NaN cosines (zero-norm vectors) sort ABOVE every value
-                # in Spark's ordering — emit them so the rank window sees
-                # exactly what the old full-pair plan saw
+                # Zero-norm semantics (ADVICE r13): the JVM plan this
+                # replaced would have FAILED LOUDLY on a zero-norm
+                # vector — under the session's ANSI mode double division
+                # by zero raises DIVIDE_BY_ZERO, so "what the old plan
+                # saw" is an error, never NaN. This kernel instead
+                # defines the degenerate case: 0/0 -> NaN under
+                # errstate-ignore, NaN sorts ABOVE every real value in
+                # BOTH orderings involved (np.partition places NaN
+                # last-ascending == largest, Spark's desc ranks NaN
+                # first), so the per-source kth threshold and the emit
+                # set stay mutually consistent: with m < k NaN targets
+                # kth is the (k-m)-th largest real and real candidates
+                # are emitted alongside every NaN pair; with m >= k the
+                # top-k is all-NaN and exactly those rows are emitted.
+                # No input in any declared dataset has a zero-norm
+                # vector (the oracle would have raised), so declared
+                # results are unaffected either way.
                 mask = (C >= (kth[:, None] - 1e-9)) | np.isnan(C)
             else:
                 mask = np.ones_like(C, dtype=bool)
@@ -413,7 +430,7 @@ def margin_topk_match_indexed(
         .cogroup(probes.groupBy("cell"))
         .applyInPandas(
             lambda t_pdf, s_pdf: score(s_pdf, t_pdf),
-            schema="src_id long, tgt_id long, cos_sim double",
+            schema=f"src_id {id_t}, tgt_id {id_t}, cos_sim double",
         )
         .withColumn("cos_sim", F.round("cos_sim", 12))
     )

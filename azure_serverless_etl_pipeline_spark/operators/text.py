@@ -35,7 +35,23 @@ def _stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
 
 
-def quality_rules(text_col: str = "text") -> dict[str, Column]:
+def _bigrams_of(toks: Column) -> Column:
+    """Position-ordered bigram array off a token-array column (the
+    repetition rule's input) — shared by the inline and staged forms of
+    ``quality_rules`` so the definition cannot drift."""
+    n_tok = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def quality_rules(
+    text_col: str = "text",
+    toks: Column | None = None,
+    grams: Column | None = None,
+) -> dict[str, Column]:
     """The Gopher-style composite gate rules — SINGLE source of truth for
     the x46 audit query and corpus_pipeline.quality_gate (one drift bug
     away from gate != audit otherwise). Returns named boolean columns;
@@ -44,17 +60,23 @@ def quality_rules(text_col: str = "text") -> dict[str, Column]:
 
     Rules: token-count band 10..1000, [a-z] char ratio >= 0.6, >= 1
     stopword, duplicate-bigram fraction <= 0.5.
+
+    ``toks``/``grams`` optionally reference PRE-STAGED columns (r14,
+    guide §1.2): the rules reference the token array ~5x and the bigram
+    array 3x, and separate expressions in one projection share nothing —
+    the interpreted split/zip_with chains re-ran per reference. An audit
+    projection stages both arrays as their own projection step
+    (CollapseProject keeps multiply-referenced non-cheap projections
+    separate, so each is evaluated once per row) and passes the column
+    refs in; the inline default remains for filter contexts, where a
+    staged column would be substituted right back by filter pushdown.
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.col(text_col)) if toks is None else toks
     n_tok = F.size(toks)
     alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-z]", ""))
     alpha_ratio = alpha / F.length(F.col(text_col))
     n_stop = _stopword_count(toks)
-    grams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    grams = _bigrams_of(toks) if grams is None else grams
     dup_ratio = F.when(
         F.size(grams) > 0, 1 - F.size(F.array_distinct(grams)) / F.size(grams)
     ).otherwise(F.lit(0.0))

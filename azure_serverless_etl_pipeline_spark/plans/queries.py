@@ -974,9 +974,20 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     band + alpha ratio + stopword presence + repetition ceiling, each
     rule accounted separately so the drop reasons are auditable. One
     map-side pass — the signals fuse into the scan's codegen span."""
+    from ..functions import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    rule_cols = text.quality_rules("text")
-    rules = docs.select(
+    # stage the token + bigram arrays as their own projections so each
+    # interpreted chain runs once per row instead of once per rule
+    # reference (r14 — see text.quality_rules; same rule expressions,
+    # same oracle)
+    staged = docs.withColumn("_toks", tokens(F.col("text"))).withColumn(
+        "_grams", text._bigrams_of(F.col("_toks"))
+    )
+    rule_cols = text.quality_rules(
+        "text", toks=F.col("_toks"), grams=F.col("_grams")
+    )
+    rules = staged.select(
         "doc_id",
         "lang",
         *[c.alias(name) for name, c in rule_cols.items()],

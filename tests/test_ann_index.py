@@ -16,6 +16,7 @@ def corpus(spark):
     return load_table(spark, SF_ORACLE, "embeddings")
 
 
+@pytest.mark.slow
 def test_build_and_probe_recall(spark, corpus, tmp_path_factory):
     from azure_serverless_etl_pipeline_spark.operators.ann_index import (
         build_ivf_index,
@@ -745,6 +746,7 @@ def test_ivfpq_exact_pin_equals_brute_force(spark, corpus, tmp_path_factory):
     assert got.equals(want[got.columns])
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_knobs_and_pruned_plan(spark, corpus, tmp_path_factory):
     """Approximate regime: (a) recall at nprobe < k is sane and widening
     either knob never hurts; (b) exact-cosine scores on overlapping hits
@@ -1021,6 +1023,7 @@ def test_split_cells_allocates_above_empty_centroid(
     assert cents_after.shape[0] == cents_before.shape[0] + len(report)
 
 
+@pytest.mark.slow
 def test_split_cells_relocates_pq_codes(spark, corpus, tmp_path_factory):
     """Verdict r10 item 1: splitting an IVFADC index relocates the hot
     cells' code rows into the child directories — codes bytes are
@@ -1093,6 +1096,7 @@ def test_split_cells_relocates_pq_codes(spark, corpus, tmp_path_factory):
     assert got_df.equals(want[got_df.columns])
 
 
+@pytest.mark.slow
 def test_split_cells_crash_between_tiers_repairs(
     spark, corpus, tmp_path_factory, monkeypatch
 ):
@@ -1173,6 +1177,7 @@ def test_split_cells_crash_between_tiers_repairs(
     assert got.equals(want[got.columns])
 
 
+@pytest.mark.slow
 def test_ivfpq_append_crash_retry_is_exactly_once(
     spark, corpus, tmp_path_factory, monkeypatch
 ):
@@ -1252,6 +1257,7 @@ def test_ivfpq_append_crash_retry_is_exactly_once(
     assert got.equals(want[got.columns])
 
 
+@pytest.mark.slow
 def test_compact_ivf_index_preserves_probes(spark, corpus, tmp_path_factory):
     """OPTIMIZE for the two-tier index: several small keyed appends
     leave one file set per landing cell per batch; compact_ivf_index
@@ -1309,6 +1315,7 @@ def test_compact_ivf_index_preserves_probes(spark, corpus, tmp_path_factory):
         ann_index.compact_ivf_index(spark, idx)
 
 
+@pytest.mark.slow
 def test_compact_ivf_index_prunes_bookkeeping(spark, corpus, tmp_path_factory):
     """Retention for the per-epoch bookkeeping dirs (review r11): a
     long-lived stream leaves one drift record and one commit record per
@@ -1540,6 +1547,7 @@ def test_resolve_txn_sweeps_ids_only_dir(spark, corpus, tmp_path_factory):
     assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
 
 
+@pytest.mark.slow
 def test_ivfpq_refit_resets_append_bookkeeping(
     spark, corpus, tmp_path_factory
 ):
@@ -1593,6 +1601,7 @@ def test_ivfpq_refit_resets_append_bookkeeping(
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_unkeyed_append_crash_after_completion_rolls_forward(
     spark, corpus, tmp_path_factory
 ):
@@ -1673,6 +1682,7 @@ def test_ivfpq_rollback_removes_drift_record(spark, corpus, tmp_path_factory):
     assert r["n_batches"] == 0 and r["needs_refit"] is False
 
 
+@pytest.mark.slow
 def test_ivfpq_stream_restart_with_fresh_checkpoint_keeps_ingesting(
     spark, corpus, tmp_path
 ):
@@ -1718,6 +1728,7 @@ def test_ivfpq_stream_restart_with_fresh_checkpoint_keeps_ingesting(
     assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
 
 
+@pytest.mark.slow
 def test_ivfpq_drift_monitor_trips_on_planted_shift(
     spark, corpus, tmp_path_factory
 ):
@@ -1778,6 +1789,7 @@ def test_ivfpq_drift_monitor_trips_on_planted_shift(
     assert pooled["recent_qerr"] > in_dist["recent_qerr"]
 
 
+@pytest.mark.slow
 def test_ivfpq_append_exactness_pin(spark, corpus, tmp_path_factory):
     """append_to_ivfpq_index: build on 80% of the corpus, append the
     rest against the FROZEN coarse + PQ codebooks — both tiers receive
@@ -1832,6 +1844,7 @@ def test_ivfpq_append_exactness_pin(spark, corpus, tmp_path_factory):
     )
     assert got.equals(want[got.columns])
 
+@pytest.mark.slow
 def test_delete_resolves_pending_append_txn(
     spark, corpus, tmp_path_factory, monkeypatch
 ):
@@ -2028,6 +2041,7 @@ def _basis_batch(spark, n, id_base, offset=0):
     )
 
 
+@pytest.mark.slow
 def test_refit_pq_codebooks_is_codes_only_and_recovers_drift(
     spark, corpus, tmp_path_factory
 ):
@@ -2109,6 +2123,7 @@ def test_refit_pq_codebooks_is_codes_only_and_recovers_drift(
     assert after["needs_refit"] is False
 
 
+@pytest.mark.slow
 def test_refit_crash_rolls_back_then_forward(
     spark, corpus, tmp_path_factory, monkeypatch
 ):
@@ -2242,6 +2257,7 @@ def _tight_clustered(spark, n=2000, n_modes=64, noise=0.3, seed=9):
     )
 
 
+@pytest.mark.slow
 def test_residual_ivfpq_exactness_pin_and_qerr_win(
     spark, corpus, tmp_path_factory
 ):
@@ -2303,6 +2319,7 @@ def test_residual_ivfpq_exactness_pin_and_qerr_win(
     assert b_res < 0.5 * b_raw  # measured ~64x apart (0.0058 vs 0.372); 2x is the loud bound
 
 
+@pytest.mark.slow
 def test_residual_split_reencodes_and_crash_repairs(
     spark, corpus, tmp_path_factory, monkeypatch
 ):
@@ -2372,6 +2389,7 @@ def test_residual_split_reencodes_and_crash_repairs(
     assert got.equals(want[got.columns])
 
 
+@pytest.mark.slow
 def test_residual_append_and_refit_stay_exact(
     spark, corpus, tmp_path_factory
 ):
@@ -2423,6 +2441,7 @@ def test_residual_append_and_refit_stay_exact(
     got2 = probe()
     assert got2.equals(want[got2.columns])
 
+@pytest.mark.slow
 def test_uncommitted_refit_staging_fences_writers(
     spark, corpus, tmp_path_factory
 ):
@@ -2579,6 +2598,7 @@ def test_compact_untracked_index_censuses_then_tracks(
     assert r2["mode"] == "dirty" and r2["dirs"] == 0
 
 
+@pytest.mark.slow
 def test_refit_generation_stamp_lifecycle(spark, corpus, tmp_path_factory):
     """ADVICE r12: every committed refit's roll-forward bumps the
     pq_gen stamp (the cache-invalidation signal long-lived writers
@@ -2647,6 +2667,7 @@ def test_committed_rollforward_purges_ids_deleted_after_staging(
     assert _pq_generation(spark, idx) == 1
 
 
+@pytest.mark.slow
 def test_weighted_refit_recovers_minority_mixture(spark, tmp_path_factory):
     """Verdict r12 item 3a: at a ~9% shifted mixture the UNIFORM
     sample-fit spends only the mixture share of centroids on the

@@ -4,6 +4,7 @@ batch run over everything, and re-folding a batch must be idempotent."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -19,6 +20,7 @@ def _truth(docs):
     return dict(zip(m["doc_id"], m["cluster_id"]))
 
 
+@pytest.mark.slow
 def test_stream_folds_to_batch_truth(spark, tmp_path):
     from azure_serverless_etl_pipeline_spark.sources import load_table
     from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
@@ -48,6 +50,7 @@ def test_stream_folds_to_batch_truth(spark, tmp_path):
     assert got_map == _truth(docs)
 
 
+@pytest.mark.slow
 def test_fold_batch_is_idempotent(spark, tmp_path):
     from azure_serverless_etl_pipeline_spark.sources import load_table
     from azure_serverless_etl_pipeline_spark.streaming.dedup_stream import (
@@ -73,6 +76,7 @@ def test_fold_batch_is_idempotent(spark, tmp_path):
     assert got_map == want_map == _truth(docs)
 
 
+@pytest.mark.slow
 def test_stream_with_compaction_preserves_truth(spark, tmp_path):
     """E2E: drain the stream with compact_every=1 (OPTIMIZE after every
     fold) — the folded map must still equal batch truth, the compaction
@@ -124,6 +128,7 @@ def test_stream_with_compaction_preserves_truth(spark, tmp_path):
     assert base.select("doc_id").distinct().count() == docs.count()
 
 
+@pytest.mark.slow
 def test_compact_state_crash_resume(spark, tmp_path):
     """A compaction crash mid-swap (committed manifest, deletes pending)
     must replay on the next maintenance pass, and a crash-rerun of the
@@ -208,6 +213,7 @@ def test_compact_state_crash_resume(spark, tmp_path):
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
 
 
+@pytest.mark.slow
 def test_streamed_state_serves_governance_across_crash_resume(spark, tmp_path):
     """E2E governance on the STREAMED state (round-7): file arrivals ->
     dedup_stream(compact_every=2) -> crash (stream stops after draining
@@ -267,6 +273,7 @@ def test_streamed_state_serves_governance_across_crash_resume(spark, tmp_path):
     assert report(streamed), "erase list must affect at least one cluster"
 
 
+@pytest.mark.slow
 def test_random_batch_splits_fold_to_batch_truth(spark, tmp_path):
     """Randomized fold contract (the vector-stream LSM test's text
     twin): a SEEDED random partition of the corpus into uneven batches,
@@ -303,6 +310,7 @@ def test_random_batch_splits_fold_to_batch_truth(spark, tmp_path):
         assert got_map == _truth(delivered), f"diverged after batch {b}"
 
 
+@pytest.mark.slow
 def test_cross_batch_redelivery_first_wins_and_quarantines(spark, tmp_path):
     """An id arriving AGAIN in a later batch (the cross-batch
     re-delivery the within-batch overwrite cannot cover) must be
@@ -383,6 +391,7 @@ def test_fully_redelivered_batch_is_a_noop_fold(spark, tmp_path):
     assert red.count() == half.count()
 
 
+@pytest.mark.slow
 def test_zero_shingle_first_batches_fold_cleanly(spark, tmp_path):
     """An all-too-short first file (every doc under the shingle width)
     commits NO data file into the partitioned posting/df layers; later
@@ -526,6 +535,7 @@ def test_mismatched_layer_bucket_modulus_refused(spark, tmp_path):
     assert "posting_buckets=16" in str(exc.value)
 
 
+@pytest.mark.slow
 def test_membership_bloom_probes_bit_identical(spark, tmp_path):
     """Folds AFTER a compaction (which builds the membership bloom)
     must produce the exact map and quarantine a no-bloom state would:
@@ -570,6 +580,7 @@ def test_membership_bloom_probes_bit_identical(spark, tmp_path):
     assert {r.doc_id for r in red.collect()} == want
 
 
+@pytest.mark.slow
 def test_membership_bloom_saturated_falls_through_exactly(spark, tmp_path):
     """A near-useless bloom (fpp ~= 1: tiny bitmap, nearly every probe
     a maybe-hit) must cost recall NOTHING: every maybe falls through to
@@ -634,6 +645,7 @@ def test_membership_bloom_has_no_false_negatives(spark, tmp_path):
     assert n_maybe == docs.count()
 
 
+@pytest.mark.slow
 def test_membership_bloom_skipped_on_covered_replay(spark, tmp_path):
     """A crash-rerun of a batch the bloom already covers must NOT
     consult the artifact: the batch's own ids are in the bitmap, and
@@ -691,6 +703,7 @@ def _apply_updates(docs, updates):
     ).unionByName(updates)
 
 
+@pytest.mark.slow
 def test_rebuild_updated_split_and_merge(spark, tmp_path):
     """The UPDATE path the star-edge fold cannot express: an updated
     bridge doc must SPLIT its component, and an update copying another
@@ -766,6 +779,7 @@ def test_rebuild_updated_split_and_merge(spark, tmp_path):
     assert dict(zip(got2["doc_id"], got2["cluster_id"])) == want2
 
 
+@pytest.mark.slow
 def test_rebuild_updated_cap_flips_propagate_to_untouched_docs(
     spark, tmp_path
 ):
@@ -824,6 +838,7 @@ def test_rebuild_updated_cap_flips_propagate_to_untouched_docs(
     assert 10 not in want and 11 not in want  # vanished
 
 
+@pytest.mark.slow
 def test_rebuild_updated_generator_divergence_zero_shingle(spark, tmp_path):
     """df-estimate divergence: u2's new text has no shingles (its stale
     counts vanish from the discovery pass's subtraction) while u1's new
@@ -873,6 +888,7 @@ def test_rebuild_updated_generator_divergence_zero_shingle(spark, tmp_path):
     assert want[40] == want[1] and 30 not in want
 
 
+@pytest.mark.slow
 def test_rebuild_updated_idempotent_and_rollback(spark, tmp_path):
     """A second rebuild with an empty work list is a no-op; a pending
     txn marker (interrupted rebuild) makes folds refuse loudly, and the
@@ -932,6 +948,7 @@ def test_rebuild_updated_idempotent_and_rollback(spark, tmp_path):
     assert dict(zip(got2["doc_id"], got2["cluster_id"])) == want2
 
 
+@pytest.mark.slow
 def test_rebuild_updated_randomized_matches_one_shot(spark, tmp_path):
     """Breadth: random update workload over the documents table —
     texts swapped between docs (merges), mutated suffixes, unique
@@ -986,6 +1003,7 @@ def test_rebuild_updated_randomized_matches_one_shot(spark, tmp_path):
     assert dict(zip(got["doc_id"], got["cluster_id"])) == _truth(corpus_prime)
 
 
+@pytest.mark.slow
 def test_apply_tombstones_physical_rewrite_preserves_semantics(
     spark, tmp_path
 ):
@@ -1040,6 +1058,7 @@ def test_apply_tombstones_physical_rewrite_preserves_semantics(
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
 
 
+@pytest.mark.slow
 def test_rebuild_updated_uncapped_exact_semantics(spark, tmp_path):
     """max_shingle_freq=None: no cap, no flip analysis — discovery is
     exact and the rebuild must still equal the one-shot uncapped truth
@@ -1071,6 +1090,7 @@ def test_rebuild_updated_uncapped_exact_semantics(spark, tmp_path):
     assert 1 not in want and 3 not in want  # the bridge retracted
 
 
+@pytest.mark.slow
 def test_stream_epoch_after_rebuild_does_not_destroy_txn(spark, tmp_path):
     """REGRESSION (round-10 review): rebuild_updated's txn layer id was
     max(batch)+1 — exactly the id the resumed stream's next epoch would
@@ -1151,6 +1171,7 @@ def test_apply_tombstones_refuses_pending_txn(spark, tmp_path):
         apply_tombstones(spark, state)
 
 
+@pytest.mark.slow
 def test_legacy_state_rebuild_then_colliding_epoch(spark, tmp_path):
     """Second-pass review regression: on a PRE-ALLOCATOR state (no
     epoch_map), the legacy-replay detection must probe only ids/ —
@@ -1213,6 +1234,7 @@ def test_legacy_state_rebuild_then_colliding_epoch(spark, tmp_path):
     assert want[2] == want[4] == 2
 
 
+@pytest.mark.slow
 def test_legacy_replay_cannot_poison_alloc_hw(spark, tmp_path):
     """Advice r10 regression: replaying a LOW epoch on a pre-allocator
     state pins the literal epoch id, and an unclamped _bump_alloc_hw

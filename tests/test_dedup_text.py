@@ -841,6 +841,7 @@ def test_incremental_indexed_redelivered_df_matches_oneshot(spark):
 
 
 
+@pytest.mark.slow
 def test_incremental_bucketed_equals_derived(spark, tmp_path):
     """The BUCKETED tail (x117b's round-9 path — partition-pruned
     posting index + pushed In filters) must produce exactly the

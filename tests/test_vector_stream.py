@@ -89,6 +89,7 @@ def test_stream_appends_fold_and_probe_equal_brute_force(
     assert _ids(refolded) == _ids(corpus)
 
 
+@pytest.mark.slow
 def test_ivfpq_stream_ingest_with_split_maintenance(spark, corpus, tmp_path):
     """E2E for the IVFADC stream mode (verdict r10 item 3): build the
     two-tier index on 70% of the corpus, stream the remaining 30% in
@@ -641,6 +642,7 @@ def test_intra_epoch_duplicate_id_resolves_deterministically(
     assert len(folded) == 1 and folded[0].label == labels.pop()
 
 
+@pytest.mark.slow
 def test_stream_split_maintenance_grows_codebook_and_stays_exact(
     spark, corpus, tmp_path
 ):
@@ -751,6 +753,7 @@ def _shifted_frame(spark, n, id_base, offset=0):
     )
 
 
+@pytest.mark.slow
 def test_stream_drift_check_alerts_on_cadence(spark, corpus, tmp_path):
     """Verdict r11 item 2: the drift check runs on the stream cadence.
     An in-distribution stream must NEVER trip (no alert file, last_check
@@ -803,6 +806,7 @@ def test_stream_drift_check_alerts_on_cadence(spark, corpus, tmp_path):
     assert alert["needs_refit"] is True and alert["ratio"] > 1.5
 
 
+@pytest.mark.slow
 def test_stream_auto_refit_repairs_and_stays_exact(spark, corpus, tmp_path):
     """auto_refit=True composes the cadence check with the codes-only
     refit: a tripped epoch repairs in-line (new subcodebooks, codes tier
@@ -925,6 +929,7 @@ def test_refresh_books_if_stale_reloads_on_generation_bump(
     assert _refresh_books_if_stale(spark, idx, cache) is False
 
 
+@pytest.mark.slow
 def test_stream_picks_up_out_of_band_refit_between_runs(
     spark, corpus, tmp_path
 ):
